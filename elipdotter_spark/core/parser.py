@@ -1,0 +1,344 @@
+"""Query parser with the reference grammar.
+
+Reference: /root/reference/src/query.rs:690-1244.  Driver-side pure Python (the
+parse is inherently sequential and tiny); the result AST is compiled to a
+DataFrame plan by :mod:`elipdotter_spark.plans.compiler`.
+
+Grammar facts reproduced (goldens at src/query.rs:1246-1440):
+- whitespace (incl. NBSP) and ``-`` between words are implicit AND;
+- literals ``and``/``or``/``not`` are case-insensitive and must be
+  whitespace-delimited; a *leading* binary literal is a plain word;
+- prefix ``-``/``!`` are NOT; NOT binds to the next word or paren group;
+- parentheses recurse via a sub-parser; unbalanced ``)`` at the top level ends
+  parsing of the sub-expression;
+- AND binds tighter than OR, fixed post-hoc in ``finish_op``'s rotation
+  (src/query.rs:891-924) unless the left group was explicit parens;
+- every term string is normalized at parse time (src/query.rs:762-775).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Union
+
+from .normalize import normalize
+
+# ---------------------------------------------------------------- AST
+
+
+@dataclass(frozen=True)
+class Word:
+    text: str
+
+    def __str__(self) -> str:
+        return self.text
+
+
+@dataclass(frozen=True)
+class And:
+    left: "Part"
+    right: "Part"
+
+    def __str__(self) -> str:
+        return f"({self.left} AND {self.right})"
+
+
+@dataclass(frozen=True)
+class Or:
+    left: "Part"
+    right: "Part"
+
+    def __str__(self) -> str:
+        return f"({self.left} OR {self.right})"
+
+
+@dataclass(frozen=True)
+class Not:
+    part: "Part"
+
+    def __str__(self) -> str:
+        return f"(NOT {self.part})"
+
+
+Part = Union[Word, And, Or, Not]
+
+
+def ast_eq(a: Part, b: Part) -> bool:
+    """Operand-order-insensitive equality (src/query.rs:45-51)."""
+    if isinstance(a, Word) and isinstance(b, Word):
+        return a.text == b.text
+    if isinstance(a, Not) and isinstance(b, Not):
+        return ast_eq(a.part, b.part)
+    if type(a) is type(b) and isinstance(a, (And, Or)):
+        return (ast_eq(a.left, b.left) and ast_eq(a.right, b.right)) or (
+            ast_eq(a.left, b.right) and ast_eq(a.right, b.left)
+        )
+    return False
+
+
+def eq_order(a: Part, b: Part) -> bool:
+    """Equality that also checks left/right order (src/query.rs:99-120)."""
+    if not ast_eq(a, b):
+        return False
+    if isinstance(a, (Word, Not)):
+        return True
+    if isinstance(b, (And, Or)):
+        return eq_order(a.left, b.left) and eq_order(a.right, b.right)
+    return False
+
+
+def words_in(part: Part) -> list:
+    """All Word strings in left-to-right traversal order (``for_each_string``,
+    src/query.rs:88-97)."""
+    if isinstance(part, Word):
+        return [part.text]
+    if isinstance(part, Not):
+        return words_in(part.part)
+    return words_in(part.left) + words_in(part.right)
+
+
+# ---------------------------------------------------------------- errors
+
+
+class ParseError(Exception):
+    pass
+
+
+class InputEmpty(ParseError):
+    pass
+
+
+class NotEnoughArguments(ParseError):
+    pass
+
+
+class UnexpectedParentheses(ParseError):
+    pass
+
+
+# ---------------------------------------------------------------- ops / rules
+
+AND, OR, NOT = "and", "or", "not"
+
+
+def _is_whitespace(c: str) -> bool:
+    # char::is_ascii_whitespace + NBSP (src/query.rs:984-988)
+    return c in " \t\n\x0c\r "
+
+
+class _LiteralRule:
+    """``and``/``or``/``not`` literal, whitespace-delimited (src/query.rs:1118-1162)."""
+
+    def __init__(self, literal: str, op: str):
+        self.literal = literal
+        self.op = op
+        self.last_was_space = True
+
+    def next(self, parser: "_Parser", rest: str) -> Optional[int]:
+        binary = self.op in (AND, OR)
+        if binary and not parser.string and parser.left is None:
+            self.last_was_space = bool(rest) and _is_whitespace(rest[0])
+            return None
+        n = len(self.literal)
+        matched = (
+            self.last_was_space
+            and rest[:n].lower() == self.literal
+            and len(rest) > n
+            and _is_whitespace(rest[n])
+        )
+        rule = None
+        if matched:
+            parser.set_op(self.op)
+            rule = n
+        self.last_was_space = bool(rest) and _is_whitespace(rest[0])
+        return rule
+
+
+class _NotPrefixRule:
+    """``-``/``!`` prefix NOT (src/query.rs:1191-1218)."""
+
+    def __init__(self, prefix: str):
+        self.prefix = prefix
+        self.last_was_space = True
+
+    def next(self, parser: "_Parser", rest: str) -> Optional[int]:
+        rule = None
+        if self.last_was_space and rest.startswith(self.prefix):
+            parser.set_op(NOT)
+            rule = len(self.prefix)
+        self.last_was_space = bool(rest) and _is_whitespace(rest[0])
+        return rule
+
+
+class _AndSpaceRule:
+    """Whitespace / ``-`` between words == implicit AND (src/query.rs:1040-1073)."""
+
+    def __init__(self):
+        self.last_was_other_op = False
+
+    def next(self, parser: "_Parser", rest: str) -> Optional[int]:
+        if parser.string_marker is not None and not parser.string:
+            return None
+        if parser.is_empty():
+            return None
+        if not self.last_was_other_op:
+            self.last_was_other_op = parser.op is not None
+            if self.last_was_other_op:
+                return None
+        c = rest[0]
+        if self.last_was_other_op:
+            if not (_is_whitespace(c) or c == "-"):
+                self.last_was_other_op = False
+            return None
+        if _is_whitespace(c) or c == "-":
+            parser.op = AND
+            return 1
+        return None
+
+
+def _default_rules():
+    # Order matters; AndSpace must be last (src/query.rs:1023-1030).
+    return [
+        _LiteralRule("not", NOT),
+        _LiteralRule("and", AND),
+        _LiteralRule("or", OR),
+        _NotPrefixRule("-"),
+        _NotPrefixRule("!"),
+        _AndSpaceRule(),
+    ]
+
+
+# ---------------------------------------------------------------- parser
+
+
+class _Parser:
+    """Port of ``query::parse::Parser`` (src/query.rs:751-950)."""
+
+    def __init__(self):
+        self.sub: Optional[_Parser] = None
+        self.sub_layer = 0
+        self.left: Optional[Part] = None
+        self.left_group_explicit = False
+        self.string = ""
+        self.string_marker: Optional[str] = None
+        self.old_op: Optional[str] = None
+        self.op: Optional[str] = None
+
+    def is_empty(self) -> bool:
+        return (
+            self.old_op is None
+            and self.op is None
+            and self.string_marker is None
+            and not self.string
+            and self.sub is None
+            and self.left is None
+        )
+
+    def set_op(self, op: str) -> None:
+        if op in (AND, OR):
+            self.op = op
+        else:
+            self.string_marker = op
+
+    def take_string(self) -> Part:
+        part: Part = Word(normalize(self.string))
+        self.string = ""
+        if self.string_marker is not None:
+            self.string_marker = None
+            part = Not(part)
+        return part
+
+    def next(self, rules, rest: str) -> int:
+        if self.sub is not None:
+            if rest.startswith("("):
+                self.sub_layer += 1
+            if rest.startswith(")"):
+                self.sub_layer -= 1
+                if self.sub_layer == 0:
+                    parenthesis = self.sub.finish()
+                    self.finish_part(self.old_op, parenthesis)
+                    self.sub = None
+                    self.left_group_explicit = True
+                    return 1
+            return self.sub.next(rules, rest)
+        if rest.startswith("("):
+            self.sub = _Parser()
+            self.sub_layer += 1
+            return 1
+
+        advance = None
+        for rule in rules:
+            result = rule.next(self, rest)
+            if result is not None:
+                assert result > 0
+                advance = result
+        if advance is not None:
+            if self.string:
+                if self.op is not None and self.old_op is None:
+                    self.left = self.take_string()
+                elif self.old_op is not None:
+                    right = self.take_string()
+                    self.left = self.finish_op(self.old_op, right)
+                self.left_group_explicit = False
+            if self.op is not None:
+                self.old_op = self.op
+                self.op = None
+            return advance
+        c = rest[0]
+        if c.isalnum():
+            self.string += c
+        return 1
+
+    def finish_part(self, op: Optional[str], right: Part) -> None:
+        if self.string_marker is not None:
+            self.string_marker = None
+            right = Not(right)
+        if op is not None:
+            self.left = self.finish_op(op, right)
+        else:
+            self.left = right
+
+    def finish_op(self, op: str, right: Part) -> Part:
+        if op in (AND, OR) and self.left is None:
+            return right
+        if op == AND:
+            left = self.left
+            self.left = None
+            if isinstance(left, Or) and not self.left_group_explicit:
+                # precedence rotation: `a OR b` AND c -> OR(a, AND(b, c))
+                # (src/query.rs:902-912: swap right into pair.left, swap pair)
+                or_left = left.left
+                return Or(or_left, And(left.right, right))
+            return And(left, right)
+        if op == OR:
+            left = self.left
+            self.left = None
+            return Or(left, right)
+        return Not(right)
+
+    def finish(self) -> Part:
+        if self.string:
+            right = self.take_string()
+            self.finish_part(self.old_op, right)
+        if self.left is None:
+            if self.is_empty():
+                raise InputEmpty()
+            raise NotEnoughArguments()
+        left, self.left = self.left, None
+        return left
+
+
+def parse(s: str) -> Part:
+    """Parse a query string (src/query.rs:715-741)."""
+    if not s:
+        raise InputEmpty()
+    parser = _Parser()
+    rules = _default_rules()
+    rest = s
+    while True:
+        advance = parser.next(rules, rest)
+        if advance >= len(rest):
+            return parser.finish()
+        rest = rest[advance:]
+        if not rest:
+            return parser.finish()
