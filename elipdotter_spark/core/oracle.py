@@ -509,31 +509,139 @@ def _hit_clone(h: Hit) -> Hit:
     return h.clone()
 
 
+# doc ids >= SENTINEL_BASE are per-node end-of-doc sentinels (see
+# occurrences_pipeline docstring); they never collide with real ids.
+SENTINEL_BASE = 2**61
+
+
+def iter_nodes(part: Part):
+    """Nodes in the exact evaluation order of ``as_doc_iter``
+    (src/query.rs:133-179): preorder, AND-NOT visits the non-NOT side first
+    and recurses into the NOT's *inner* part (the Not wrapper itself is never
+    evaluated).  This order defines node ids shared between the driver's
+    per-node doc-set computation and the per-doc scoring kernel."""
+    yield part
+    if isinstance(part, And):
+        if isinstance(part.right, Not):
+            yield from iter_nodes(part.left)
+            yield from iter_nodes(part.right.part)
+        elif isinstance(part.left, Not):
+            yield from iter_nodes(part.right)
+            yield from iter_nodes(part.left.part)
+        else:
+            yield from iter_nodes(part.left)
+            yield from iter_nodes(part.right)
+    elif isinstance(part, Or):
+        yield from iter_nodes(part.left)
+        yield from iter_nodes(part.right)
+
+
+def node_doc_maxes(part: Part, leaf_docs: Callable[[str], List[int]]) -> List[int]:
+    """Per-node max doc id of each node's *output stream* doc set, indexed in
+    ``iter_nodes`` order.  Stream-doc-set algebra: leaf -> docs with >=1
+    occurrence of any expanded term; AND -> intersection; OR -> union;
+    AND-NOT -> the non-NOT side's set (Left/Both emitted for every left item).
+
+    Used for sentinel injection: the reference's ``progressive`` keeps a
+    two-slot lookahead, so whether *any* later item follows a doc's items in a
+    node's stream changes emission behavior at that doc's tail.  Only the
+    *existence* of a later item matters (cross-doc items never reach the
+    position comparisons), so a per-node "later doc exists" bit — i.e.
+    ``doc < max_doc(node)`` — restores exact multi-doc parity for per-doc
+    distributed scoring."""
+    out: List[int] = []
+
+    def ev(p: Part) -> frozenset:
+        idx = len(out)
+        out.append(-1)  # placeholder
+        if isinstance(p, Word):
+            s = frozenset(leaf_docs(p.text))
+        elif isinstance(p, And):
+            if isinstance(p.right, Not):
+                s = ev(p.left)
+                ev(p.right.part)
+            elif isinstance(p.left, Not):
+                s = ev(p.right)
+                ev(p.left.part)
+            else:
+                s = ev(p.left) & ev(p.right)
+        elif isinstance(p, Or):
+            s = ev(p.left) | ev(p.right)
+        else:
+            raise StrayNot()
+        out[idx] = max(s) if s else -1
+        return s
+
+    ev(part)
+    return out
+
+
 def occurrences_pipeline(
     part: Part,
     stream_fn: Callable[[str], Optional[List[Occurrence]]],
     distance_threshold: int,
     _word_id_state: Optional[List[int]] = None,
+    sentinel_max: Optional[List[int]] = None,
+    current_doc: Optional[int] = None,
 ) -> List[Hit]:
     """The occurrence-level AST fold (``Query::occurrences``,
     src/query.rs:296-573): per-term streams wrapped in MergeProximate and
     tagged with a word id in AST-traversal order, then AND/OR/AND-NOT merged
     with ``progressive`` and the final adjacency-rating fold applied.
 
-    Because every merge matches on doc id, running this with streams
-    restricted to one document yields exactly that document's hits — the
-    property the Spark engine uses to distribute scoring by doc."""
+    Distributed mode (the Spark kernel): every merge matches on doc id, so the
+    pipeline decomposes by document — *except* that the reference's
+    ``progressive`` lookahead makes a doc's emissions depend on whether any
+    later item exists in each node's stream.  With ``sentinel_max`` (per-node
+    stream max-docs from :func:`node_doc_maxes`) and ``current_doc`` set,
+    per-doc streams get a trailing sentinel item exactly when the full stream
+    would continue, which restores bit-identical multi-doc behavior; sentinels
+    are stripped from every merger's output and replaced by the node's own."""
     state = _word_id_state if _word_id_state is not None else [0]
+    nstate = [0]
+
+    def next_node_id() -> int:
+        nid = nstate[0]
+        nstate[0] += 1
+        return nid
+
+    def needs_sentinel(nid: int) -> bool:
+        return (
+            sentinel_max is not None
+            and current_doc is not None
+            and sentinel_max[nid] > current_doc
+        )
+
+    def sentinel_hit(nid: int) -> Hit:
+        return Hit(0, SENTINEL_BASE + nid, 0, F(0.0))
+
+    def strip(hits: List[Hit]) -> List[Hit]:
+        if sentinel_max is None:
+            return hits
+        return [h for h in hits if h.doc_id < SENTINEL_BASE]
+
+    def finish(nid: int, hits: List[Hit]) -> List[Hit]:
+        hits = strip(hits)
+        if needs_sentinel(nid):
+            hits.append(sentinel_hit(nid))
+        return hits
 
     def build(p: Part) -> List[Hit]:
+        nid = next_node_id()
         if isinstance(p, Word):
             state[0] += 1
             wid = state[0]
             occs = stream_fn(p.text)
             if occs is None:
-                return []
-            hits = (Hit(start, doc, wid, rating) for doc, start, rating in occs)
-            return list(_MergeProximate(hits, distance_threshold))
+                occs = []
+                if not needs_sentinel(nid):
+                    return []
+            hits = [Hit(start, doc, wid, rating) for doc, start, rating in occs]
+            if needs_sentinel(nid):
+                # the sentinel rides *through* MergeProximate (different doc
+                # id -> never merged), standing in for the next doc's items
+                hits.append(sentinel_hit(nid))
+            return list(_MergeProximate(iter(hits), distance_threshold))
         if isinstance(p, And):
             left, right = p.left, p.right
             if isinstance(right, Not):
@@ -550,7 +658,7 @@ def occurrences_pipeline(
                     if kind == BOTH:
                         x.merge(y)
                         out.append(x)
-                return out
+                return finish(nid, out)
             # AND NOT (src/query.rs:455-487)
             and_hits = build(other)
             not_hits = build(nt)
@@ -570,7 +678,7 @@ def occurrences_pipeline(
                     x.rating = F(x.rating - not_rating)
                     x.closest_not = closest_assoc
                     out.append(x)
-            return out
+            return finish(nid, out)
         if isinstance(p, Or):
             a = build(p.left)
             b = build(p.right)
@@ -583,10 +691,10 @@ def occurrences_pipeline(
                     out.append(x)
                 else:
                     out.append(x if kind == LEFT else y)
-            return out
+            return finish(nid, out)
         raise StrayNot()
 
-    hits = build(part)
+    hits = strip(build(part))
     return [_final_fold(h) for h in hits]
 
 

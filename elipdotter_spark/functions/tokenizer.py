@@ -1,0 +1,75 @@
+"""Arrow-batched tokenizer UDFs (reference ``SplitNonAlphanumeric`` semantics).
+
+The per-string semantics live in :mod:`elipdotter_spark.core.tokenize`; here
+they are applied per Arrow batch via ``pandas_udf`` — data moves Spark->Python
+in columnar batches (no row-at-a-time pickling), and the per-string work is a
+single compiled-regex pass.
+
+Two shapes:
+- :func:`tokens_udf` -> ``array<struct<term string, pos bigint>>`` — positional
+  (the "Lossless" path, byte offsets).
+- :func:`terms_udf` -> ``array<string>`` — terms only (the cheap path for
+  BM25/doc-stats/dedup where positions aren't needed).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..core.tokenize import tokenize
+
+TOKEN_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("term", StringType(), False),
+            StructField("pos", LongType(), False),
+        ]
+    )
+)
+
+
+@pandas_udf(TOKEN_TYPE)
+def tokens_udf(texts: pd.Series) -> pd.Series:
+    """text -> [(term, byte_pos)] with full reference semantics
+    (hyphen compounds, final-token quirk, per-char Unicode lowercase)."""
+
+    def one(s) -> List[dict]:
+        if s is None:
+            return []
+        return [{"term": t, "pos": p} for t, p in tokenize(s)]
+
+    return texts.map(one)
+
+
+@pandas_udf(ArrayType(StringType()))
+def terms_udf(texts: pd.Series) -> pd.Series:
+    def one(s) -> List[str]:
+        if s is None:
+            return []
+        return [t for t, _ in tokenize(s)]
+
+    return texts.map(one)
+
+
+def simple_terms_col(text_col):
+    """JVM-only tokenization for ASCII corpora: lowercase alnum runs.
+
+    This is the *whole-stage-codegen* fast path used by the BM25 /
+    training-data operators on corpora known to be ASCII without hyphens
+    (where it is provably identical to the reference tokenizer modulo hyphen
+    compounds).  Stays entirely JVM-side: no Python transfer at all.
+    """
+    return F.filter(
+        F.split(F.lower(text_col), r"[^0-9a-zA-Z]"), lambda t: t != F.lit("")
+    )

@@ -1,0 +1,111 @@
+"""Distributed inverted-index construction.
+
+Reference semantics: posting-list build == ``insert_word`` grouping
+(/root/reference/src/index.rs:1080-1098) — term -> doc -> sorted unique byte
+positions; the parallel recipe is the reference's own blessed shape
+(src/index.rs:328-330): shard-local digest + merge, which in Spark is
+tokenize-per-partition -> shuffle by (term, doc) -> aggregate.
+
+Scale design (SURVEY.md §4.3):
+- the groupBy key is ``(term, doc_id)`` — fine-grained enough that hot terms
+  (stopwords) spread over many reducers; partial aggregation (map-side
+  combine) collapses duplicate positions early;
+- the published table is repartitioned by ``term`` (hash bucketing) so that a
+  query's posting scan touches few partitions, and sorted within partitions by
+  (term, doc_id) for run-length/delta-friendly parquet encoding and
+  merge-friendly scans;
+- ``df``/``cf`` term stats and doc stats are separate narrow aggregates;
+- everything is expressed declaratively — Catalyst chooses hash aggregates
+  with partial combine; AQE handles reducer skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.tokenizer import tokens_udf
+
+# number of term-hash buckets used for the published postings layout
+DEFAULT_TERM_BUCKETS = 32
+
+
+def tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exploded token stream: (doc_id, term, pos)."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), tokens_udf(F.col(text_col)).alias("toks"))
+        .select("doc_id", F.explode("toks").alias("t"))
+        .select("doc_id", F.col("t.term").alias("term"), F.col("t.pos").alias("pos"))
+    )
+
+
+def build_postings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    term_buckets: int = DEFAULT_TERM_BUCKETS,
+) -> DataFrame:
+    """postings(term, doc_id, positions array<long>, tf int), positions sorted
+    unique (A1; src/index.rs:1080-1098)."""
+    t = tokens(docs, id_col, text_col)
+    # positions dedup by construction (insert_word binary-search-inserts,
+    # src/index.rs:1086-1089); tf = distinct positions for consistency
+    postings = t.groupBy("term", "doc_id").agg(
+        F.array_sort(F.collect_set("pos")).alias("positions")
+    ).withColumn("tf", F.size("positions"))
+    # published layout: co-locate a term's postings, sorted for scan/merge
+    return postings.repartition(term_buckets, "term").sortWithinPartitions(
+        "term", "doc_id"
+    )
+
+
+def build_docstats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """docstats(doc_id, doc_len) — doc_len in tokens (BM25 input)."""
+    return tokens(docs, id_col, text_col).groupBy("doc_id").agg(
+        F.count("*").alias("doc_len")
+    )
+
+
+def build_terms(postings: DataFrame) -> DataFrame:
+    """terms(term, df, cf) — document frequency + collection frequency."""
+    return postings.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("cf"),
+    )
+
+
+def merge_postings(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Segment merge (S8; ``Lossless::ingest`` src/index.rs:1049-1064):
+    union position lists per (term, doc), sort, dedup.  Two-phase at scale:
+    the (term, doc_id) grouping key is already salt-fine; Catalyst's partial
+    aggregation merges shard-local lists before the shuffle."""
+    return (
+        a.select("term", "doc_id", "positions")
+        .unionByName(b.select("term", "doc_id", "positions"))
+        .groupBy("term", "doc_id")
+        .agg(
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("positions")))
+            ).alias("positions")
+        )
+        .withColumn("tf", F.size("positions"))
+    )
+
+
+def remove_document(postings: DataFrame, doc_ids) -> DataFrame:
+    """S7: delete a document from every posting (src/index.rs:1100-1104).
+    Expressed as a filter -> on Iceberg this is a partition-rewrite
+    ``DELETE FROM postings WHERE doc_id IN (...)``."""
+    return postings.filter(~F.col("doc_id").isin(list(doc_ids)))
+
+
+def docmap(docs: DataFrame, name_col: str = "url") -> DataFrame:
+    """S2: deterministic dense doc-id assignment at test scale
+    (row_number over name; at web scale switch to xxhash64(url) — ids only
+    need to be stable+unique, SURVEY.md H1)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(name_col)
+    return docs.select(
+        (F.row_number().over(w) - F.lit(1)).cast("long").alias("doc_id"),
+        F.col(name_col).alias("url"),
+    )
