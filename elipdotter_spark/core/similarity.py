@@ -82,6 +82,27 @@ def similarity(algo: str, a: str, b: str) -> float:
     return 1.0 if a == b else 0.0
 
 
+def rate_candidate(word: str, other: str, threshold, algo: str):
+    """Accept/rate one dictionary term against one query word — the loop body
+    of ``ProximateWordIter::next`` (src/proximity.rs:148-194).  Returns the
+    f32 rating or None.  ``threshold`` must already be np.float32."""
+    if len(word.encode("utf-8")) < 3:
+        sim = np.float32(similarity(algo, other, word))
+        return sim if sim > threshold else None
+    len_diff = len(other) - len(word.encode("utf-8"))
+    if len_diff >= 0 and other[: len(word)] == word:
+        if len_diff == 0:
+            return np.float32(1.0)
+        # all-f32 arithmetic: 1/(0.05*len_diff + 0.5) - 1.2 (src/proximity.rs:176-180)
+        return np.float32(
+            np.float32(1.0)
+            / ((np.float32(0.05) * np.float32(len_diff)) + np.float32(0.5))
+            - np.float32(1.2)
+        )
+    sim = np.float32(similarity(algo, other, word))
+    return sim if sim >= threshold else None
+
+
 def proximate_words(
     word: str,
     dictionary: Sequence[str],
@@ -105,30 +126,10 @@ def proximate_words(
         candidates = list(dictionary)
 
     out: Dict[str, np.float32] = {}
-    # note: `word.len() < 3` in the reference is a *byte* length
-    short = len(word.encode("utf-8")) < 3
-    wchars = len(word)
     for other in candidates:
-        if short:
-            sim = np.float32(similarity(algo, other, word))
-            if sim > threshold:
-                out[other] = sim
-            continue
-        # prefix ("starts with") — note len_diff mixes the candidate's char
-        # count with the query word's *byte* length (src/proximity.rs:165-166)
-        len_diff = len(other) - len(word.encode("utf-8"))
-        if len_diff >= 0 and other[:wchars] == word:
-            if len_diff == 0:
-                out[other] = np.float32(1.0)
-            else:
-                out[other] = np.float32(
-                    1.0 / ((0.05 * np.float32(len_diff)) + np.float32(0.5))
-                    - np.float32(1.2)
-                )
-            continue
-        sim = np.float32(similarity(algo, other, word))
-        if sim >= threshold:
-            out[other] = sim
+        r = rate_candidate(word, other, threshold, algo)
+        if r is not None:
+            out[other] = r
     return dict(sorted(out.items()))
 
 

@@ -1,0 +1,318 @@
+"""AST -> DataFrame plan compiler: the distributed query engine.
+
+Architecture (Spark-first, not a port):
+
+- **Term expansion** (fuzzy/prefix, src/proximity.rs): a *distributed* scan of
+  the small ``terms`` dictionary — first-char pruned when the dictionary
+  exceeds ``word_count_limit`` (partition/file pruning on the sorted term
+  column at scale) — rated in Arrow batches, collected (the accepted set is
+  tiny) and broadcast.
+- **Doc-level retrieval** (src/query.rs:221-240): leaf = broadcast expansion
+  join against term-pruned postings; AND = left-semi join on doc_id; OR =
+  union+distinct; ``a AND NOT b`` = docs(a) (reference J6 identity).  Catalyst
+  picks broadcast/SMJ; AQE handles skew.
+- **Occurrence scoring** (src/query.rs:296-573): posting rows for all expanded
+  terms are shuffled once by ``doc_id`` and scored by the per-document
+  reference kernel inside ``applyInPandas`` (Arrow-batched).  The kernel is
+  bit-identical to the sequential reference pipeline thanks to per-node
+  stream sentinels (see core.oracle.occurrences_pipeline); the per-node
+  max-doc scalars it needs are computed in one Spark job over the doc-level
+  set algebra.  Docs that cannot produce hits (not in the root node's doc
+  set) are pruned with a semi-join *before* the shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..core import oracle
+from ..core.parser import And, Not, Or, Part, Word, parse, words_in
+from ..core.similarity import EXACT, rate_candidate
+from . import ast_codec
+
+HIT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("start", LongType(), False),
+        StructField("rating", FloatType(), False),
+        StructField("word_id", IntegerType(), False),
+        StructField("merged", BooleanType(), False),
+        StructField(
+            "matched",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("start", LongType(), False),
+                        StructField("word_id", IntegerType(), False),
+                    ]
+                )
+            ),
+            False,
+        ),
+    ]
+)
+
+
+class QueryEngine:
+    """Query-side engine over (postings, terms) DataFrames.
+
+    ``postings``: (term, doc_id, positions array<long>, tf)
+    ``terms``:    (term, df, cf) — the dictionary (used for expansion).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        postings: DataFrame,
+        terms: DataFrame,
+        proximity_threshold: float = 0.85,
+        algo: str = "hamming",
+        word_count_limit: int = 1000,
+    ):
+        self.spark = spark
+        self.postings = postings
+        self.terms = terms
+        self.threshold = proximity_threshold
+        self.algo = algo
+        self.word_count_limit = word_count_limit
+        self._term_count: Optional[int] = None
+
+    # ------------------------------------------------------------ expansion
+
+    def term_count(self) -> int:
+        if self._term_count is None:
+            self._term_count = self.terms.count()
+        return self._term_count
+
+    def expansions(self, ast: Part) -> Dict[str, Dict[str, np.float32]]:
+        """ProximateMap (query word -> {index term -> rating}) computed with a
+        distributed dictionary scan (F1-F8; first-char pruning F6)."""
+        words = list(dict.fromkeys(words_in(ast)))  # unique, order-stable
+        if self.algo == EXACT:
+            return {w: {w: np.float32(1.0)} for w in words}
+
+        prune = self.term_count() > self.word_count_limit
+        scan = self.terms.select("term")
+        if prune:
+            first_chars = sorted({w[0] for w in words if w})
+            # dictionary range scan (S6): startswith prunes on the sorted
+            # term column (min/max skipping / partition pruning at scale)
+            cond = None
+            for c in first_chars:
+                e = F.col("term").startswith(c)
+                cond = e if cond is None else (cond | e)
+            if cond is not None:
+                scan = scan.filter(cond)
+
+        threshold = np.float32(self.threshold)
+        algo = self.algo
+        wlist = list(words)
+        prune_flag = prune
+
+        from pyspark.sql.types import StringType
+
+        out_schema = StructType(
+            [
+                StructField("qword", StringType(), False),
+                StructField("term", StringType(), False),
+                StructField("rating", FloatType(), False),
+            ]
+        )
+
+        def rate_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows_q, rows_t, rows_r = [], [], []
+                for term in pdf["term"]:
+                    for w in wlist:
+                        if prune_flag and (not w or not term.startswith(w[0])):
+                            continue
+                        r = rate_candidate(w, term, threshold, algo)
+                        if r is not None:
+                            rows_q.append(w)
+                            rows_t.append(term)
+                            rows_r.append(np.float32(r))
+                yield pd.DataFrame(
+                    {
+                        "qword": rows_q,
+                        "term": rows_t,
+                        "rating": pd.Series(rows_r, dtype="float32"),
+                    }
+                )
+
+        rated = scan.mapInPandas(rate_batches, schema=out_schema).collect()
+        exp: Dict[str, Dict[str, np.float32]] = {w: {} for w in words}
+        for row in rated:
+            exp[row.qword][row.term] = np.float32(row.rating)
+        return {w: dict(sorted(d.items())) for w, d in exp.items()}
+
+    # ------------------------------------------------------------ doc level
+
+    def _expansion_df(self, exp: Dict[str, Dict[str, np.float32]]) -> DataFrame:
+        rows = [
+            (w, t, float(r))
+            for w, d in exp.items()
+            for t, r in d.items()
+        ]
+        schema = "qword string, term string, proximity float"
+        return self.spark.createDataFrame(rows, schema=schema)
+
+    def _leaf_docs(self, word: str, exp) -> DataFrame:
+        terms = list(exp.get(word, {}))
+        if not terms:
+            return self.spark.range(0).select(F.col("id").alias("doc_id"))
+        return (
+            self.postings.filter(F.col("term").isin(terms))
+            .select("doc_id")
+            .distinct()
+        )
+
+    def doc_ids(self, ast: Part, exp=None) -> DataFrame:
+        """Boolean doc retrieval (EP2; J1/J2/J6)."""
+        if exp is None:
+            exp = self.expansions(ast)
+
+        def ev(p: Part) -> DataFrame:
+            if isinstance(p, Word):
+                return self._leaf_docs(p.text, exp)
+            if isinstance(p, And):
+                # `a AND NOT b` -> docs(a); the not-inner is still evaluated
+                # for stray-NOT detection (src/query.rs:156-159,236)
+                if isinstance(p.right, Not):
+                    keep = ev(p.left)
+                    ev(p.right.part)
+                    return keep
+                if isinstance(p.left, Not):
+                    keep = ev(p.right)
+                    ev(p.left.part)
+                    return keep
+                return ev(p.left).join(ev(p.right), "doc_id", "left_semi")
+            if isinstance(p, Or):
+                return ev(p.left).unionByName(ev(p.right)).distinct()
+            raise oracle.StrayNot()
+
+        return ev(ast)
+
+    # ------------------------------------------------------- node max docs
+
+    def node_max_docs(self, ast: Part, exp) -> List[int]:
+        """Per-node stream max-doc scalars (sentinel inputs) in one job:
+        per-node doc-set DataFrames tagged + unioned -> groupBy(node).max."""
+        dfs: List[DataFrame] = []
+
+        def ev(p: Part) -> DataFrame:
+            idx = len(dfs)
+            dfs.append(None)  # placeholder, same order as oracle.iter_nodes
+            if isinstance(p, Word):
+                d = self._leaf_docs(p.text, exp)
+            elif isinstance(p, And):
+                if isinstance(p.right, Not):
+                    d = ev(p.left)
+                    ev(p.right.part)
+                elif isinstance(p.left, Not):
+                    d = ev(p.right)
+                    ev(p.left.part)
+                else:
+                    d = ev(p.left).join(ev(p.right), "doc_id", "left_semi")
+            elif isinstance(p, Or):
+                d = ev(p.left).unionByName(ev(p.right)).distinct()
+            else:
+                raise oracle.StrayNot()
+            dfs[idx] = d
+            return d
+
+        ev(ast)
+        tagged = None
+        for i, d in enumerate(dfs):
+            t = d.select(F.lit(i).alias("nid"), F.col("doc_id"))
+            tagged = t if tagged is None else tagged.unionByName(t)
+        rows = tagged.groupBy("nid").agg(F.max("doc_id").alias("mx")).collect()
+        maxes = [-1] * len(dfs)
+        for row in rows:
+            maxes[row.nid] = row.mx if row.mx is not None else -1
+        return maxes
+
+    # ------------------------------------------------------------- scoring
+
+    def hits(self, ast: Part, distance_threshold: int) -> DataFrame:
+        """Rank-identical occurrence scoring, distributed by document."""
+        exp = self.expansions(ast)
+        maxes = self.node_max_docs(ast, exp)
+        exp_df = self._expansion_df(exp)
+
+        all_terms = sorted({t for d in exp.values() for t in d})
+        occ = (
+            self.postings.filter(F.col("term").isin(all_terms))
+            .join(F.broadcast(exp_df), "term")
+            .select("qword", "term", "proximity", "doc_id", "positions")
+        )
+        # prune docs that cannot produce hits (root stream doc set)
+        root_docs = self.doc_ids(ast, exp)
+        occ = occ.join(root_docs, "doc_id", "left_semi")
+
+        ast_json = ast_codec.dumps(ast)
+        dist = int(distance_threshold)
+        maxes_l = list(maxes)
+
+        def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            part = ast_codec.loads(ast_json)
+            d = int(pdf["doc_id"].iloc[0])
+            streams: Dict[str, List] = {}
+            for qword, grp in pdf.groupby("qword", sort=False):
+                grp = grp.sort_values("term")
+                occs = []
+                for positions, prox in zip(grp["positions"], grp["proximity"]):
+                    rating = np.float32(
+                        (np.float32(prox) - np.float32(1.0)) * np.float32(4.0)
+                    )
+                    for pos in positions:
+                        occs.append((d, int(pos), rating))
+                streams[qword] = occs
+            hits = oracle.occurrences_pipeline(
+                part,
+                lambda w: streams.get(w, []),
+                dist,
+                sentinel_max=maxes_l,
+                current_doc=d,
+            )
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([h.doc_id for h in hits], dtype="int64"),
+                    "start": pd.Series([h.start for h in hits], dtype="int64"),
+                    "rating": pd.Series(
+                        [np.float32(h.rating) for h in hits], dtype="float32"
+                    ),
+                    "word_id": pd.Series([h.word_id for h in hits], dtype="int32"),
+                    "merged": pd.Series([h.merged for h in hits], dtype="bool"),
+                    "matched": [
+                        [
+                            {"start": int(s), "word_id": int(w)}
+                            for s, w in h.iter_occurrences()
+                        ]
+                        for h in hits
+                    ],
+                }
+            )
+
+        return occ.groupBy("doc_id").applyInPandas(score_group, schema=HIT_SCHEMA)
+
+    def topk(self, query: str, distance_threshold: int, k: int) -> DataFrame:
+        """Parse -> score -> top-k by rating desc (O2: TakeOrderedAndProject)."""
+        ast = parse(query)
+        return (
+            self.hits(ast, distance_threshold)
+            .orderBy(F.desc("rating"), F.asc("doc_id"), F.asc("start"))
+            .limit(k)
+        )
