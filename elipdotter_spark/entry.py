@@ -1,0 +1,811 @@
+"""Driver-contract implementation: queries() / oracle_sql() / entry().
+
+Every entry pairs a Spark DataFrame plan with an ANSI-SQL DuckDB oracle over
+the same parquet tables (pre-registered views: region nation customer supplier
+part orders lineitem events documents embeddings).  Column names/types are
+aligned on both sides; float outputs are rounded identically.
+
+The sf* ``documents`` corpus is ASCII space-separated text, where the
+reference tokenizer (core.tokenize) provably equals ``[a-z0-9]+`` runs over
+``lower(text)`` — giving clean SQL oracles even for byte positions (validated
+in tests/test_entry_contract.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .operators import bm25, index_build
+from .core.parser import parse
+from .plans.compiler import QueryEngine
+
+# ---------------------------------------------------------------- shared CTEs
+
+# tokens with the reference tokenizer's output on this corpus (incl. the
+# final-token quirk for positions); see module docstring for why this matches
+TOKS_SQL = """
+toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+    FROM documents
+)
+"""
+
+# byte positions for space-separated ASCII text: pos(i) = sum(len+1) of
+# preceding tokens; final token -> len(text) (reference quirk,
+# /root/reference/src/index.rs:566-573)
+POS_SQL = """
+tp AS (
+    SELECT doc_id, text,
+           unnest(string_split(text, ' ')) AS term,
+           generate_subscripts(string_split(text, ' '), 1) AS i
+    FROM documents
+),
+positions AS (
+    SELECT doc_id, term,
+           CASE
+             WHEN i = count(*) OVER (PARTITION BY doc_id) THEN len(text)
+             ELSE CAST(coalesce(sum(len(term) + 1) OVER (
+                  PARTITION BY doc_id ORDER BY i
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           END AS pos
+    FROM tp
+)
+"""
+
+_CACHE: Dict[str, dict] = {}
+
+
+def _tables(spark: SparkSession, sf_dir: str) -> dict:
+    key = f"{id(spark)}:{sf_dir}"
+    if key not in _CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        postings = index_build.build_postings(docs).cache()
+        terms = index_build.build_terms(postings).cache()
+        docstats = index_build.build_docstats(docs).cache()
+        n, avgdl = bm25.corpus_stats(docstats)
+        _CACHE[key] = {
+            "docs": docs,
+            "postings": postings,
+            "terms": terms,
+            "docstats": docstats,
+            "n": n,
+            "avgdl": avgdl,
+        }
+    return _CACHE[key]
+
+
+def _engine(spark: SparkSession, sf_dir: str, algo: str = "exact") -> QueryEngine:
+    t = _tables(spark, sf_dir)
+    return QueryEngine(
+        spark, t["postings"], t["terms"], proximity_threshold=1.0, algo=algo
+    )
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------- ft queries
+
+
+def q_ft_terms_stats(spark, sf_dir):
+    """S5/A3: dictionary scan with df/cf stats."""
+    return _tables(spark, sf_dir)["terms"].select("term", "df", "cf")
+
+
+def q_ft_docstats(spark, sf_dir):
+    return _tables(spark, sf_dir)["docstats"].select("doc_id", "doc_len")
+
+
+def q_ft_dict_prefix(spark, sf_dir):
+    """S6: dictionary range scan — terms starting with 'v'."""
+    t = _tables(spark, sf_dir)["terms"]
+    return t.filter(F.col("term").startswith("v")).select("term", "df")
+
+
+def q_ft_and_docs(spark, sf_dir):
+    return _engine(spark, sf_dir).doc_ids(parse("table value")).select("doc_id")
+
+
+def q_ft_or_docs(spark, sf_dir):
+    return _engine(spark, sf_dir).doc_ids(parse("table or vector")).select("doc_id")
+
+
+def q_ft_andnot_docs(spark, sf_dir):
+    # J6: doc-level `a AND NOT b` == docs(a) (NOT applies at scoring only)
+    return _engine(spark, sf_dir).doc_ids(parse("table -value")).select("doc_id")
+
+
+def q_ft_paren_docs(spark, sf_dir):
+    return (
+        _engine(spark, sf_dir)
+        .doc_ids(parse("(table or vector) value"))
+        .select("doc_id")
+    )
+
+
+def q_ft_positions(spark, sf_dir):
+    """S4: posting scan by term, with byte positions."""
+    p = _tables(spark, sf_dir)["postings"]
+    return (
+        p.filter(F.col("term") == "spark")
+        .select("doc_id", F.explode("positions").alias("pos"))
+    )
+
+
+def q_ft_bm25_scores(spark, sf_dir):
+    t = _tables(spark, sf_dir)
+    scores = bm25.bm25_scores(
+        t["postings"], t["docstats"], t["terms"], ["spark", "fast"],
+        n=t["n"], avgdl=t["avgdl"],
+    )
+    return scores.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def q_ft_prefix_expand(spark, sf_dir):
+    """F4: prefix expansion ratings for query word 'val' (double precision
+    mirror of the f32 engine path, for SQL comparability)."""
+    t = _tables(spark, sf_dir)["terms"]
+    w = "val"
+    ld = F.length("term") - len(w)
+    return (
+        t.filter(F.col("term").startswith(w))
+        .select(
+            "term",
+            F.round(
+                F.when(ld == 0, F.lit(1.0)).otherwise(
+                    1.0 / (0.05 * ld + 0.5) - 1.2
+                ),
+                6,
+            ).alias("rating"),
+        )
+    )
+
+
+def q_ft_remove_doc(spark, sf_dir):
+    """S7: term stats after deleting doc 0."""
+    p = index_build.remove_document(_tables(spark, sf_dir)["postings"], [0])
+    return index_build.build_terms(p).select("term", "df", "cf")
+
+
+def q_ft_segment_merge(spark, sf_dir):
+    """S8: two half-corpus segments merged == full index (term, doc_id, tf)."""
+    docs = _tables(spark, sf_dir)["docs"]
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    merged = index_build.merge_postings(
+        index_build.build_postings(half_a), index_build.build_postings(half_b)
+    )
+    return merged.select("term", "doc_id", "tf")
+
+
+def q_ft_query_hits(spark, sf_dir):
+    """EP3: full occurrence scoring (exact mode) for 'table -vector'.
+    Not SQL-expressible (f32 pipeline) -> no oracle entry; verified against
+    the Python oracle in pytest instead."""
+    eng = _engine(spark, sf_dir)
+    hits = eng.hits(parse("table -vector"), 1000)
+    return hits.select("doc_id", "start", "rating", "word_id")
+
+
+# ------------------------------------------------------------- dedup queries
+
+_HASH_P = 2147483647  # 2^31 - 1; keeps (acc*131 + cp) within int64
+
+
+def _poly_hash_col(col, seed: int):
+    """Deterministic polynomial string hash, identical in Spark and DuckDB:
+    fold (acc*131 + codepoint) % (2^31-1) over chars, acc0 = seed."""
+    return F.aggregate(
+        F.transform(F.split(col, ""), lambda c: F.ascii(c)),
+        F.lit(seed).cast("long"),
+        lambda acc, cp: (acc * 131 + cp) % _HASH_P,
+    )
+
+
+def _poly_hash_sql(expr: str, seed: int) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST({seed} AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), c -> CAST(unicode(c) AS BIGINT))), "
+        f"(acc, cp) -> (acc * 131 + cp) % {_HASH_P})"
+    )
+
+
+def q_dd_exact(spark, sf_dir):
+    """Exact dedup: md5 text-hash groups with >1 member."""
+    docs = _tables(spark, sf_dir)["docs"]
+    return (
+        docs.select(F.md5(F.col("text").cast("binary")).alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+    )
+
+
+N_MINHASH = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+
+
+def q_dd_minhash_bands(spark, sf_dir):
+    """MinHash+LSH banding: (doc_id, band, band_hash) — bucket-join these to
+    get near-dup candidate pairs.  Built-ins only: distinct tokens x 16 seeded
+    polynomial hashes -> min per (doc, seed) -> fold 4 rows per band."""
+    docs = _tables(spark, sf_dir)["docs"]
+    toks = index_build.tokens(docs).select("doc_id", "term").distinct()
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(N_MINHASH - 1))).alias("seed")
+    hashed = toks.select(
+        "doc_id",
+        seeds,
+        "term",
+    ).withColumn("h", F.aggregate(
+        F.transform(F.split(F.col("term"), ""), lambda c: F.ascii(c)),
+        F.col("seed").cast("long") + 1,
+        lambda acc, cp: (acc * 131 + cp) % _HASH_P,
+    ))
+    minh = hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
+    banded = minh.withColumn("band", (F.col("seed") / ROWS_PER_BAND).cast("int"))
+    return (
+        banded.groupBy("doc_id", "band")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                F.lit(0).cast("long"),
+                lambda acc, x: (acc * 131 + x["mh"]) % _HASH_P,
+            ).alias("band_hash")
+        )
+        .select("doc_id", "band", "band_hash")
+    )
+
+
+def q_dd_simhash(spark, sf_dir):
+    """SimHash (32-bit) over distinct-token polynomial hashes."""
+    docs = _tables(spark, sf_dir)["docs"]
+    toks = index_build.tokens(docs).select("doc_id", "term").distinct()
+    h = toks.withColumn("h", _poly_hash_col(F.col("term"), 1))
+    bits = h.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("i"),
+    ).withColumn("bit", F.expr("shiftright(h, cast(i as int)) % 2"))
+    per_bit = bits.groupBy("doc_id", "i").agg(
+        F.sum(F.col("bit") * 2 - 1).alias("s")
+    )
+    return (
+        per_bit.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s") > 0,
+                    F.expr("shiftleft(cast(1 as bigint), cast(i as int))"),
+                ).otherwise(F.lit(0))
+            ).alias("simhash")
+        )
+        .select("doc_id", "simhash")
+    )
+
+
+def q_dd_jaccard_pairs(spark, sf_dir):
+    """n-gram (1-gram token set) Jaccard for all candidate pairs that share a
+    MinHash band bucket."""
+    bands = q_dd_minhash_bands(spark, sf_dir)
+    pairs = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "band_hash"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    docs = _tables(spark, sf_dir)["docs"]
+    toks = index_build.tokens(docs).select("doc_id", "term").distinct()
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    common = (
+        pairs.join(toks.alias("ta"), F.col("a") == F.col("ta.doc_id"))
+        .join(
+            toks.alias("tb"),
+            (F.col("b") == F.col("tb.doc_id"))
+            & (F.col("ta.term") == F.col("tb.term")),
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        common.join(sizes.alias("sa"), F.col("a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("b") == F.col("sb.doc_id"))
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("c") / (F.col("sa.n") + F.col("sb.n") - F.col("c")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ------------------------------------------------------------ ANN / vectors
+
+
+def q_ann_cosine(spark, sf_dir):
+    """Brute-force cosine of every vector vs vec_id 0 (double math)."""
+    emb = _embeddings(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "qe", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(dot / (norm(F.col("embedding")) * norm(F.col("qe"))), 6).alias(
+                "cos"
+            ),
+        )
+    )
+
+
+N_PLANES = 8
+
+
+def _plane_val(j, d):
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    identical integer arithmetic on both engines."""
+    x = (1103515245 * (j * 64 + d) + 12345) % 2147483648
+    return x / 1073741824.0 - 1.0
+
+
+def q_ann_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH bucket per vector (sign bits of 8 projections)."""
+    emb = _embeddings(spark, sf_dir)
+    proj = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("d", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+    planes = proj.select(
+        "vec_id",
+        "d",
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(N_PLANES - 1))).alias("j"),
+    ).withColumn(
+        "r",
+        (
+            (
+                F.lit(1103515245).cast("long")
+                * (F.col("j").cast("long") * 64 + F.col("d"))
+                + 12345
+            )
+            % F.lit(2147483648).cast("long")
+        ).cast("double")
+        / 1073741824.0
+        - 1.0,
+    )
+    dots = planes.groupBy("vec_id", "j").agg(F.sum(F.col("v") * F.col("r")).alias("dot"))
+    return (
+        dots.groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("dot") > 0,
+                    F.expr("shiftleft(cast(1 as bigint), cast(j as int))"),
+                ).otherwise(F.lit(0))
+            ).alias("bucket")
+        )
+        .select("vec_id", "bucket")
+    )
+
+
+# ---------------------------------------------------------- text analysis
+
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and"],
+    "de": ["der", "die", "das", "und"],
+    "fr": ["le", "la", "et", "de"],
+    "es": ["el", "la", "y", "de"],
+}
+
+
+def q_txt_quality(spark, sf_dir):
+    """Quality signals: token count, mean token length, stopword ratio."""
+    docs = _tables(spark, sf_dir)["docs"]
+    toks = index_build.tokens(docs).select("doc_id", "term")
+    sw = STOPWORDS["en"]
+    return (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.length("term")), 6).alias("mean_tok_len"),
+            F.round(
+                F.sum(F.when(F.col("term").isin(sw), 1).otherwise(0))
+                / F.count("*"),
+                6,
+            ).alias("stopword_ratio"),
+        )
+        .select("doc_id", "n_tokens", "mean_tok_len", "stopword_ratio")
+    )
+
+
+def q_txt_langid(spark, sf_dir):
+    """Stopword-profile language id (deterministic heuristic, argmax with
+    lexicographic tie-break)."""
+    docs = _tables(spark, sf_dir)["docs"]
+    toks = index_build.tokens(docs).select("doc_id", "term")
+    scores = None
+    for lang, words in sorted(STOPWORDS.items()):
+        s = toks.groupBy("doc_id").agg(
+            (
+                F.sum(F.when(F.col("term").isin(words), 1).otherwise(0))
+                / F.count("*")
+            ).alias("score")
+        ).select("doc_id", F.lit(lang).alias("lang"), "score")
+        scores = s if scores is None else scores.unionByName(s)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"))
+    )
+
+
+def q_txt_token_count(spark, sf_dir):
+    """Whitespace tokens, alnum tokens, and a BPE-ish subword estimate."""
+    docs = _tables(spark, sf_dir)["docs"]
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0))
+        .cast("long")
+        .alias("alnum_tokens"),
+        F.ceil(F.length(F.regexp_replace("text", " ", "")) / 4)
+        .cast("long")
+        .alias("bpe_est"),
+    )
+
+
+def q_txt_fingerprint(spark, sf_dir):
+    """Rolling polynomial fingerprint of the full text (codepoint fold)."""
+    docs = _tables(spark, sf_dir)["docs"]
+    return docs.select("doc_id", _poly_hash_col(F.col("text"), 0).alias("fp"))
+
+
+# ------------------------------------------------------------- multimodal
+
+
+def q_mm_meta(spark, sf_dir):
+    """Multimodal plumbing: treat the (synthesized) payload as an opaque
+    binary column and extract typed metadata; the real decode is stubbed
+    (see operators/multimodal.py) — this exercises schema + batch shape."""
+    docs = _tables(spark, sf_dir)["docs"]
+    payload = F.encode(F.col("text"), "utf-8")
+    nb = F.octet_length(payload)
+    return docs.select(
+        "doc_id",
+        nb.cast("long").alias("n_bytes"),
+        (nb % 640 + 1).cast("long").alias("fake_width"),
+        ((nb / 640).cast("long") % 480 + 1).cast("long").alias("fake_height"),
+        (nb % 7 + 1).cast("long").alias("fake_frames"),
+    )
+
+
+# ---------------------------------------------------------------- registry
+
+
+def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "ft_terms_stats": q_ft_terms_stats,
+        "ft_docstats": q_ft_docstats,
+        "ft_dict_prefix": q_ft_dict_prefix,
+        "ft_and_docs": q_ft_and_docs,
+        "ft_or_docs": q_ft_or_docs,
+        "ft_andnot_docs": q_ft_andnot_docs,
+        "ft_paren_docs": q_ft_paren_docs,
+        "ft_positions": q_ft_positions,
+        "ft_bm25_scores": q_ft_bm25_scores,
+        "ft_prefix_expand": q_ft_prefix_expand,
+        "ft_remove_doc": q_ft_remove_doc,
+        "ft_segment_merge": q_ft_segment_merge,
+        "ft_query_hits": q_ft_query_hits,
+        "dd_exact": q_dd_exact,
+        "dd_minhash_bands": q_dd_minhash_bands,
+        "dd_simhash": q_dd_simhash,
+        "dd_jaccard_pairs": q_dd_jaccard_pairs,
+        "ann_cosine": q_ann_cosine,
+        "ann_lsh_buckets": q_ann_lsh_buckets,
+        "txt_quality": q_txt_quality,
+        "txt_langid": q_txt_langid,
+        "txt_token_count": q_txt_token_count,
+        "txt_fingerprint": q_txt_fingerprint,
+        "mm_meta": q_mm_meta,
+    }
+
+
+def oracle_sql() -> Dict[str, str]:
+    tok_hash = _poly_hash_sql("term", 1)
+    text_hash = _poly_hash_sql("text", 0)
+    seeded_tok_hash = (
+        f"list_reduce(list_prepend(CAST(seed + 1 AS BIGINT), "
+        f"list_transform(string_split(term, ''), c -> CAST(unicode(c) AS BIGINT))), "
+        f"(acc, cp) -> (acc * 131 + cp) % {_HASH_P})"
+    )
+    return {
+        "ft_terms_stats": f"""
+            WITH {TOKS_SQL}
+            SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+                   CAST(count(*) AS BIGINT) AS cf
+            FROM toks GROUP BY term
+        """,
+        "ft_docstats": f"""
+            WITH {TOKS_SQL}
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS doc_len
+            FROM toks GROUP BY doc_id
+        """,
+        "ft_dict_prefix": f"""
+            WITH {TOKS_SQL}
+            SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM toks WHERE term LIKE 'v%' GROUP BY term
+        """,
+        "ft_and_docs": f"""
+            WITH {TOKS_SQL}
+            SELECT DISTINCT doc_id FROM toks WHERE term = 'table'
+            INTERSECT
+            SELECT DISTINCT doc_id FROM toks WHERE term = 'value'
+        """,
+        "ft_or_docs": f"""
+            WITH {TOKS_SQL}
+            SELECT DISTINCT doc_id FROM toks WHERE term = 'table'
+            UNION
+            SELECT DISTINCT doc_id FROM toks WHERE term = 'vector'
+        """,
+        # doc-level AND NOT is the identity on the left side (reference J6)
+        "ft_andnot_docs": f"""
+            WITH {TOKS_SQL}
+            SELECT DISTINCT doc_id FROM toks WHERE term = 'table'
+        """,
+        "ft_paren_docs": f"""
+            WITH {TOKS_SQL}
+            SELECT DISTINCT doc_id FROM toks
+            WHERE term IN ('table', 'vector')
+            INTERSECT
+            SELECT DISTINCT doc_id FROM toks WHERE term = 'value'
+        """,
+        "ft_positions": f"""
+            WITH {POS_SQL}
+            SELECT doc_id, pos FROM positions WHERE term = 'spark'
+        """,
+        "ft_bm25_scores": f"""
+            WITH {TOKS_SQL},
+            tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                   FROM toks GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+                   FROM toks GROUP BY doc_id),
+            stats AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM dl),
+            df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
+            SELECT tf.doc_id,
+                   round(sum(
+                     ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                     * tf * (1.2 + 1.0)
+                     / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                   ), 6) AS score
+            FROM tf
+            JOIN df USING (term)
+            JOIN dl USING (doc_id)
+            CROSS JOIN stats
+            WHERE term IN ('spark', 'fast')
+            GROUP BY tf.doc_id
+        """,
+        "ft_prefix_expand": f"""
+            WITH {TOKS_SQL},
+            dict AS (SELECT DISTINCT term FROM toks)
+            SELECT term,
+                   round(CASE WHEN len(term) = 3 THEN 1.0
+                         ELSE 1.0 / (0.05 * (len(term) - 3) + 0.5) - 1.2 END,
+                         6) AS rating
+            FROM dict WHERE term LIKE 'val%'
+        """,
+        "ft_remove_doc": f"""
+            WITH {TOKS_SQL}
+            SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+                   CAST(count(*) AS BIGINT) AS cf
+            FROM toks WHERE doc_id <> 0 GROUP BY term
+        """,
+        "ft_segment_merge": f"""
+            WITH {TOKS_SQL}
+            SELECT term, doc_id, CAST(count(*) AS INT) AS tf
+            FROM toks GROUP BY term, doc_id
+        """,
+        "dd_exact": """
+            SELECT h, CAST(cnt AS BIGINT) AS cnt FROM (
+                SELECT md5(text) AS h, count(*) AS cnt
+                FROM documents GROUP BY md5(text)
+            ) WHERE cnt > 1
+        """,
+        "dd_minhash_bands": f"""
+            WITH {TOKS_SQL},
+            dt AS (SELECT DISTINCT doc_id, term FROM toks),
+            seeded AS (
+                SELECT doc_id, term, seed,
+                       {seeded_tok_hash} AS h
+                FROM dt CROSS JOIN (SELECT unnest(range({N_MINHASH})) AS seed)
+            ),
+            minh AS (
+                SELECT doc_id, seed, min(h) AS mh
+                FROM seeded GROUP BY doc_id, seed
+            ),
+            banded AS (
+                SELECT doc_id, CAST(seed // {ROWS_PER_BAND} AS INT) AS band, seed, mh
+                FROM minh
+            )
+            SELECT doc_id, band,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(
+                               list_sort(list({{'s': seed, 'm': mh}})),
+                               x -> x.m)),
+                       (acc, m) -> (acc * 131 + m) % {_HASH_P}) AS band_hash
+            FROM banded
+            GROUP BY doc_id, band
+        """,
+        "dd_simhash": f"""
+            WITH {TOKS_SQL},
+            dt AS (SELECT DISTINCT doc_id, term FROM toks),
+            h AS (SELECT doc_id, {tok_hash} AS h FROM dt),
+            bits AS (
+                SELECT doc_id, i,
+                       sum(2 * ((h >> CAST(i AS INT)) & 1) - 1) AS s
+                FROM h CROSS JOIN (SELECT unnest(range(32)) AS i)
+                GROUP BY doc_id, i
+            )
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id
+        """,
+        "ann_cosine": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(
+                     list_reduce(list_prepend(0.0, list_transform(range(len(embedding)),
+                         i -> CAST(embedding[i+1] AS DOUBLE) * CAST(qe[i+1] AS DOUBLE))),
+                         (a, x) -> a + x)
+                     / (sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, y) -> a + y))
+                        * sqrt(list_reduce(list_prepend(0.0, list_transform(qe,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, y) -> a + y))),
+                   6) AS cos
+            FROM embeddings CROSS JOIN q
+        """,
+        "ann_lsh_buckets": f"""
+            WITH flat AS (
+                SELECT vec_id, d - 1 AS d, CAST(v AS DOUBLE) AS v
+                FROM (SELECT vec_id, unnest(embedding) AS v,
+                             generate_subscripts(embedding, 1) AS d
+                      FROM embeddings)
+            ),
+            proj AS (
+                SELECT vec_id, j,
+                       sum(v * (CAST((1103515245 * (j * 64 + d) + 12345) % 2147483648 AS DOUBLE)
+                                / 1073741824.0 - 1.0)) AS dot
+                FROM flat CROSS JOIN (SELECT unnest(range({N_PLANES})) AS j)
+                GROUP BY vec_id, j
+            )
+            SELECT vec_id,
+                   CAST(sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+            FROM proj GROUP BY vec_id
+        """,
+        "txt_quality": f"""
+            WITH {TOKS_SQL}
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(avg(len(term)), 6) AS mean_tok_len,
+                   round(sum(CASE WHEN term IN ('the','a','of','and') THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 6) AS stopword_ratio
+            FROM toks GROUP BY doc_id
+        """,
+        "txt_langid": f"""
+            WITH {TOKS_SQL},
+            scores AS (
+                SELECT doc_id, lang,
+                       sum(CASE
+                           WHEN lang='en' AND term IN ('the','a','of','and') THEN 1
+                           WHEN lang='de' AND term IN ('der','die','das','und') THEN 1
+                           WHEN lang='fr' AND term IN ('le','la','et','de') THEN 1
+                           WHEN lang='es' AND term IN ('el','la','y','de') THEN 1
+                           ELSE 0 END) / CAST(count(*) AS DOUBLE) AS score
+                FROM toks
+                CROSS JOIN (SELECT unnest(['de','en','es','fr']) AS lang)
+                GROUP BY doc_id, lang
+            )
+            SELECT doc_id, lang AS pred_lang
+            FROM (SELECT doc_id, lang,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY score DESC, lang ASC) AS rn
+                  FROM scores)
+            WHERE rn = 1
+        """,
+        "txt_token_count": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS alnum_tokens,
+                   CAST(ceil(len(replace(text, ' ', '')) / 4.0) AS BIGINT) AS bpe_est
+            FROM documents
+        """,
+        "txt_fingerprint": f"""
+            SELECT doc_id, {text_hash} AS fp FROM documents
+        """,
+        "mm_meta": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS fake_width,
+                   CAST((octet_length(encode(text)) // 640) % 480 + 1 AS BIGINT) AS fake_height,
+                   CAST(octet_length(encode(text)) % 7 + 1 AS BIGINT) AS fake_frames
+            FROM documents
+        """,
+        # ft_query_hits / dd_jaccard_pairs: intentionally no SQL oracle
+        # (f32 scoring pipeline; LSH-candidate-dependent pair set) -> the
+        # driver records the weaker rows-only check; both are verified in
+        # pytest against the Python oracle / brute force instead.
+        "dd_jaccard_pairs": f"""
+            WITH {TOKS_SQL},
+            dt AS (SELECT DISTINCT doc_id, term FROM toks),
+            sizes AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id),
+            bands AS (
+                WITH seeded AS (
+                    SELECT doc_id, term, seed,
+                           {seeded_tok_hash} AS h
+                    FROM dt CROSS JOIN (SELECT unnest(range({N_MINHASH})) AS seed)
+                ),
+                minh AS (SELECT doc_id, seed, min(h) AS mh FROM seeded GROUP BY doc_id, seed),
+                banded AS (SELECT doc_id, CAST(seed // {ROWS_PER_BAND} AS INT) AS band, seed, mh FROM minh)
+                SELECT doc_id, band,
+                       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(list_sort(list({{'s': seed, 'm': mh}})), x -> x.m)),
+                           (acc, m) -> (acc * 131 + m) % {_HASH_P}) AS band_hash
+                FROM banded GROUP BY doc_id, band
+            ),
+            pairs AS (
+                SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                FROM bands x JOIN bands y
+                  ON x.band = y.band AND x.band_hash = y.band_hash
+                 AND x.doc_id < y.doc_id
+            ),
+            common AS (
+                SELECT p.a, p.b, count(*) AS c
+                FROM pairs p
+                JOIN dt ta ON ta.doc_id = p.a
+                JOIN dt tb ON tb.doc_id = p.b AND tb.term = ta.term
+                GROUP BY p.a, p.b
+            )
+            SELECT common.a, common.b,
+                   round(c / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = common.a
+            JOIN sizes sb ON sb.doc_id = common.b
+        """,
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: full-text boolean retrieval + BM25 ranking over sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    t = _tables(spark, sf_dir)
+    docs = _engine(spark, sf_dir).doc_ids(parse("table value -vector"))
+    scores = bm25.bm25_scores(
+        t["postings"], t["docstats"], t["terms"], ["table", "value"],
+        n=t["n"], avgdl=t["avgdl"],
+    )
+    return (
+        docs.join(scores, "doc_id")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
