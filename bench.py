@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Headline benchmark: index-build throughput + query latency + scaling.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Env:
+  SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     cores for the main run (default 32)
+  BENCH_SCALING=1      additionally run the index build at local[8] and
+                       local[32] on identical input and report throughput at
+                       both + scaling efficiency (north-rule evidence; see
+                       BENCH/BASELINE.md)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def make_spark(cpus: str, shuffle_partitions: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"elipdotter-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def build_index_timed(spark, docs):
+    """Index build: tokenize -> postings -> terms/docstats, forced via count."""
+    from elipdotter_spark.operators import index_build
+
+    t0 = time.perf_counter()
+    postings = index_build.build_postings(docs).cache()
+    n_postings = postings.count()
+    terms = index_build.build_terms(postings).cache()
+    terms.count()
+    docstats = index_build.docstats_from_postings(postings).cache()
+    docstats.count()
+    dt = time.perf_counter() - t0
+    return postings, terms, docstats, dt, n_postings
+
+
+def run_queries(spark, postings, terms, docstats):
+    """Headline query set over the built index (timed individually)."""
+    from pyspark.sql import functions as F
+
+    from elipdotter_spark.core.parser import parse
+    from elipdotter_spark.operators import bm25
+    from elipdotter_spark.plans.compiler import QueryEngine
+
+    n, avgdl = bm25.corpus_stats(docstats)
+    engine = QueryEngine(spark, postings, terms, proximity_threshold=1.0, algo="exact")
+    fuzzy = QueryEngine(
+        spark, postings, terms,
+        proximity_threshold=0.85, algo="hamming", word_count_limit=1000,
+    )
+
+    # warm the Python worker pool + codegen once so query timings reflect
+    # steady-state latency rather than executor spin-up
+    engine.doc_ids(parse("table")).count()
+    fuzzy.topk("tabl", 100, 1).collect()
+
+    timings = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    timed("q_bool_and", lambda: engine.doc_ids(parse("table value fast")).count())
+    timed("q_bool_or", lambda: engine.doc_ids(parse("table or vector or stream")).count())
+    timed("q_bool_andnot", lambda: engine.doc_ids(parse("table -vector")).count())
+    timed(
+        "q_bm25_top10",
+        lambda: bm25.bm25_topk(
+            postings, docstats, terms, ["spark", "fast", "table"], 10, n=n, avgdl=avgdl
+        ).collect(),
+    )
+    timed(
+        "q_scored_hits",
+        lambda: engine.topk("table value -vector", 1000, 10).collect(),
+    )
+    timed(
+        "q_fuzzy_hits",
+        lambda: fuzzy.topk("tabl valu", 1000, 10).collect(),
+    )
+    timed(
+        "q_dict_prefix",
+        lambda: terms.filter(F.col("term").startswith("v")).count(),
+    )
+    return timings
+
+
+def one_run(cpus: str):
+    shuffle = max(8, int(cpus) if str(cpus).isdigit() else 32)
+    spark = make_spark(cpus, shuffle)
+    try:
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+        n_docs = docs.count()
+        postings, terms, docstats, build_s, n_postings = build_index_timed(spark, docs)
+        timings = run_queries(spark, postings, terms, docstats)
+        return {
+            "n_docs": n_docs,
+            "n_postings": n_postings,
+            "build_sec": round(build_s, 4),
+            "docs_per_sec": round(n_docs / build_s, 2),
+            "postings_per_sec": round(n_postings / build_s, 2),
+            "queries": timings,
+        }
+    finally:
+        spark.stop()
+
+
+def main():
+    main_run = one_run(CPUS)
+    queries = dict(main_run["queries"])
+    queries["index_build"] = main_run["build_sec"]
+
+    result = {
+        "metric": "fulltext index build + query latency",
+        "value": main_run["build_sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "docs_per_sec": main_run["docs_per_sec"],
+        "postings_per_sec": main_run["postings_per_sec"],
+        "cpus": CPUS,
+    }
+
+    if os.environ.get("BENCH_SCALING") == "1":
+        lo = one_run("8")
+        hi = one_run("32")
+        # throughput scaling efficiency: (T8/T32) / (32/8)
+        eff = (lo["build_sec"] / hi["build_sec"]) / 4.0
+        result["scaling"] = {
+            "local8_docs_per_sec": lo["docs_per_sec"],
+            "local32_docs_per_sec": hi["docs_per_sec"],
+            "local8_build_sec": lo["build_sec"],
+            "local32_build_sec": hi["build_sec"],
+            "efficiency_8_to_32": round(eff, 3),
+        }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

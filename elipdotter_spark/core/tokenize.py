@@ -31,6 +31,9 @@ from .normalize import HYPHENS, normalize
 # One single non-alphanumeric char.  \w == [alnum_] in Python's re with
 # str patterns, so [\W_] == "not alphanumeric" == Rust !char::is_alphanumeric().
 _DELIM_RE = re.compile(r"[\W_]", re.UNICODE)
+# maximal alphanumeric run (a word), and the hyphen-class delimiters
+_WORD_RE = re.compile(r"[^\W_]+", re.UNICODE)
+_HYPHEN_RE = re.compile("[-—–]")
 
 
 def split_items(s: str) -> Iterator[Tuple[str, int]]:
@@ -80,7 +83,21 @@ def tokenize(s: str) -> List[Tuple[str, int]]:
     construction (segments contain only alphanumerics; compounds additionally
     contain only the hyphen-class delimiters).  Tokens are normalized to the
     index key domain here (``insert_word`` normalizes, src/index.rs:703,1093).
+
+    Hot path: without hyphen-class chars no compounds can occur and the
+    nonempty segments are exactly the maximal alphanumeric runs — one
+    word-run regex pass instead of the per-delimiter scan (~10x fewer
+    Python-level iterations on typical web text).
     """
+    if _HYPHEN_RE.search(s) is None:
+        ascii_ = s.isascii()
+        offs = None if ascii_ else _byte_offsets(s)
+        n = len(s)
+        out = []
+        for m in _WORD_RE.finditer(s):
+            p = n if m.end() == n else m.start()  # final-token quirk
+            out.append((normalize(m.group()), p if ascii_ else offs[p]))
+        return out
     if s.isascii():
         return [(normalize(w), p) for w, p in split_items(s) if w]
     offs = _byte_offsets(s)

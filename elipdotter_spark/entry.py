@@ -63,7 +63,7 @@ def _tables(spark: SparkSession, sf_dir: str) -> dict:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         postings = index_build.build_postings(docs).cache()
         terms = index_build.build_terms(postings).cache()
-        docstats = index_build.build_docstats(docs).cache()
+        docstats = index_build.docstats_from_postings(postings).cache()
         n, avgdl = bm25.corpus_stats(docstats)
         _CACHE[key] = {
             "docs": docs,

@@ -62,6 +62,39 @@ def terms_udf(texts: pd.Series) -> pd.Series:
     return texts.map(one)
 
 
+POSTINGS_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("term", StringType(), False),
+            StructField("positions", ArrayType(LongType(), False), False),
+        ]
+    )
+)
+
+
+@pandas_udf(POSTINGS_TYPE)
+def doc_postings_udf(texts: pd.Series) -> pd.Series:
+    """text -> per-doc posting fragments [(term, sorted unique positions)].
+
+    A document's tokens are co-located in its own row, so the (term, doc)
+    grouping of A1 (src/index.rs:1080-1098) needs **no shuffle**: it happens
+    here, in-batch, and the index build's only exchange is the final
+    repartition-by-term for the published layout."""
+
+    def one(s) -> List[dict]:
+        if s is None:
+            return []
+        acc = {}
+        for t, p in tokenize(s):
+            lst = acc.setdefault(t, [])
+            lst.append(p)
+        return [
+            {"term": t, "positions": sorted(set(ps))} for t, ps in acc.items()
+        ]
+
+    return texts.map(one)
+
+
 def simple_terms_col(text_col):
     """JVM-only tokenization for ASCII corpora: lowercase alnum runs.
 

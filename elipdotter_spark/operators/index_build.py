@@ -45,13 +45,26 @@ def build_postings(
     term_buckets: int = DEFAULT_TERM_BUCKETS,
 ) -> DataFrame:
     """postings(term, doc_id, positions array<long>, tf int), positions sorted
-    unique (A1; src/index.rs:1080-1098)."""
-    t = tokens(docs, id_col, text_col)
-    # positions dedup by construction (insert_word binary-search-inserts,
-    # src/index.rs:1086-1089); tf = distinct positions for consistency
-    postings = t.groupBy("term", "doc_id").agg(
-        F.array_sort(F.collect_set("pos")).alias("positions")
-    ).withColumn("tf", F.size("positions"))
+    unique (A1; src/index.rs:1080-1098).
+
+    The (term, doc) grouping happens inside the tokenizer UDF (a doc's tokens
+    are already co-located), so the only shuffle in the build is the final
+    repartition-by-term for the published layout — the reference's own
+    parallel recipe (shard-local digest, then merge; src/index.rs:328-330)."""
+    from ..functions.tokenizer import doc_postings_udf
+
+    postings = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(doc_postings_udf(F.col(text_col))).alias("t"),
+        )
+        .select(
+            "doc_id",
+            F.col("t.term").alias("term"),
+            F.col("t.positions").alias("positions"),
+        )
+        .withColumn("tf", F.size("positions"))
+    )
     # published layout: co-locate a term's postings, sorted for scan/merge
     return postings.repartition(term_buckets, "term").sortWithinPartitions(
         "term", "doc_id"
@@ -63,6 +76,12 @@ def build_docstats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     return tokens(docs, id_col, text_col).groupBy("doc_id").agg(
         F.count("*").alias("doc_len")
     )
+
+
+def docstats_from_postings(postings: DataFrame) -> DataFrame:
+    """docstats derived from the already-built postings (no second tokenize
+    pass over the corpus): doc_len = sum of stored tf per doc."""
+    return postings.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
 
 
 def build_terms(postings: DataFrame) -> DataFrame:
