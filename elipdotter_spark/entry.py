@@ -17,7 +17,7 @@ from typing import Callable, Dict
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from .operators import bm25, index_build
+from .operators import ann, bm25, dedup, index_build, text_analysis
 from .core.parser import parse
 from .plans.compiler import QueryEngine
 
@@ -192,20 +192,14 @@ def q_ft_query_hits(spark, sf_dir):
 
 # ------------------------------------------------------------- dedup queries
 
-_HASH_P = 2147483647  # 2^31 - 1; keeps (acc*131 + cp) within int64
-
-
-def _poly_hash_col(col, seed: int):
-    """Deterministic polynomial string hash, identical in Spark and DuckDB:
-    fold (acc*131 + codepoint) % (2^31-1) over chars, acc0 = seed."""
-    return F.aggregate(
-        F.transform(F.split(col, ""), lambda c: F.ascii(c)),
-        F.lit(seed).cast("long"),
-        lambda acc, cp: (acc * 131 + cp) % _HASH_P,
-    )
+_HASH_P = dedup.HASH_P
+N_MINHASH = dedup.N_MINHASH
+ROWS_PER_BAND = dedup.ROWS_PER_BAND
+N_PLANES = ann.N_PLANES
 
 
 def _poly_hash_sql(expr: str, seed: int) -> str:
+    """DuckDB mirror of operators.dedup.poly_hash."""
     return (
         f"list_reduce(list_prepend(CAST({seed} AS BIGINT), "
         f"list_transform(string_split({expr}, ''), c -> CAST(unicode(c) AS BIGINT))), "
@@ -215,113 +209,25 @@ def _poly_hash_sql(expr: str, seed: int) -> str:
 
 def q_dd_exact(spark, sf_dir):
     """Exact dedup: md5 text-hash groups with >1 member."""
-    docs = _tables(spark, sf_dir)["docs"]
-    return (
-        docs.select(F.md5(F.col("text").cast("binary")).alias("h"))
-        .groupBy("h")
-        .agg(F.count("*").alias("cnt"))
-        .filter(F.col("cnt") > 1)
-    )
-
-
-N_MINHASH = 16
-N_BANDS = 4
-ROWS_PER_BAND = N_MINHASH // N_BANDS
+    return dedup.exact_dup_groups(_tables(spark, sf_dir)["docs"])
 
 
 def q_dd_minhash_bands(spark, sf_dir):
     """MinHash+LSH banding: (doc_id, band, band_hash) — bucket-join these to
-    get near-dup candidate pairs.  Built-ins only: distinct tokens x 16 seeded
-    polynomial hashes -> min per (doc, seed) -> fold 4 rows per band."""
-    docs = _tables(spark, sf_dir)["docs"]
-    toks = index_build.tokens(docs).select("doc_id", "term").distinct()
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(N_MINHASH - 1))).alias("seed")
-    hashed = toks.select(
-        "doc_id",
-        seeds,
-        "term",
-    ).withColumn("h", F.aggregate(
-        F.transform(F.split(F.col("term"), ""), lambda c: F.ascii(c)),
-        F.col("seed").cast("long") + 1,
-        lambda acc, cp: (acc * 131 + cp) % _HASH_P,
-    ))
-    minh = hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
-    banded = minh.withColumn("band", (F.col("seed") / ROWS_PER_BAND).cast("int"))
-    return (
-        banded.groupBy("doc_id", "band")
-        .agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                F.lit(0).cast("long"),
-                lambda acc, x: (acc * 131 + x["mh"]) % _HASH_P,
-            ).alias("band_hash")
-        )
-        .select("doc_id", "band", "band_hash")
-    )
+    get near-dup candidate pairs."""
+    return dedup.minhash_bands(_tables(spark, sf_dir)["docs"])
 
 
 def q_dd_simhash(spark, sf_dir):
     """SimHash (32-bit) over distinct-token polynomial hashes."""
-    docs = _tables(spark, sf_dir)["docs"]
-    toks = index_build.tokens(docs).select("doc_id", "term").distinct()
-    h = toks.withColumn("h", _poly_hash_col(F.col("term"), 1))
-    bits = h.select(
-        "doc_id",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("i"),
-    ).withColumn("bit", F.expr("shiftright(h, cast(i as int)) % 2"))
-    per_bit = bits.groupBy("doc_id", "i").agg(
-        F.sum(F.col("bit") * 2 - 1).alias("s")
-    )
-    return (
-        per_bit.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("s") > 0,
-                    F.expr("shiftleft(cast(1 as bigint), cast(i as int))"),
-                ).otherwise(F.lit(0))
-            ).alias("simhash")
-        )
-        .select("doc_id", "simhash")
-    )
+    return dedup.simhash(_tables(spark, sf_dir)["docs"])
 
 
 def q_dd_jaccard_pairs(spark, sf_dir):
-    """n-gram (1-gram token set) Jaccard for all candidate pairs that share a
-    MinHash band bucket."""
-    bands = q_dd_minhash_bands(spark, sf_dir)
-    pairs = (
-        bands.alias("x")
-        .join(bands.alias("y"), ["band", "band_hash"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-        .distinct()
-    )
+    """Token-set Jaccard for all candidate pairs sharing a MinHash band."""
     docs = _tables(spark, sf_dir)["docs"]
-    toks = index_build.tokens(docs).select("doc_id", "term").distinct()
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
-    common = (
-        pairs.join(toks.alias("ta"), F.col("a") == F.col("ta.doc_id"))
-        .join(
-            toks.alias("tb"),
-            (F.col("b") == F.col("tb.doc_id"))
-            & (F.col("ta.term") == F.col("tb.term")),
-        )
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("c"))
-    )
-    return (
-        common.join(sizes.alias("sa"), F.col("a") == F.col("sa.doc_id"))
-        .join(sizes.alias("sb"), F.col("b") == F.col("sb.doc_id"))
-        .select(
-            "a",
-            "b",
-            F.round(
-                F.col("c") / (F.col("sa.n") + F.col("sb.n") - F.col("c")), 6
-            ).alias("jaccard"),
-        )
-    )
+    pairs = dedup.candidate_pairs(dedup.minhash_bands(docs))
+    return dedup.jaccard_verify(pairs, dedup.distinct_tokens(docs))
 
 
 # ------------------------------------------------------------ ANN / vectors
@@ -330,154 +236,41 @@ def q_dd_jaccard_pairs(spark, sf_dir):
 def q_ann_cosine(spark, sf_dir):
     """Brute-force cosine of every vector vs vec_id 0 (double math)."""
     emb = _embeddings(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qe")
+    qvec = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    return ann.cosine_scores(emb, qvec).select(
+        "vec_id", F.round("cos", 6).alias("cos")
     )
-    dot = F.aggregate(
-        F.zip_with("embedding", "qe", lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(
-        F.aggregate(
-            F.transform(c, lambda a: a.cast("double") * a.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    return (
-        emb.crossJoin(F.broadcast(q))
-        .select(
-            "vec_id",
-            F.round(dot / (norm(F.col("embedding")) * norm(F.col("qe"))), 6).alias(
-                "cos"
-            ),
-        )
-    )
-
-
-N_PLANES = 8
-
-
-def _plane_val(j, d):
-    """Deterministic pseudo-random hyperplane component in [-1, 1):
-    identical integer arithmetic on both engines."""
-    x = (1103515245 * (j * 64 + d) + 12345) % 2147483648
-    return x / 1073741824.0 - 1.0
 
 
 def q_ann_lsh_buckets(spark, sf_dir):
     """Random-hyperplane LSH bucket per vector (sign bits of 8 projections)."""
-    emb = _embeddings(spark, sf_dir)
-    proj = emb.select(
-        "vec_id",
-        F.posexplode("embedding").alias("d", "v"),
-    ).withColumn("v", F.col("v").cast("double"))
-    planes = proj.select(
-        "vec_id",
-        "d",
-        "v",
-        F.explode(F.sequence(F.lit(0), F.lit(N_PLANES - 1))).alias("j"),
-    ).withColumn(
-        "r",
-        (
-            (
-                F.lit(1103515245).cast("long")
-                * (F.col("j").cast("long") * 64 + F.col("d"))
-                + 12345
-            )
-            % F.lit(2147483648).cast("long")
-        ).cast("double")
-        / 1073741824.0
-        - 1.0,
-    )
-    dots = planes.groupBy("vec_id", "j").agg(F.sum(F.col("v") * F.col("r")).alias("dot"))
-    return (
-        dots.groupBy("vec_id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("dot") > 0,
-                    F.expr("shiftleft(cast(1 as bigint), cast(j as int))"),
-                ).otherwise(F.lit(0))
-            ).alias("bucket")
-        )
-        .select("vec_id", "bucket")
-    )
+    return ann.lsh_buckets(_embeddings(spark, sf_dir))
 
 
 # ---------------------------------------------------------- text analysis
 
 
-STOPWORDS = {
-    "en": ["the", "a", "of", "and"],
-    "de": ["der", "die", "das", "und"],
-    "fr": ["le", "la", "et", "de"],
-    "es": ["el", "la", "y", "de"],
-}
-
-
 def q_txt_quality(spark, sf_dir):
     """Quality signals: token count, mean token length, stopword ratio."""
-    docs = _tables(spark, sf_dir)["docs"]
-    toks = index_build.tokens(docs).select("doc_id", "term")
-    sw = STOPWORDS["en"]
-    return (
-        toks.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_tokens"),
-            F.round(F.avg(F.length("term")), 6).alias("mean_tok_len"),
-            F.round(
-                F.sum(F.when(F.col("term").isin(sw), 1).otherwise(0))
-                / F.count("*"),
-                6,
-            ).alias("stopword_ratio"),
-        )
-        .select("doc_id", "n_tokens", "mean_tok_len", "stopword_ratio")
+    return text_analysis.quality(_tables(spark, sf_dir)["docs"]).select(
+        "doc_id", "n_tokens", "mean_tok_len", "stopword_ratio"
     )
 
 
 def q_txt_langid(spark, sf_dir):
     """Stopword-profile language id (deterministic heuristic, argmax with
     lexicographic tie-break)."""
-    docs = _tables(spark, sf_dir)["docs"]
-    toks = index_build.tokens(docs).select("doc_id", "term")
-    scores = None
-    for lang, words in sorted(STOPWORDS.items()):
-        s = toks.groupBy("doc_id").agg(
-            (
-                F.sum(F.when(F.col("term").isin(words), 1).otherwise(0))
-                / F.count("*")
-            ).alias("score")
-        ).select("doc_id", F.lit(lang).alias("lang"), "score")
-        scores = s if scores is None else scores.unionByName(s)
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
-    return (
-        scores.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("lang").alias("pred_lang"))
-    )
+    return text_analysis.lang_id(_tables(spark, sf_dir)["docs"])
 
 
 def q_txt_token_count(spark, sf_dir):
     """Whitespace tokens, alnum tokens, and a BPE-ish subword estimate."""
-    docs = _tables(spark, sf_dir)["docs"]
-    return docs.select(
-        "doc_id",
-        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
-        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0))
-        .cast("long")
-        .alias("alnum_tokens"),
-        F.ceil(F.length(F.regexp_replace("text", " ", "")) / 4)
-        .cast("long")
-        .alias("bpe_est"),
-    )
+    return text_analysis.token_counts(_tables(spark, sf_dir)["docs"])
 
 
 def q_txt_fingerprint(spark, sf_dir):
     """Rolling polynomial fingerprint of the full text (codepoint fold)."""
-    docs = _tables(spark, sf_dir)["docs"]
-    return docs.select("doc_id", _poly_hash_col(F.col("text"), 0).alias("fp"))
+    return text_analysis.fingerprint(_tables(spark, sf_dir)["docs"])
 
 
 # ------------------------------------------------------------- multimodal

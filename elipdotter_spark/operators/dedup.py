@@ -1,0 +1,158 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All built-in-expression plans (no Python in the hot path):
+- exact:    hash-groupBy on content digest
+- MinHash:  distinct tokens -> k seeded polynomial hashes -> min per seed ->
+            banded LSH buckets -> bucket-join candidate pairs
+- SimHash:  bitwise majority over token hashes
+- n-gram Jaccard: exact verify on LSH candidates
+
+The polynomial hash is deliberately engine-portable (identical in DuckDB SQL,
+see entry.oracle_sql) so every operator has a cross-engine oracle.
+
+Scale notes: candidate generation is O(n_tokens * k) rows through hash
+aggregates with map-side combine; the only join is the bucket self-join whose
+per-bucket fan-out is bounded by near-dup cluster sizes (salt hot buckets if a
+degenerate corpus produces mega-clusters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+HASH_P = 2147483647  # 2^31 - 1; keeps (acc*131 + cp) within int64
+
+N_MINHASH = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+
+
+def poly_hash(col, seed):
+    """fold (acc*131 + codepoint) % (2^31-1), acc0 = seed — JVM-side."""
+    init = seed.cast("long") if hasattr(seed, "cast") else F.lit(seed).cast("long")
+    return F.aggregate(
+        F.transform(F.split(col, ""), lambda c: F.ascii(c)),
+        init,
+        lambda acc, cp: (acc * 131 + cp) % HASH_P,
+    )
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(h, cnt) for content-identical groups with >1 member."""
+    return (
+        docs.select(F.md5(F.col(text_col).cast("binary")).alias("h"))
+        .groupBy("h")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+    )
+
+
+def distinct_tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    from . import index_build
+
+    return (
+        index_build.tokens(docs, id_col, text_col)
+        .select("doc_id", "term")
+        .distinct()
+    )
+
+
+def minhash_bands(
+    docs: DataFrame,
+    n_minhash: int = N_MINHASH,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """(doc_id, band, band_hash) LSH signature bands."""
+    toks = distinct_tokens(docs)
+    hashed = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_minhash - 1))).alias("seed"),
+        "term",
+    ).withColumn("h", poly_hash(F.col("term"), F.col("seed") + 1))
+    minh = hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
+    banded = minh.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+    return (
+        banded.groupBy("doc_id", "band")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                F.lit(0).cast("long"),
+                lambda acc, x: (acc * 131 + x["mh"]) % HASH_P,
+            ).alias("band_hash")
+        )
+        .select("doc_id", "band", "band_hash")
+    )
+
+
+def candidate_pairs(bands: DataFrame) -> DataFrame:
+    """(a, b) doc pairs sharing at least one LSH band bucket."""
+    return (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band", "band_hash"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(pairs: DataFrame, toks: DataFrame, digits: int = 6) -> DataFrame:
+    """Exact token-set Jaccard for candidate pairs: (a, b, jaccard)."""
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    common = (
+        pairs.join(toks.alias("ta"), F.col("a") == F.col("ta.doc_id"))
+        .join(
+            toks.alias("tb"),
+            (F.col("b") == F.col("tb.doc_id"))
+            & (F.col("ta.term") == F.col("tb.term")),
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        common.join(sizes.alias("sa"), F.col("a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("b") == F.col("sb.doc_id"))
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("c") / (F.col("sa.n") + F.col("sb.n") - F.col("c")), digits
+            ).alias("jaccard"),
+        )
+    )
+
+
+def near_dup_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """End-to-end near-dup detection: MinHash LSH candidates -> exact Jaccard
+    verify -> threshold filter."""
+    bands = minhash_bands(docs)
+    pairs = candidate_pairs(bands)
+    toks = distinct_tokens(docs)
+    return jaccard_verify(pairs, toks).filter(F.col("jaccard") >= threshold)
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """(doc_id, simhash) — bitwise majority of distinct-token hashes."""
+    toks = distinct_tokens(docs)
+    h = toks.withColumn("h", poly_hash(F.col("term"), 1))
+    per_bit = (
+        h.select(
+            "doc_id",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("i"),
+        )
+        .withColumn("bit", F.expr("shiftright(h, cast(i as int)) % 2"))
+        .groupBy("doc_id", "i")
+        .agg(F.sum(F.col("bit") * 2 - 1).alias("s"))
+    )
+    return (
+        per_bit.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s") > 0,
+                    F.expr("shiftleft(cast(1 as bigint), cast(i as int))"),
+                ).otherwise(F.lit(0))
+            ).alias("simhash")
+        )
+        .select("doc_id", "simhash")
+    )

@@ -1,0 +1,82 @@
+"""Text analysis operators: quality scoring, language id, token counting,
+document fingerprinting.  All JVM-expression plans with cross-engine oracles
+(entry.oracle_sql)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .dedup import poly_hash
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and"],
+    "de": ["der", "die", "das", "und"],
+    "fr": ["le", "la", "et", "de"],
+    "es": ["el", "la", "y", "de"],
+}
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    from . import index_build
+
+    return index_build.tokens(docs).select("doc_id", "term")
+
+
+def quality(docs: DataFrame, digits: int = 6) -> DataFrame:
+    """(doc_id, n_tokens, mean_tok_len, stopword_ratio)."""
+    sw = STOPWORDS["en"]
+    return (
+        _tokens(docs)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.length("term")), digits).alias("mean_tok_len"),
+            F.round(
+                F.sum(F.when(F.col("term").isin(sw), 1).otherwise(0)) / F.count("*"),
+                digits,
+            ).alias("stopword_ratio"),
+        )
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, pred_lang) — stopword-profile argmax, lexicographic ties."""
+    toks = _tokens(docs)
+    scores = None
+    for lang, words in sorted(STOPWORDS.items()):
+        s = (
+            toks.groupBy("doc_id")
+            .agg(
+                (
+                    F.sum(F.when(F.col("term").isin(words), 1).otherwise(0))
+                    / F.count("*")
+                ).alias("score")
+            )
+            .select("doc_id", F.lit(lang).alias("lang"), "score")
+        )
+        scores = s if scores is None else scores.unionByName(s)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"))
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, ws_tokens, alnum_tokens, bpe_est)."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split(text_col, " ")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower(text_col), F.lit("[a-z0-9]+"), 0))
+        .cast("long")
+        .alias("alnum_tokens"),
+        F.ceil(F.length(F.regexp_replace(text_col, " ", "")) / 4)
+        .cast("long")
+        .alias("bpe_est"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, fp) — rolling polynomial over the full text's codepoints."""
+    return docs.select("doc_id", poly_hash(F.col(text_col), 0).alias("fp"))

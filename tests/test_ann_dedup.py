@@ -1,0 +1,55 @@
+"""ANN recall and near-dup detection behavior."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from elipdotter_spark.operators import ann, dedup
+
+
+@pytest.mark.spark
+def test_lsh_topk_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    qvec = emb.filter(F.col("vec_id") == 1).collect()[0].embedding
+    brute = [r.vec_id for r in ann.topk_bruteforce(emb, qvec, 10).collect()]
+    buckets = ann.lsh_buckets(emb).cache()
+    approx = [
+        r.vec_id
+        for r in ann.topk_lsh(emb, buckets, qvec, 10, multiprobe=2).collect()
+    ]
+    # query vector itself must be found (it's in its own bucket)
+    assert 1 in approx
+    recall = len(set(brute) & set(approx)) / 10
+    assert recall >= 0.5, (recall, brute, approx)
+
+
+@pytest.mark.spark
+def test_lsh_bucket_of_query_matches_column(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    row = emb.filter(F.col("vec_id") == 3).collect()[0]
+    buckets = ann.lsh_buckets(emb.filter(F.col("vec_id") == 3))
+    got = buckets.collect()[0].bucket
+    assert got == ann.query_bucket(row.embedding)
+
+
+@pytest.mark.spark
+def test_near_dup_pairs_finds_planted_dup(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bend"),
+        (2, "completely different words about spark distributed query engines"),
+        (3, "spark distributed query engines process completely different words"),
+    ]
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+    pairs = dedup.near_dup_pairs(docs, threshold=0.5).collect()
+    found = {(r.a, r.b) for r in pairs}
+    assert (0, 1) in found
+    assert (2, 3) in found  # same token set, different order
+    assert (0, 2) not in found and (1, 3) not in found
+
+
+@pytest.mark.spark
+def test_exact_dup_groups(spark):
+    rows = [(0, "same text"), (1, "same text"), (2, "other text")]
+    docs = spark.createDataFrame(rows, schema="doc_id long, text string")
+    groups = dedup.exact_dup_groups(docs).collect()
+    assert len(groups) == 1 and groups[0].cnt == 2
