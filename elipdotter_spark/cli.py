@@ -1,0 +1,112 @@
+"""spark-submit entry point: ``spark-submit --py-files elipdotter_spark.zip cli.py ...``
+
+Subcommands:
+  build  --input <parquet dir/glob> --output <index store dir> [--segments N]
+  query  --index <index store dir> --query "<elipdotter query>" [--k N]
+  bm25   --index <index store dir> --terms t1,t2 [--k N]
+
+On a cluster the SparkSession comes from spark-submit's conf; standalone runs
+fall back to local[*].  The build is the resumable segmented build — re-run
+the same command after a failure and only pending segments are rebuilt.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def get_spark():
+    from pyspark.sql import SparkSession
+
+    return SparkSession.builder.appName("elipdotter-spark").getOrCreate()
+
+
+def cmd_build(args) -> int:
+    from elipdotter_spark.sources.catalog import IndexStore
+
+    spark = get_spark()
+    docs = spark.read.parquet(args.input)
+    store = IndexStore(spark, args.output)
+    rows = store.build_resumable(docs, n_segments=args.segments)
+    info = store.publish()
+    print(json.dumps({"built_segments": len(rows), **info}))
+    return 0
+
+
+def _load(spark, index_dir):
+    from elipdotter_spark.sources.catalog import IndexStore
+
+    store = IndexStore(spark, index_dir)
+    postings = store.postings().cache()
+    terms = spark.read.parquet(f"{index_dir}/terms").cache()
+    docstats = spark.read.parquet(f"{index_dir}/docstats").cache()
+    return postings, terms, docstats
+
+
+def cmd_query(args) -> int:
+    from elipdotter_spark.plans.compiler import QueryEngine
+
+    spark = get_spark()
+    postings, terms, _ = _load(spark, args.index)
+    engine = QueryEngine(
+        spark,
+        postings,
+        terms,
+        proximity_threshold=args.threshold,
+        algo=args.algo,
+        word_count_limit=args.word_count_limit,
+    )
+    rows = engine.topk(args.query, args.distance_threshold, args.k).collect()
+    for r in rows:
+        print(json.dumps({"doc_id": r.doc_id, "start": r.start, "rating": float(r.rating)}))
+    return 0
+
+
+def cmd_bm25(args) -> int:
+    from elipdotter_spark.operators import bm25
+
+    spark = get_spark()
+    postings, terms, docstats = _load(spark, args.index)
+    n, avgdl = bm25.corpus_stats(docstats)
+    rows = bm25.bm25_topk(
+        postings, docstats, terms, args.terms.split(","), args.k, n=n, avgdl=avgdl
+    ).collect()
+    for r in rows:
+        print(json.dumps({"doc_id": r.doc_id, "score": float(r.score)}))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="elipdotter-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--input", required=True)
+    b.add_argument("--output", required=True)
+    b.add_argument("--segments", type=int, default=16)
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query")
+    q.add_argument("--index", required=True)
+    q.add_argument("--query", required=True)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--distance-threshold", type=int, default=1000)
+    q.add_argument("--algo", default="hamming", choices=["exact", "hamming", "jaro"])
+    q.add_argument("--threshold", type=float, default=0.85)
+    q.add_argument("--word-count-limit", type=int, default=1000)
+    q.set_defaults(fn=cmd_query)
+
+    m = sub.add_parser("bm25")
+    m.add_argument("--index", required=True)
+    m.add_argument("--terms", required=True)
+    m.add_argument("--k", type=int, default=10)
+    m.set_defaults(fn=cmd_bm25)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -60,7 +60,9 @@ _CACHE: Dict[str, dict] = {}
 def _tables(spark: SparkSession, sf_dir: str) -> dict:
     key = f"{id(spark)}:{sf_dir}"
     if key not in _CACHE:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # the sf parquet is one small file -> spread it so the tokenize
+        # stage parallelizes (real corpora arrive as many files)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(16)
         postings = index_build.build_postings(docs).cache()
         terms = index_build.build_terms(postings).cache()
         docstats = index_build.docstats_from_postings(postings).cache()

@@ -117,6 +117,15 @@ def remove_document(postings: DataFrame, doc_ids) -> DataFrame:
     return postings.filter(~F.col("doc_id").isin(list(doc_ids)))
 
 
+def repair_stale(postings: DataFrame, docs: DataFrame) -> DataFrame:
+    """S10: stale-entry repair (``MissingOccurrences::apply``,
+    src/index.rs:881-954) — drop (term, doc) entries the index claims but the
+    current document text lacks.  On Iceberg this is the anti-join rewritten
+    as ``MERGE INTO ... WHEN MATCHED THEN DELETE``."""
+    fresh = tokens(docs).select("term", "doc_id").distinct()
+    return postings.join(fresh, ["term", "doc_id"], "left_semi")
+
+
 def docmap(docs: DataFrame, name_col: str = "url") -> DataFrame:
     """S2: deterministic dense doc-id assignment at test scale
     (row_number over name; at web scale switch to xxhash64(url) — ids only

@@ -1,0 +1,60 @@
+"""S10 stale repair, S2/S3 docmap, CLI round-trip."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from elipdotter_spark.operators import index_build
+
+
+@pytest.mark.spark
+def test_repair_stale(spark):
+    docs_v1 = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha delta")],
+        schema="doc_id long, text string",
+    )
+    postings = index_build.build_postings(docs_v1)
+    # document 0 changed: "gamma" disappeared
+    docs_v2 = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "alpha delta")], schema="doc_id long, text string"
+    )
+    repaired = index_build.repair_stale(postings, docs_v2)
+    got = {(r.term, r.doc_id) for r in repaired.collect()}
+    assert ("gamma", 0) not in got
+    assert ("alpha", 0) in got and ("beta", 0) in got and ("delta", 1) in got
+
+
+@pytest.mark.spark
+def test_docmap_dense_ids(spark):
+    docs = spark.createDataFrame(
+        [("https://b",), ("https://a",), ("https://c",)], schema="url string"
+    )
+    dm = index_build.docmap(docs)
+    rows = {r.url: r.doc_id for r in dm.collect()}
+    assert rows == {"https://a": 0, "https://b": 1, "https://c": 2}
+
+
+@pytest.mark.spark
+def test_cli_build_and_query(spark, tmp_path, sf_dir, capsys, monkeypatch):
+    from elipdotter_spark import cli
+
+    monkeypatch.setattr(cli, "get_spark", lambda: spark)
+    inp = str(tmp_path / "docs")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100).select(
+        "doc_id", "text"
+    ).write.parquet(inp)
+
+    out = str(tmp_path / "index")
+    assert cli.main(["build", "--input", inp, "--output", out, "--segments", "2"]) == 0
+    built = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["built_segments"] == 2
+
+    assert cli.main(["query", "--index", out, "--query", "table -value", "--k", "3"]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) <= 3
+    assert all("rating" in l for l in lines)
+
+    assert cli.main(["bm25", "--index", out, "--terms", "spark,fast", "--k", "5"]) == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) <= 5 and all("score" in l for l in lines)
