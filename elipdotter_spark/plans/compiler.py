@@ -246,6 +246,48 @@ class QueryEngine:
 
     # ------------------------------------------------------------- scoring
 
+    def _node_max_pairs_df(self, ast: Part, exp) -> DataFrame:
+        """One-row DataFrame [(nid, mx)...] of per-node stream max docs —
+        the sentinel inputs, computed *in-plan* (no separate driver action;
+        it rides into the scoring job as a broadcast cross-join)."""
+        dfs: List[DataFrame] = []
+
+        def ev(p: Part) -> DataFrame:
+            idx = len(dfs)
+            dfs.append(None)
+            if isinstance(p, Word):
+                d = self._leaf_docs(p.text, exp)
+            elif isinstance(p, And):
+                if isinstance(p.right, Not):
+                    d = ev(p.left)
+                    ev(p.right.part)
+                elif isinstance(p.left, Not):
+                    d = ev(p.right)
+                    ev(p.left.part)
+                else:
+                    d = ev(p.left).join(ev(p.right), "doc_id", "left_semi")
+            elif isinstance(p, Or):
+                d = ev(p.left).unionByName(ev(p.right)).distinct()
+            else:
+                raise oracle.StrayNot()
+            dfs[idx] = d
+            return d
+
+        ev(ast)
+        tagged = None
+        for i, d in enumerate(dfs):
+            t = d.select(F.lit(i).alias("nid"), F.col("doc_id"))
+            tagged = t if tagged is None else tagged.unionByName(t)
+        return (
+            tagged.groupBy("nid")
+            .agg(F.max("doc_id").alias("mx"))
+            .agg(
+                F.array_sort(F.collect_list(F.struct("nid", "mx"))).alias(
+                    "node_max_pairs"
+                )
+            )
+        )
+
     def hits(
         self,
         ast: Part,
@@ -253,11 +295,14 @@ class QueryEngine:
         exp: Optional[Dict[str, Dict[str, np.float32]]] = None,
         maxes: Optional[List[int]] = None,
     ) -> DataFrame:
-        """Rank-identical occurrence scoring, distributed by document."""
+        """Rank-identical occurrence scoring, distributed by document.
+
+        Single Spark job (plus the expansion scan in fuzzy mode): the posting
+        rows for all expanded terms are pruned by the root doc set, joined
+        with the broadcast one-row node-max table (sentinel inputs), shuffled
+        once by doc_id and scored by the per-document reference kernel."""
         if exp is None:
             exp = self.expansions(ast)
-        if maxes is None:
-            maxes = self.node_max_docs(ast, exp)
         exp_df = self._expansion_df(exp)
 
         all_terms = sorted({t for d in exp.values() for t in d})
@@ -270,9 +315,25 @@ class QueryEngine:
         root_docs = self.doc_ids(ast, exp)
         occ = occ.join(root_docs, "doc_id", "left_semi")
 
+        n_nodes = len(list(oracle.iter_nodes(ast)))
+        if maxes is None:
+            occ = occ.crossJoin(F.broadcast(self._node_max_pairs_df(ast, exp)))
+        else:
+            pairs = [(i, int(m)) for i, m in enumerate(maxes)]
+            occ = occ.withColumn(
+                "node_max_pairs",
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("nid"), F.lit(m).cast("long").alias("mx")
+                        )
+                        for i, m in pairs
+                    ]
+                ),
+            )
+
         ast_json = ast_codec.dumps(ast)
         dist = int(distance_threshold)
-        maxes_l = list(maxes)
 
         def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             """Docs are contiguous within a partition (hash-repartitioned by
@@ -282,6 +343,7 @@ class QueryEngine:
             part = ast_codec.loads(ast_json)
             f1 = np.float32(1.0)
             f4 = np.float32(4.0)
+            maxes_l: List[int] = None  # read from the broadcast column below
 
             def empty_out():
                 return {
@@ -336,6 +398,11 @@ class QueryEngine:
             cur_doc = None
             cur_rows: list = []
             for pdf in batches:
+                if maxes_l is None and len(pdf):
+                    maxes_l = [-1] * n_nodes
+                    for p in pdf["node_max_pairs"].iloc[0]:
+                        if p["mx"] is not None:
+                            maxes_l[int(p["nid"])] = int(p["mx"])
                 out = empty_out()
                 for doc, qw, term, prox, positions in zip(
                     pdf["doc_id"].values,
