@@ -76,11 +76,22 @@ def run_queries(spark, postings, terms, docstats):
     fuzzy.topk("tabl", 100, 1).collect()
 
     timings = {}
+    percentiles = {}
 
-    def timed(name, fn):
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 4)
+    def timed(name, fn, reps=1):
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 4)  # median
+        if reps > 1:
+            percentiles[name] = {
+                "p50": round(samples[len(samples) // 2], 4),
+                "p95": round(samples[min(len(samples) - 1, int(len(samples) * 0.95))], 4),
+                "n": reps,
+            }
 
     timed("q_bool_and", lambda: engine.doc_ids(parse("table value fast")).count())
     timed("q_bool_or", lambda: engine.doc_ids(parse("table or vector or stream")).count())
@@ -90,20 +101,23 @@ def run_queries(spark, postings, terms, docstats):
         lambda: bm25.bm25_topk(
             postings, docstats, terms, ["spark", "fast", "table"], 10, n=n, avgdl=avgdl
         ).collect(),
+        reps=7,
     )
     timed(
         "q_scored_hits",
         lambda: engine.topk("table value -vector", 1000, 10).collect(),
+        reps=5,
     )
     timed(
         "q_fuzzy_hits",
         lambda: fuzzy.topk("tabl valu", 1000, 10).collect(),
+        reps=5,
     )
     timed(
         "q_dict_prefix",
         lambda: terms.filter(F.col("term").startswith("v")).count(),
     )
-    return timings
+    return timings, percentiles
 
 
 def replicate(docs, k: int):
@@ -135,7 +149,9 @@ def one_run(cpus: str, replicate_k: int = 1, queries: bool = True):
         docs = docs.cache()
         n_docs = docs.count()
         postings, terms, docstats, build_s, n_postings = build_index_timed(spark, docs)
-        timings = run_queries(spark, postings, terms, docstats) if queries else {}
+        timings, percentiles = (
+            run_queries(spark, postings, terms, docstats) if queries else ({}, {})
+        )
         return {
             "n_docs": n_docs,
             "n_postings": n_postings,
@@ -143,6 +159,7 @@ def one_run(cpus: str, replicate_k: int = 1, queries: bool = True):
             "docs_per_sec": round(n_docs / build_s, 2),
             "postings_per_sec": round(n_postings / build_s, 2),
             "queries": timings,
+            "percentiles": percentiles,
         }
     finally:
         spark.stop()
@@ -213,6 +230,7 @@ def main():
         "sf": SF_DIR,
         "docs_per_sec": main_run["docs_per_sec"],
         "postings_per_sec": main_run["postings_per_sec"],
+        "percentiles": main_run["percentiles"],
         "cpus": CPUS,
     }
 

@@ -65,10 +65,15 @@ def build_postings(
         )
         .withColumn("tf", F.size("positions"))
     )
-    # published layout: co-locate a term's postings, sorted for scan/merge
-    return postings.repartition(term_buckets, "term").sortWithinPartitions(
-        "term", "doc_id"
-    )
+    # published layout: range-partitioned on (term, doc_id) and sorted — a
+    # term's postings are contiguous (min/max data skipping prunes scans) yet
+    # a *hot* term (stopword) spans multiple partitions instead of melting a
+    # single reducer; this is the layout-level form of term-salting (the
+    # build itself has no (term)-keyed shuffle to salt — grouping happens
+    # in-UDF per doc)
+    return postings.repartitionByRange(
+        term_buckets, "term", "doc_id"
+    ).sortWithinPartitions("term", "doc_id")
 
 
 def build_docstats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
