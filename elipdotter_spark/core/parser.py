@@ -328,12 +328,47 @@ class _Parser:
         return left
 
 
-def parse(s: str) -> Part:
-    """Parse a query string (src/query.rs:715-741)."""
+def default_rules():
+    """The default rule chain; build custom chains with :func:`literal_rule` /
+    :func:`not_prefix` and pass to :func:`parse` (the reference's ``Rule``
+    trait + ``literal_rule!``/``not_prefix!`` macros, src/query.rs:1031-1243).
+
+    Order matters: literals, NOT prefixes, then AndSpace last."""
+    return _default_rules()
+
+
+def literal_rule(literal: str, op: str):
+    """A whitespace-delimited literal operator rule, e.g. Swedish
+    ``literal_rule("eller", OR)`` (doc example at src/query.rs:1164-1175)."""
+    return _LiteralRule(literal, op)
+
+
+def not_prefix(prefix: str):
+    """A prefix-NOT rule, e.g. ``not_prefix("~")``."""
+    return _NotPrefixRule(prefix)
+
+
+def rules_with(extra_literals=(), extra_not_prefixes=()):
+    """Default chain with user rules inserted at the reference's positions
+    (custom literals after the built-in ones, custom NOT prefixes after
+    ``-``/``!``, AndSpace always last — src/query.rs:997-1030)."""
+    return (
+        [_LiteralRule("not", NOT), _LiteralRule("and", AND), _LiteralRule("or", OR)]
+        + [literal_rule(lit, op) for lit, op in extra_literals]
+        + [_NotPrefixRule("-"), _NotPrefixRule("!")]
+        + [not_prefix(p) for p in extra_not_prefixes]
+        + [_AndSpaceRule()]
+    )
+
+
+def parse(s: str, rules=None) -> Part:
+    """Parse a query string (src/query.rs:715-741) with the default or a
+    custom rule chain."""
     if not s:
         raise InputEmpty()
     parser = _Parser()
-    rules = _default_rules()
+    if rules is None:
+        rules = _default_rules()
     rest = s
     while True:
         advance = parser.next(rules, rest)

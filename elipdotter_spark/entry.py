@@ -17,7 +17,7 @@ from typing import Callable, Dict
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from .operators import ann, bm25, dedup, index_build, text_analysis
+from .operators import ann, bm25, dedup, index_build, text_analysis, windows
 from .core.parser import parse
 from .plans.compiler import QueryEngine
 
@@ -294,6 +294,23 @@ def q_mm_meta(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------------- events/windows
+
+
+def q_ev_window_stats(spark, sf_dir):
+    """Tumbling 1-hour windowed event stats (batch form; the watermarked
+    streaming variant is operators.windows.streaming_tumbling_stats)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windows.tumbling_event_stats(ev, "1 hour")
+
+
+def q_ev_session_stats(spark, sf_dir):
+    """Gap-based session windows per user (temporal analogue of the
+    reference's W1 proximity merge)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windows.session_stats(ev, "30 minutes")
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -323,6 +340,8 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_token_count": q_txt_token_count,
         "txt_fingerprint": q_txt_fingerprint,
         "mm_meta": q_mm_meta,
+        "ev_window_stats": q_ev_window_stats,
+        "ev_session_stats": q_ev_session_stats,
     }
 
 
@@ -536,6 +555,33 @@ def oracle_sql() -> Dict[str, str]:
         """,
         "txt_fingerprint": f"""
             SELECT doc_id, {text_hash} AS fp FROM documents
+        """,
+        "ev_window_stats": """
+            SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 6) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "ev_session_stats": """
+            WITH e AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                                 OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+            ),
+            s AS (
+                SELECT user_id,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                FROM e
+            )
+            SELECT user_id,
+                   CAST(count(DISTINCT sid) AS BIGINT) AS n_sessions,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM s GROUP BY user_id
         """,
         "mm_meta": """
             SELECT doc_id,
