@@ -90,9 +90,16 @@ def test_query_matches_oracle(spark, ddb, name):
         return
     want = normalize(ddb.execute(sql).fetchall())
     assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
-    assert approx_equal(got, want), (
-        f"{name}: value mismatch\n got[:5]={got[:5]}\nwant[:5]={want[:5]}"
-    )
+    # bit-exact equality (the driver value-hashes rows; verified attainable
+    # for every float-producing query thanks to identical rounding + op order)
+    if got != want:
+        assert approx_equal(got, want), (
+            f"{name}: value mismatch\n got[:5]={got[:5]}\nwant[:5]={want[:5]}"
+        )
+        raise AssertionError(
+            f"{name}: rows equal only approximately (1e-9), not bit-exact — "
+            "driver value-hash would likely fail"
+        )
 
 
 @pytest.mark.spark
