@@ -133,17 +133,25 @@ class QueryEngine:
         )
 
         def rate_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from ..functions.similarity import batch_rate_candidates
+
             for pdf in batches:
+                terms_arr = np.asarray(list(pdf["term"]), dtype="U")
                 rows_q, rows_t, rows_r = [], [], []
-                for term in pdf["term"]:
-                    for w in wlist:
-                        if prune_flag and (not w or not term.startswith(w[0])):
-                            continue
-                        r = rate_candidate(w, term, threshold, algo)
-                        if r is not None:
-                            rows_q.append(w)
-                            rows_t.append(term)
-                            rows_r.append(np.float32(r))
+                for w in wlist:
+                    if prune_flag and w:
+                        sub_mask = np.char.startswith(terms_arr, w[0])
+                        sub = terms_arr[sub_mask]
+                    else:
+                        sub = terms_arr
+                    if len(sub) == 0:
+                        continue
+                    ratings = batch_rate_candidates(w, sub, threshold, algo)
+                    hit = ~np.isnan(ratings)
+                    for t, r in zip(sub[hit], ratings[hit]):
+                        rows_q.append(w)
+                        rows_t.append(str(t))
+                        rows_r.append(np.float32(r))
                 yield pd.DataFrame(
                     {
                         "qword": rows_q,
