@@ -79,3 +79,48 @@ def pages_df(spark: SparkSession, n_filler: int = 0, seed: int = 42) -> DataFram
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def zipf_corpus(
+    spark: SparkSession,
+    n_docs: int,
+    vocab_size: int = 5000,
+    doc_len: int = 80,
+    partitions: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic Zipf(s≈1)-distributed synthetic corpus, generated fully
+    JVM-side (no Python in the loop): token rank = floor(V^u) with
+    u = xxhash64(doc_id, k, seed)/2^64 — inverse-CDF sampling of p(r) ∝ 1/r.
+
+    Purpose: realistic term-frequency skew (the sf testdata vocabulary is
+    only ~31 near-uniform terms, which exercises neither block-max pruning
+    nor hot-term skew)."""
+    from pyspark.sql import functions as F
+
+    ids = spark.range(0, n_docs, 1, partitions).withColumnRenamed("id", "doc_id")
+    toks = ids.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(doc_len - 1))).alias("k"),
+    )
+    # u in [0, 1): unsigned-normalized xxhash64
+    u = (F.xxhash64("doc_id", "k", F.lit(seed)).cast("double") / F.lit(2.0**63) + 1.0) / 2.0
+    rank = F.least(
+        F.lit(vocab_size),
+        F.greatest(F.lit(1), F.floor(F.pow(F.lit(float(vocab_size)), u)) + 1),
+    )
+    words = toks.select("doc_id", "k", F.concat(F.lit("t"), rank).alias("w"))
+    # order by k inside the aggregate for a fully deterministic text
+    return (
+        words.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("k", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("text")
+        )
+        .select("doc_id", "text")
+    )

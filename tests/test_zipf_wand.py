@@ -1,0 +1,68 @@
+"""Block-max pruning effectiveness on a realistically skewed (Zipf) corpus."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from elipdotter_spark.operators import bm25, codec, index_build
+from elipdotter_spark.sources.corpus import zipf_corpus
+
+
+@pytest.fixture(scope="module")
+def zipf_index(spark):
+    docs = zipf_corpus(spark, n_docs=3000, vocab_size=2000, doc_len=60).cache()
+    postings = index_build.build_postings(docs).cache()
+    terms = index_build.build_terms(postings).cache()
+    docstats = index_build.docstats_from_postings(postings).cache()
+    n, avgdl = bm25.corpus_stats(docstats)
+    return docs, postings, terms, docstats, n, avgdl
+
+
+@pytest.mark.spark
+def test_zipf_skew_present(zipf_index):
+    _docs, _postings, terms, _ds, _n, _a = zipf_index
+    stats = terms.agg(
+        F.max("df").alias("mx"), F.avg("df").alias("mean"), F.count("*").alias("v")
+    ).collect()[0]
+    # hot head: the most frequent term should dwarf the mean
+    assert stats.mx / stats.mean > 10, (stats.mx, stats.mean)
+    assert stats.v > 500
+
+
+@pytest.mark.spark
+def test_blockmax_prunes_and_stays_exact(spark, zipf_index):
+    _docs, postings, terms, docstats, n, avgdl = zipf_index
+    # mixed query: one stopword-ish head term + selective tail terms
+    qterms = ["t1", "t800", "t1500"]
+    brute = bm25.bm25_topk(postings, docstats, terms, qterms, 10, n=n, avgdl=avgdl)
+    want = [(r.doc_id, round(r.score, 9)) for r in brute.collect()]
+
+    bmx = bm25.build_block_max(postings, docstats, terms, n, avgdl, block_size=128)
+    pruned_df = bm25.bm25_topk_blockmax(
+        spark, postings, docstats, terms, bmx, qterms, 10, n, avgdl,
+        block_size=128, probe_blocks=8,
+    )
+    got = [(r.doc_id, round(r.score, 9)) for r in pruned_df.collect()]
+    assert got == want
+
+    comp = codec.build_compressed(
+        postings, docstats, terms, n, avgdl, doc_span=128
+    ).cache()
+    top, pruned = codec.bm25_topk_compressed(
+        comp, docstats, terms, qterms, 10, n, avgdl
+    )
+    assert [(d, round(s, 9)) for d, s in top] == want
+    n_ranges = comp.filter(F.col("term").isin(qterms)).select("block").distinct().count()
+    # the threshold must actually skip a meaningful share of doc ranges
+    assert pruned > 0, (pruned, n_ranges)
+    assert pruned / n_ranges > 0.2, (pruned, n_ranges)
+
+
+@pytest.mark.spark
+def test_codec_compression_ratio_on_zipf(zipf_index):
+    _docs, postings, terms, docstats, n, avgdl = zipf_index
+    comp = codec.build_compressed(postings, docstats, terms, n, avgdl, doc_span=128)
+    rows = comp.collect()
+    packed = sum(len(r.doc_deltas) + len(r.tfs) for r in rows)
+    plain = postings.count() * 12  # 8B doc_id + 4B tf
+    ratio = plain / packed
+    assert ratio > 2.5, ratio
