@@ -192,6 +192,15 @@ def q_ft_query_hits(spark, sf_dir):
     return hits.select("doc_id", "start", "rating", "word_id")
 
 
+def q_ft_proximity_docs(spark, sf_dir):
+    """Ordered proximity over positional postings: docs where 'value'
+    follows 'table' within 40 bytes (phrase search at gap = len+1)."""
+    from .operators.proximity_query import ordered_near_docs
+
+    p = _tables(spark, sf_dir)["postings"]
+    return ordered_near_docs(p, ["table", "value"], 40)
+
+
 # ------------------------------------------------------------- dedup queries
 
 _HASH_P = dedup.HASH_P
@@ -329,6 +338,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_remove_doc": q_ft_remove_doc,
         "ft_segment_merge": q_ft_segment_merge,
         "ft_query_hits": q_ft_query_hits,
+        "ft_proximity_docs": q_ft_proximity_docs,
         "dd_exact": q_dd_exact,
         "dd_minhash_bands": q_dd_minhash_bands,
         "dd_simhash": q_dd_simhash,
@@ -438,6 +448,15 @@ def oracle_sql() -> Dict[str, str]:
             WITH {TOKS_SQL}
             SELECT term, doc_id, CAST(count(*) AS INT) AS tf
             FROM toks GROUP BY term, doc_id
+        """,
+        "ft_proximity_docs": f"""
+            WITH {POS_SQL}
+            SELECT DISTINCT p1.doc_id
+            FROM positions p1
+            JOIN positions p2
+              ON p2.doc_id = p1.doc_id
+             AND p1.term = 'table' AND p2.term = 'value'
+             AND p2.pos - p1.pos BETWEEN 1 AND 40
         """,
         "dd_exact": """
             SELECT h, CAST(cnt AS BIGINT) AS cnt FROM (

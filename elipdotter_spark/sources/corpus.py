@@ -81,6 +81,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def extract_text(pages: DataFrame) -> DataFrame:
+    """Extract text from the html payload (input_hint invariant: the result
+    must be **byte-identical** to the reference tokenizer's input per url).
+
+    The synthesized pages wrap text as ``<html><body>...</body></html>``
+    (FIXTURES.md §1); real-corpus extraction would plug in here behind the
+    same contract.  JVM-side: decode + strip the wrapper."""
+    from pyspark.sql import functions as F
+
+    return pages.withColumn(
+        "extracted",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.decode(F.col("html"), "utf-8"), r"^<html><body>", ""
+            ),
+            r"</body></html>$",
+            "",
+        ),
+    )
+
+
 def zipf_corpus(
     spark: SparkSession,
     n_docs: int,
