@@ -19,7 +19,7 @@ from typing import Optional
 
 import numpy as np
 
-from ..core.similarity import EXACT, HAMMING, rate_candidate
+from ..core.similarity import EXACT, HAMMING, JARO, rate_candidate
 
 
 def _char_matrix(terms: np.ndarray, width: int) -> np.ndarray:
@@ -32,6 +32,65 @@ def _char_matrix(terms: np.ndarray, width: int) -> np.ndarray:
     return mat
 
 
+def _batch_jaro(word: str, terms: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """strsim ``generic_jaro(candidate, word)`` vectorized across candidates:
+    the per-pair char scan becomes O(max_len * len(word)) masked numpy ops
+    over the whole batch (state arrays: consumed matrix, match counters,
+    b_match_index for the transposition rule)."""
+    n = len(terms)
+    wlen = len(word)
+    out = np.zeros(n, dtype=np.float64)
+    if wlen == 0:
+        out[lens == 0] = 1.0
+        return out
+    W = max(int(lens.max()), 1)
+    mat = _char_matrix(terms, W)
+    wv = np.array(list(word), dtype="U1")
+
+    # special case: both length 1 -> direct equality (strsim)
+    one_one = (lens == 1) & (wlen == 1)
+
+    sr = np.maximum(lens, wlen) // 2 - 1  # search range (>=0 except 1-1 case)
+    consumed = np.zeros((n, wlen), dtype=bool)
+    matches = np.zeros(n, dtype=np.int64)
+    transp = np.zeros(n, dtype=np.int64)
+    b_match_index = np.zeros(n, dtype=np.int64)
+
+    for i in range(W):
+        active = (i < lens) & ~one_one & (lens > 0)
+        if not active.any():
+            continue
+        min_b = np.where(i > sr, i - sr, 0)
+        max_b = np.minimum(wlen - 1, i + sr)
+        found = np.zeros(n, dtype=bool)
+        ai = mat[:, i]
+        for j in range(wlen):
+            cond = (
+                active
+                & ~found
+                & (j >= min_b)
+                & (j <= max_b)
+                & (ai == wv[j])
+                & ~consumed[:, j]
+            )
+            if not cond.any():
+                continue
+            consumed[cond, j] = True
+            matches[cond] += 1
+            transp[cond & (j < b_match_index)] += 1
+            b_match_index = np.where(cond, j, b_match_index)
+            found |= cond
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        m = matches.astype(np.float64)
+        sim = (m / lens + m / wlen + (m - transp) / m) / 3.0
+    sim = np.where(matches == 0, 0.0, sim)
+    sim = np.where(lens == 0, 0.0, sim)
+    if wlen == 1:
+        sim = np.where(one_one, (mat[:, 0] == word).astype(np.float64), sim)
+    return sim
+
+
 def batch_rate_candidates(
     word: str, terms: np.ndarray, threshold: np.float32, algo: str
 ) -> np.ndarray:
@@ -42,9 +101,9 @@ def batch_rate_candidates(
     out = np.full(n, np.nan, dtype=np.float32)
     if n == 0:
         return out
-    if algo not in (HAMMING, EXACT):
+    if algo not in (HAMMING, EXACT, JARO):
         for i, t in enumerate(terms):
-            r = rate_candidate(word, t, threshold, algo)
+            r = rate_candidate(word, str(t), threshold, algo)
             if r is not None:
                 out[i] = r
         return out
@@ -56,6 +115,8 @@ def batch_rate_candidates(
 
     if algo == EXACT:
         sim = (terms == word).astype(np.float64)
+    elif algo == JARO:
+        sim = _batch_jaro(word, terms, lens)
     else:
         width = max(int(lens.max()), wchars, 1)
         mat = _char_matrix(terms, width)
