@@ -17,7 +17,7 @@ f32 like src/proximity.rs:154-155).
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence
 
 import numpy as np
 

@@ -8,14 +8,12 @@ tests/test_similarity_vectorized.py).
 
 Hamming (the reference's default algorithm) is fully vectorized: a padded
 char matrix + prefix-mismatch cumsum gives every candidate's pad-free Hamming
-similarity in a handful of numpy ops.  Jaro falls back to the scalar loop
-(its per-pair state machine doesn't vectorize cleanly; it is also the
-reference's "2x slower, higher quality" option).
+similarity in a handful of numpy ops.  Jaro is vectorized across the
+*candidate* axis (masked state machines over the char matrix); unknown
+algorithms fall back to the scalar loop.
 """
 
 from __future__ import annotations
-
-from typing import Optional
 
 import numpy as np
 

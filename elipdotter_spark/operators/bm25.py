@@ -18,7 +18,7 @@ pruned plan is verified equal to the exhaustive one in tests.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
