@@ -177,123 +177,101 @@ class QueryEngine:
         schema = "qword string, term string, proximity float"
         return self.spark.createDataFrame(rows, schema=schema)
 
-    def _leaf_docs(self, word: str, exp) -> DataFrame:
-        terms = list(exp.get(word, {}))
-        if not terms:
-            return self.spark.range(0).select(F.col("id").alias("doc_id"))
+    def _qword_sets(self, exp: Dict[str, Dict[str, np.float32]]) -> DataFrame:
+        """(doc_id, qws array<string>) — per doc, the set of query words with
+        at least one expanded-term occurrence.  ONE posting scan + ONE shuffle
+        computes the inputs for every node of the boolean algebra: each node's
+        doc-set membership is a row-local expression over ``qws`` (see
+        :meth:`_node_member_exprs`), so a W-word query costs one scan instead
+        of 2W per-leaf scans + distincts."""
+        all_terms = sorted({t for d in exp.values() for t in d})
+        if not all_terms:
+            return self.spark.range(0).select(
+                F.col("id").alias("doc_id"),
+                F.array().cast("array<string>").alias("qws"),
+            )
+        exp_df = self._expansion_df(exp).select("qword", "term")
         return (
-            self.postings.filter(F.col("term").isin(terms))
-            .select("doc_id")
-            .distinct()
+            self.postings.filter(F.col("term").isin(all_terms))
+            .join(F.broadcast(exp_df), "term")
+            .groupBy("doc_id")
+            .agg(F.collect_set("qword").alias("qws"))
         )
 
+    def _node_member_exprs(self, ast: Part) -> List:
+        """Per-node doc-set membership as boolean Columns over the ``qws``
+        column, indexed in ``oracle.iter_nodes`` order (preorder; AND-NOT
+        keeps the non-NOT side, src/query.rs:133-179).  Leaf = qword present;
+        AND = conjunction (J1); OR = disjunction (J2); `a AND NOT b` =
+        member(a) (reference J6 identity — NOT applies at scoring only)."""
+        exprs: List = []
+
+        def ev(p: Part):
+            idx = len(exprs)
+            exprs.append(None)  # placeholder, same order as oracle.iter_nodes
+            if isinstance(p, Word):
+                e = F.array_contains(F.col("qws"), p.text)
+            elif isinstance(p, And):
+                # the not-inner is still walked for stray-NOT detection and
+                # node-id alignment (src/query.rs:156-159,236)
+                if isinstance(p.right, Not):
+                    e = ev(p.left)
+                    ev(p.right.part)
+                elif isinstance(p.left, Not):
+                    e = ev(p.right)
+                    ev(p.left.part)
+                else:
+                    e = ev(p.left) & ev(p.right)
+            elif isinstance(p, Or):
+                e = ev(p.left) | ev(p.right)
+            else:
+                raise oracle.StrayNot()
+            exprs[idx] = e
+            return e
+
+        ev(ast)
+        return exprs
+
     def doc_ids(self, ast: Part, exp=None) -> DataFrame:
-        """Boolean doc retrieval (EP2; J1/J2/J6)."""
+        """Boolean doc retrieval (EP2; J1/J2/J6) — one scan + one aggregate,
+        root-node membership filter."""
         if exp is None:
             exp = self.expansions(ast)
-
-        def ev(p: Part) -> DataFrame:
-            if isinstance(p, Word):
-                return self._leaf_docs(p.text, exp)
-            if isinstance(p, And):
-                # `a AND NOT b` -> docs(a); the not-inner is still evaluated
-                # for stray-NOT detection (src/query.rs:156-159,236)
-                if isinstance(p.right, Not):
-                    keep = ev(p.left)
-                    ev(p.right.part)
-                    return keep
-                if isinstance(p.left, Not):
-                    keep = ev(p.right)
-                    ev(p.left.part)
-                    return keep
-                return ev(p.left).join(ev(p.right), "doc_id", "left_semi")
-            if isinstance(p, Or):
-                return ev(p.left).unionByName(ev(p.right)).distinct()
-            raise oracle.StrayNot()
-
-        return ev(ast)
+        root = self._node_member_exprs(ast)[0]
+        return self._qword_sets(exp).filter(root).select("doc_id")
 
     # ------------------------------------------------------- node max docs
 
     def node_max_docs(self, ast: Part, exp) -> List[int]:
         """Per-node stream max-doc scalars (sentinel inputs) in one job:
-        per-node doc-set DataFrames tagged + unioned -> groupBy(node).max."""
-        dfs: List[DataFrame] = []
-
-        def ev(p: Part) -> DataFrame:
-            idx = len(dfs)
-            dfs.append(None)  # placeholder, same order as oracle.iter_nodes
-            if isinstance(p, Word):
-                d = self._leaf_docs(p.text, exp)
-            elif isinstance(p, And):
-                if isinstance(p.right, Not):
-                    d = ev(p.left)
-                    ev(p.right.part)
-                elif isinstance(p.left, Not):
-                    d = ev(p.right)
-                    ev(p.left.part)
-                else:
-                    d = ev(p.left).join(ev(p.right), "doc_id", "left_semi")
-            elif isinstance(p, Or):
-                d = ev(p.left).unionByName(ev(p.right)).distinct()
-            else:
-                raise oracle.StrayNot()
-            dfs[idx] = d
-            return d
-
-        ev(ast)
-        tagged = None
-        for i, d in enumerate(dfs):
-            t = d.select(F.lit(i).alias("nid"), F.col("doc_id"))
-            tagged = t if tagged is None else tagged.unionByName(t)
-        rows = tagged.groupBy("nid").agg(F.max("doc_id").alias("mx")).collect()
-        maxes = [-1] * len(dfs)
-        for row in rows:
-            maxes[row.nid] = row.mx if row.mx is not None else -1
-        return maxes
+        conditional maxes over the shared qword-set aggregate."""
+        exprs = self._node_member_exprs(ast)
+        row = self._qword_sets(exp).agg(
+            *[
+                F.max(F.when(e, F.col("doc_id"))).alias(f"m{i}")
+                for i, e in enumerate(exprs)
+            ]
+        ).collect()[0]
+        return [row[i] if row[i] is not None else -1 for i in range(len(exprs))]
 
     # ------------------------------------------------------------- scoring
 
-    def _node_max_pairs_df(self, ast: Part, exp) -> DataFrame:
+    def _node_max_pairs_df(self, sets: DataFrame, exprs: List) -> DataFrame:
         """One-row DataFrame [(nid, mx)...] of per-node stream max docs —
-        the sentinel inputs, computed *in-plan* (no separate driver action;
-        it rides into the scoring job as a broadcast cross-join)."""
-        dfs: List[DataFrame] = []
-
-        def ev(p: Part) -> DataFrame:
-            idx = len(dfs)
-            dfs.append(None)
-            if isinstance(p, Word):
-                d = self._leaf_docs(p.text, exp)
-            elif isinstance(p, And):
-                if isinstance(p.right, Not):
-                    d = ev(p.left)
-                    ev(p.right.part)
-                elif isinstance(p.left, Not):
-                    d = ev(p.right)
-                    ev(p.left.part)
-                else:
-                    d = ev(p.left).join(ev(p.right), "doc_id", "left_semi")
-            elif isinstance(p, Or):
-                d = ev(p.left).unionByName(ev(p.right)).distinct()
-            else:
-                raise oracle.StrayNot()
-            dfs[idx] = d
-            return d
-
-        ev(ast)
-        tagged = None
-        for i, d in enumerate(dfs):
-            t = d.select(F.lit(i).alias("nid"), F.col("doc_id"))
-            tagged = t if tagged is None else tagged.unionByName(t)
-        return (
-            tagged.groupBy("nid")
-            .agg(F.max("doc_id").alias("mx"))
-            .agg(
-                F.array_sort(F.collect_list(F.struct("nid", "mx"))).alias(
-                    "node_max_pairs"
-                )
-            )
+        the sentinel inputs, computed *in-plan* from the shared qword-set
+        aggregate (rides into the scoring job as a broadcast cross-join)."""
+        return sets.agg(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("nid"),
+                        F.coalesce(
+                            F.max(F.when(e, F.col("doc_id"))), F.lit(-1)
+                        ).cast("long").alias("mx"),
+                    )
+                    for i, e in enumerate(exprs)
+                ]
+            ).alias("node_max_pairs")
         )
 
     def hits(
@@ -319,13 +297,17 @@ class QueryEngine:
             .join(F.broadcast(exp_df), "term")
             .select("qword", "term", "proximity", "doc_id", "positions")
         )
-        # prune docs that cannot produce hits (root stream doc set)
-        root_docs = self.doc_ids(ast, exp)
-        occ = occ.join(root_docs, "doc_id", "left_semi")
+        # prune docs that cannot produce hits (root stream doc set): join the
+        # shared qword-set aggregate and filter on root-node membership — the
+        # same aggregate feeds the sentinel maxes, so the whole query costs
+        # O(1) posting scans regardless of word count
+        exprs = self._node_member_exprs(ast)
+        sets = self._qword_sets(exp)
+        occ = occ.join(sets, "doc_id").filter(exprs[0]).drop("qws")
 
         n_nodes = len(list(oracle.iter_nodes(ast)))
         if maxes is None:
-            occ = occ.crossJoin(F.broadcast(self._node_max_pairs_df(ast, exp)))
+            occ = occ.crossJoin(F.broadcast(self._node_max_pairs_df(sets, exprs)))
         else:
             pairs = [(i, int(m)) for i, m in enumerate(maxes)]
             occ = occ.withColumn(
