@@ -56,6 +56,107 @@ positions AS (
 
 _CACHE: Dict[str, dict] = {}
 
+# ------------------------------------------------- cross-engine Zipf corpus
+#
+# The sf corpora have a ~31-term near-uniform vocabulary, which makes several
+# gates 1-2-row trivia.  These gates run on a deterministic Zipf(s=1)-skewed
+# synthetic corpus built from portable integer arithmetic (LCG + log-uniform
+# rank over power-of-two octaves: p(rank) ~ 1/rank), reproduced exactly in
+# DuckDB SQL — no floats, no engine-specific hash functions.  Docs (i, i+1)
+# with i % 50 == 0 are planted exact duplicates (dedup signal).
+
+ZIPF_D = 2000  # docs
+ZIPF_L = 60  # tokens per doc
+ZIPF_LEVELS = 12  # rank octaves -> vocabulary ranks 1..4095
+
+ZIPF_TOKS_SQL = f"""
+zraw AS (
+    SELECT doc_id, k,
+           (1103515245 * ((CASE WHEN doc_id % 50 = 1 THEN doc_id - 1
+                                ELSE doc_id END) * {ZIPF_L} + k) + 12345)
+           % 2147483648 AS x1
+    FROM (SELECT unnest(range({ZIPF_D})) AS doc_id)
+    CROSS JOIN (SELECT unnest(range({ZIPF_L})) AS k)
+),
+zx AS (
+    SELECT doc_id, k, x1,
+           (1103515245 * x1 + 12345) % 2147483648 AS x2
+    FROM zraw
+),
+ztok AS (
+    SELECT doc_id, k,
+           'w' || CAST(
+               (CAST(1 AS BIGINT) << CAST(x1 % {ZIPF_LEVELS} AS INT))
+               + (x2 % (CAST(1 AS BIGINT) << CAST(x1 % {ZIPF_LEVELS} AS INT)))
+           AS VARCHAR) AS term
+    FROM zx
+)
+"""
+
+ZIPF_TEXT_SQL = f"""
+{ZIPF_TOKS_SQL},
+ztext AS (
+    SELECT doc_id, string_agg(term, ' ' ORDER BY k) AS text
+    FROM ztok GROUP BY doc_id
+)
+"""
+
+
+def _zipf_docs(spark: SparkSession) -> DataFrame:
+    """(doc_id, text) — the arithmetic corpus above, all JVM expressions."""
+    ids = spark.range(0, ZIPF_D, 1, 32).select(F.col("id").alias("doc_id"))
+    base = F.when(F.col("doc_id") % 50 == 1, F.col("doc_id") - 1).otherwise(
+        F.col("doc_id")
+    )
+    toks = ids.select(
+        "doc_id",
+        base.alias("base"),
+        F.explode(F.sequence(F.lit(0), F.lit(ZIPF_L - 1))).alias("k"),
+    )
+    idx = F.col("base") * ZIPF_L + F.col("k")
+    x1 = (F.lit(1103515245).cast("long") * idx + 12345) % F.lit(2147483648).cast(
+        "long"
+    )
+    x2 = (F.lit(1103515245).cast("long") * x1 + 12345) % F.lit(2147483648).cast(
+        "long"
+    )
+    level = x1 % ZIPF_LEVELS
+    p2 = F.pow(F.lit(2.0), level).cast("long")  # exact for level <= 11
+    rank = p2 + (x2 % p2)
+    w = F.concat(F.lit("w"), rank.cast("string"))
+    return (
+        toks.select("doc_id", "k", w.alias("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("k", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("text")
+        )
+    )
+
+
+def _zipf_tables(spark: SparkSession) -> dict:
+    key = f"zipf:{id(spark)}"
+    if key not in _CACHE:
+        docs = _zipf_docs(spark).cache()
+        postings = index_build.build_postings(docs).cache()
+        terms = index_build.build_terms(postings).cache()
+        docstats = index_build.docstats_from_postings(postings).cache()
+        n, avgdl = bm25.corpus_stats(docstats)
+        _CACHE[key] = {
+            "docs": docs,
+            "postings": postings,
+            "terms": terms,
+            "docstats": docstats,
+            "n": n,
+            "avgdl": avgdl,
+        }
+    return _CACHE[key]
+
 
 def _tables(spark: SparkSession, sf_dir: str) -> dict:
     key = f"{id(spark)}:{sf_dir}"
@@ -303,6 +404,65 @@ def q_mm_meta(spark, sf_dir):
     )
 
 
+# ----------------------------------------------------------- Zipf-scale gates
+
+
+def q_zipf_dict_prefix(spark, sf_dir):
+    """S6 at realistic vocabulary scale: dictionary range scan over the
+    ~2.5k-term Zipf dictionary (prefix 'w12' -> ~90 rows, not 2)."""
+    t = _zipf_tables(spark)["terms"]
+    return t.filter(F.col("term").startswith("w12")).select("term", "df")
+
+
+def q_zipf_prefix_expand(spark, sf_dir):
+    """F4/F7 at scale: prefix-expansion ratings for query word 'w3' over the
+    Zipf dictionary (~600 expansions; double-precision mirror of the f32
+    formula for SQL comparability)."""
+    t = _zipf_tables(spark)["terms"]
+    w = "w3"
+    ld = F.length("term") - len(w)
+    return (
+        t.filter(F.col("term").startswith(w))
+        .select(
+            "term",
+            F.round(
+                F.when(ld == 0, F.lit(1.0)).otherwise(
+                    1.0 / (0.05 * ld + 0.5) - 1.2
+                ),
+                6,
+            ).alias("rating"),
+        )
+    )
+
+
+def q_zipf_dd_exact(spark, sf_dir):
+    """Exact dedup with planted duplicates: 40 md5 groups of size 2."""
+    return dedup.exact_dup_groups(_zipf_tables(spark)["docs"])
+
+
+def q_zipf_bm25_compressed(spark, sf_dir):
+    """Distributed compressed-block BM25 top-50 (block-max skipping,
+    mapInPandas decode, in-plan doc_len join) — must equal the exhaustive
+    DuckDB BM25 top-50 on the same corpus."""
+    from .operators import codec
+
+    t = _zipf_tables(spark)
+    key = f"zipf_comp:{id(spark)}"
+    if key not in _CACHE:
+        _CACHE[key] = codec.build_compressed(
+            t["postings"], t["docstats"], t["terms"], t["n"], t["avgdl"],
+            doc_span=16,
+        ).cache()
+    comp = _CACHE[key]
+    # doc_span=16 -> 125 ranges; k=probe=20 skips ~100 of them in phase 2
+    # (the oracle verifies the pruned result equals the exhaustive top-k)
+    topk, _pruned = codec.bm25_topk_compressed_df(
+        comp, t["docstats"], t["terms"], ["w1", "w800", "w3000"], 20,
+        t["n"], t["avgdl"], probe_ranges=20,
+    )
+    return topk.select("doc_id", F.round("score", 6).alias("score"))
+
+
 # ------------------------------------------------------------- events/windows
 
 
@@ -352,6 +512,10 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_meta": q_mm_meta,
         "ev_window_stats": q_ev_window_stats,
         "ev_session_stats": q_ev_session_stats,
+        "zipf_dict_prefix": q_zipf_dict_prefix,
+        "zipf_prefix_expand": q_zipf_prefix_expand,
+        "zipf_dd_exact": q_zipf_dd_exact,
+        "zipf_bm25_compressed": q_zipf_bm25_compressed,
     }
 
 
@@ -609,6 +773,50 @@ def oracle_sql() -> Dict[str, str]:
                    CAST((octet_length(encode(text)) // 640) % 480 + 1 AS BIGINT) AS fake_height,
                    CAST(octet_length(encode(text)) % 7 + 1 AS BIGINT) AS fake_frames
             FROM documents
+        """,
+        "zipf_dict_prefix": f"""
+            WITH {ZIPF_TOKS_SQL}
+            SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM ztok WHERE term LIKE 'w12%' GROUP BY term
+        """,
+        "zipf_prefix_expand": f"""
+            WITH {ZIPF_TOKS_SQL},
+            zdict AS (SELECT DISTINCT term FROM ztok)
+            SELECT term,
+                   round(CASE WHEN len(term) = 2 THEN 1.0
+                         ELSE 1.0 / (0.05 * (len(term) - 2) + 0.5) - 1.2 END,
+                         6) AS rating
+            FROM zdict WHERE term LIKE 'w3%'
+        """,
+        "zipf_dd_exact": f"""
+            WITH {ZIPF_TEXT_SQL}
+            SELECT h, CAST(cnt AS BIGINT) AS cnt FROM (
+                SELECT md5(text) AS h, count(*) AS cnt
+                FROM ztext GROUP BY md5(text)
+            ) WHERE cnt > 1
+        """,
+        "zipf_bm25_compressed": f"""
+            WITH {ZIPF_TOKS_SQL},
+            ztf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                    FROM ztok GROUP BY doc_id, term),
+            zdl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+                    FROM ztok GROUP BY doc_id),
+            zstats AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM zdl),
+            zdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM ztf GROUP BY term)
+            SELECT doc_id, round(score, 6) AS score FROM (
+                SELECT ztf.doc_id,
+                       sum(
+                         ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                         * tf * (1.2 + 1.0)
+                         / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                       ) AS score
+                FROM ztf
+                JOIN zdf USING (term)
+                JOIN zdl USING (doc_id)
+                CROSS JOIN zstats
+                WHERE term IN ('w1', 'w800', 'w3000')
+                GROUP BY ztf.doc_id
+            ) ORDER BY score DESC, doc_id ASC LIMIT 20
         """,
         # ft_query_hits / dd_jaccard_pairs: intentionally no SQL oracle
         # (f32 scoring pipeline; LSH-candidate-dependent pair set) -> the

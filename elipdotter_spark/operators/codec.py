@@ -64,19 +64,25 @@ def varint_encode(values: np.ndarray) -> bytes:
 
 
 def varint_decode(buf: bytes, n: int) -> np.ndarray:
-    out = np.empty(n, dtype=np.uint64)
-    i = 0
-    for k in range(n):
-        shift = 0
-        v = 0
-        while True:
-            b = buf[i]
-            i += 1
-            v |= (b & 0x7F) << shift
-            if not (b & 0x80):
-                break
-            shift += 7
-        out[k] = v
+    """LEB128 decode ``n`` values — vectorized: one numpy pass per byte
+    position (varints here are <=10 bytes), no per-value Python loop."""
+    a = np.frombuffer(buf, dtype=np.uint8)
+    ends = np.flatnonzero(a < 0x80)  # terminal byte of each value
+    if len(ends) != n:
+        raise ValueError(f"expected {n} varints, found {len(ends)}")
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    out = np.zeros(n, dtype=np.uint64)
+    width = int((ends - starts).max()) + 1
+    for i in range(width):
+        idx = starts + i
+        mask = idx <= ends
+        out[mask] |= (a[idx[mask]].astype(np.uint64) & np.uint64(0x7F)) << np.uint64(
+            7 * i
+        )
     return out
 
 
@@ -183,6 +189,169 @@ def build_compressed(
 # ------------------------------------------------------- query (block-max)
 
 
+DECODED_SCHEMA = StructType(
+    [
+        StructField("term", StringType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("tf", LongType(), False),
+    ]
+)
+
+
+def decoded_postings(blocks: DataFrame) -> DataFrame:
+    """(term, doc_id, tf) — decode compressed blocks in Arrow-batched
+    partitions (vectorized varint unpack, numpy concatenate; no per-posting
+    Python).  This is the distributed consumer of the block format: decode
+    happens on the executors that hold the blocks."""
+
+    def unpack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            terms_out: List[np.ndarray] = []
+            ids_out: List[np.ndarray] = []
+            tfs_out: List[np.ndarray] = []
+            for term, cnt, first, dd, tfb in zip(
+                pdf["term"],
+                pdf["n"].values,
+                pdf["first_doc"].values,
+                pdf["doc_deltas"],
+                pdf["tfs"],
+            ):
+                ids, tfs = decode_block(int(first), dd, tfb, int(cnt))
+                terms_out.append(np.full(len(ids), term, dtype=object))
+                ids_out.append(ids)
+                tfs_out.append(tfs)
+            if not ids_out:
+                yield pd.DataFrame(
+                    {
+                        "term": pd.Series([], dtype=object),
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "tf": pd.Series([], dtype="int64"),
+                    }
+                )
+                continue
+            yield pd.DataFrame(
+                {
+                    "term": np.concatenate(terms_out),
+                    "doc_id": np.concatenate(ids_out).astype("int64"),
+                    "tf": np.concatenate(tfs_out).astype("int64"),
+                }
+            )
+
+    return blocks.mapInPandas(unpack, schema=DECODED_SCHEMA)
+
+
+def _scores_from_blocks(
+    blocks: DataFrame,
+    docstats: DataFrame,
+    idf: DataFrame,
+    avgdl: float,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Decode -> broadcast idf join -> in-plan doc_len join -> per-doc sum.
+    All scoring math is JVM expressions; Python touches only the varint
+    unpack."""
+    dec = decoded_postings(blocks)
+    return (
+        dec.join(F.broadcast(idf), "term")
+        .join(docstats, "doc_id")
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1.0))
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("doc_len") / F.lit(float(avgdl)))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+
+
+def bm25_topk_compressed_df(
+    compressed: DataFrame,
+    docstats: DataFrame,
+    terms: DataFrame,
+    query_terms: Sequence[str],
+    k: int,
+    n: int,
+    avgdl: float,
+    k1: float = 1.2,
+    b: float = 0.75,
+    probe_ranges: int = None,
+) -> Tuple[DataFrame, int]:
+    """Distributed top-k BM25 over the compressed range-aligned blocks with
+    block-max skipping — the scale-path consumer of the codec (block-skipping
+    intent of the reference's Lossless fast path, src/index.rs:1012-1016).
+
+    - ub(range) = sum of the query terms' block maxes in that range — an
+      upper bound on any contained doc's score (sound because blocks are
+      doc-range aligned: a doc's whole score lives in one range);
+    - phase 1 (one distributed job): fully score the ``probe_ranges``
+      highest-ub ranges; collect only the top-k rows -> theta = k-th best
+      *true* score;
+    - phase 2 (one distributed job): decode + score only ranges with
+      ub >= theta; phase-1's top-k rides back in as a k-row literal (any
+      phase-1 doc below theta is dominated by the k docs at >= theta).
+
+    No driver-side scoring and no docstats collect — doc_len joins in-plan;
+    the only driver round-trips are the probe-range ids and the k-row theta
+    collect.  Returns (top-k DataFrame(doc_id, score), n_ranges_pruned) —
+    provably equal to the exhaustive top-k."""
+    from .bm25 import _idf_col
+
+    spark = compressed.sparkSession
+    qterms = list(dict.fromkeys(query_terms))
+    blk = compressed.filter(F.col("term").isin(qterms))
+    idf = terms.filter(F.col("term").isin(qterms)).select(
+        "term", _idf_col(n).alias("idf")
+    )
+    bounds = blk.groupBy("block").agg(F.sum("block_max").alias("ub"))
+
+    n_probe = max(1, k if probe_ranges is None else probe_ranges)
+    probe = [
+        r.block
+        for r in bounds.orderBy(F.desc("ub"), F.asc("block")).limit(n_probe).collect()
+    ]
+    empty = spark.createDataFrame([], schema="doc_id long, score double")
+    if not probe:
+        return empty, 0
+
+    phase1 = _scores_from_blocks(
+        blk.filter(F.col("block").isin(probe)), docstats, idf, avgdl, k1, b
+    )
+    top1 = phase1.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+    theta = float(top1[-1].score) if len(top1) >= k else float("-inf")
+
+    stats = bounds.agg(
+        F.count("*").alias("total"),
+        F.sum(
+            F.when(
+                ~F.col("block").isin(probe) & (F.col("ub") >= theta), 1
+            ).otherwise(0)
+        ).alias("survived"),
+    ).collect()[0]
+    pruned = int(stats.total) - len(probe) - int(stats.survived or 0)
+
+    surviving = bounds.filter(
+        ~F.col("block").isin(probe) & (F.col("ub") >= theta)
+    ).select("block")
+    phase2 = _scores_from_blocks(
+        blk.join(F.broadcast(surviving), "block"), docstats, idf, avgdl, k1, b
+    )
+    phase1_top = spark.createDataFrame(
+        [(int(r.doc_id), float(r.score)) for r in top1],
+        schema="doc_id long, score double",
+    ) if top1 else empty
+    final = (
+        phase1_top.unionByName(phase2)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return final, pruned
+
+
 def bm25_topk_compressed(
     compressed: DataFrame,
     docstats: DataFrame,
@@ -193,72 +362,9 @@ def bm25_topk_compressed(
     avgdl: float,
     k1: float = 1.2,
     b: float = 0.75,
-) -> List[Tuple[int, float]]:
-    """Top-k BM25 over the compressed range-aligned blocks with block-max
-    skipping.
-
-    Single-node block scan (the distributed variant is
-    ``bm25.bm25_topk_blockmax``; this path demonstrates the compressed
-    format + skipping, matching the reference's single-node query model):
-
-    - group blocks by doc range; ub(range) = sum of the query terms' block
-      maxes in that range — an upper bound on any contained doc's score;
-    - phase 1: fully score the highest-ub ranges -> theta = k-th best *true*
-      score found;
-    - phase 2: skip every range with ub < theta (no contained doc can reach
-      the top-k); decode + score the rest.
-
-    Returns ([(doc_id, score)], n_ranges_pruned) — provably equal to the
-    exhaustive top-k."""
-    import heapq
-    import math
-    from collections import defaultdict
-
-    qterms = list(dict.fromkeys(query_terms))
-    blocks = compressed.filter(F.col("term").isin(qterms)).collect()
-    if not blocks:
-        return [], 0
-    df_map = {
-        r.term: r.df for r in terms.filter(F.col("term").isin(qterms)).collect()
-    }
-    dl = {r.doc_id: r.doc_len for r in docstats.collect()}
-
-    by_range = defaultdict(list)
-    for r in blocks:
-        by_range[r.block].append(r)
-    ub = {rng: sum(r.block_max for r in rs) for rng, rs in by_range.items()}
-
-    def score_ranges(ranges, scores):
-        for rng in ranges:
-            for r in by_range[rng]:
-                ids, tfs = decode_block(r.first_doc, r.doc_deltas, r.tfs, r.n)
-                # block_max carries idf-included impacts; recompute exact
-                w = math.log(
-                    (n - df_map[r.term] + 0.5) / (df_map[r.term] + 0.5) + 1.0
-                )
-                for doc, tf in zip(ids.tolist(), tfs.tolist()):
-                    contrib = (
-                        w
-                        * tf
-                        * (k1 + 1.0)
-                        / (tf + k1 * (1.0 - b + b * dl[doc] / avgdl))
-                    )
-                    scores[doc] = scores.get(doc, 0.0) + contrib
-
-    # phase 1: fully score the most promising ranges -> true threshold
-    probe = [rng for rng, _ in heapq.nlargest(
-        max(1, k), ub.items(), key=lambda kv: kv[1]
-    )]
-    scores: dict = {}
-    score_ranges(probe, scores)
-    top1 = heapq.nlargest(k, scores.values())
-    theta = top1[-1] if len(top1) >= k else float("-inf")
-
-    # phase 2: skip ranges whose upper bound cannot reach theta
-    probe_set = set(probe)
-    rest = [rng for rng in by_range if rng not in probe_set and ub[rng] >= theta]
-    pruned = len(by_range) - len(probe_set) - len(rest)
-    score_ranges(rest, scores)
-
-    top = heapq.nlargest(k, scores.items(), key=lambda kv: (kv[1], -kv[0]))
-    return [(d, s) for d, s in top], pruned
+) -> Tuple[List[Tuple[int, float]], int]:
+    """Collected form of :func:`bm25_topk_compressed_df` (top-k is small)."""
+    df, pruned = bm25_topk_compressed_df(
+        compressed, docstats, terms, query_terms, k, n, avgdl, k1, b
+    )
+    return [(int(r.doc_id), float(r.score)) for r in df.collect()], pruned
