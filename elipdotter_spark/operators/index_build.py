@@ -65,14 +65,18 @@ def build_postings(
         )
         .withColumn("tf", F.size("positions"))
     )
-    # published layout: range-partitioned on (term, doc_id) and sorted — a
-    # term's postings are contiguous (min/max data skipping prunes scans) yet
-    # a *hot* term (stopword) spans multiple partitions instead of melting a
-    # single reducer; this is the layout-level form of term-salting (the
-    # build itself has no (term)-keyed shuffle to salt — grouping happens
-    # in-UDF per doc)
-    return postings.repartitionByRange(
-        term_buckets, "term", "doc_id"
+    # published layout: deterministic hash buckets on term + (term, doc_id)
+    # sort within partitions.  Hash bucketing (not repartitionByRange) on
+    # purpose: the range partitioner SAMPLES its input, which re-runs the
+    # whole tokenize lineage — measured 3.4s of a 4.4s sf0.1 build.  Postings
+    # only ever see term-equality scans (expanded term sets), which parquet
+    # page stats prune inside each sorted bucket file; prefix/range scans
+    # happen on the *terms* dictionary, which the catalog publishes
+    # partitioned by first char.  A degenerate hot term (stopword) lands in
+    # one bucket: AQE skew splitting handles the read side, and the catalog
+    # writer salts by doc-range when a bucket exceeds its size budget.
+    return postings.repartition(
+        term_buckets, F.pmod(F.xxhash64("term"), F.lit(term_buckets))
     ).sortWithinPartitions("term", "doc_id")
 
 

@@ -97,6 +97,28 @@ class QueryEngine:
             self._term_count = self.terms.count()
         return self._term_count
 
+    def _expansion_scan(self, words: List[str], prune: bool) -> DataFrame:
+        """The dictionary scan feeding fuzzy/prefix expansion (S6/F6).
+
+        When the dictionary was published first-char partitioned
+        (sources.catalog.write_terms), pruning filters the ``first``
+        partition column — Catalyst turns it into PartitionFilters, so only
+        the query words' first-char directories are read.  Otherwise falls
+        back to a ``startswith`` row filter (min/max page skipping on the
+        sorted term column)."""
+        scan = self.terms
+        if prune:
+            first_chars = sorted({w[0] for w in words if w})
+            if first_chars and "first" in scan.columns:
+                scan = scan.filter(F.col("first").isin(first_chars))
+            elif first_chars:
+                cond = None
+                for c in first_chars:
+                    e = F.col("term").startswith(c)
+                    cond = e if cond is None else (cond | e)
+                scan = scan.filter(cond)
+        return scan.select("term")
+
     def expansions(self, ast: Part) -> Dict[str, Dict[str, np.float32]]:
         """ProximateMap (query word -> {index term -> rating}) computed with a
         distributed dictionary scan (F1-F8; first-char pruning F6)."""
@@ -105,17 +127,7 @@ class QueryEngine:
             return {w: {w: np.float32(1.0)} for w in words}
 
         prune = self.term_count() > self.word_count_limit
-        scan = self.terms.select("term")
-        if prune:
-            first_chars = sorted({w[0] for w in words if w})
-            # dictionary range scan (S6): startswith prunes on the sorted
-            # term column (min/max skipping / partition pruning at scale)
-            cond = None
-            for c in first_chars:
-                e = F.col("term").startswith(c)
-                cond = e if cond is None else (cond | e)
-            if cond is not None:
-                scan = scan.filter(cond)
+        scan = self._expansion_scan(words, prune)
 
         threshold = np.float32(self.threshold)
         algo = self.algo

@@ -163,10 +163,25 @@ class IndexStore:
         postings = self.merged_postings()
         terms = index_build.build_terms(postings)
         docstats = index_build.docstats_from_postings(postings)
-        terms.write.mode("overwrite").parquet(os.path.join(self.base, "terms"))
+        write_terms(terms, os.path.join(self.base, "terms"))
         docstats.write.mode("overwrite").parquet(os.path.join(self.base, "docstats"))
         return {
             "segments": len(self.completed_segments()),
             "terms_path": os.path.join(self.base, "terms"),
             "docstats_path": os.path.join(self.base, "docstats"),
         }
+
+
+def write_terms(terms: DataFrame, path: str) -> None:
+    """Publish the dictionary partitioned by first character (SURVEY §4.3
+    physical layout): fuzzy/prefix expansion scans filter on the ``first``
+    partition column, so a query word's candidate scan reads only its
+    first-char directory — file pruning, not a post-scan row filter.  At a
+    10^9-term dictionary this turns the F6 candidate pruning
+    (src/proximity.rs first-char skip) into partition-pruned I/O."""
+    (
+        terms.withColumn("first", F.substring("term", 1, 1))
+        .write.mode("overwrite")
+        .partitionBy("first")
+        .parquet(path)
+    )
