@@ -1,0 +1,71 @@
+"""Multi-table LSH ANN at scale: 50k vectors, 4 tables x 16 planes (64
+plane-bits total), planted near-neighbors, recall vs exact brute force
+(VERDICT r1 #6)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from elipdotter_spark.operators import ann
+
+DIM = 64
+N = 50_000
+N_PLANES = 16
+N_TABLES = 4
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """50k unit-ish vectors; vectors 1..15 are small perturbations of
+    vector 0 (the query), so the true top-10 is known and tight."""
+    rng = np.random.RandomState(7)
+    m = rng.standard_normal((N, DIM))
+    q = m[0].copy()
+    for i in range(1, 16):
+        m[i] = q + 0.12 * rng.standard_normal(DIM)
+    pdf = pd.DataFrame({"vec_id": np.arange(N, dtype=np.int64), "embedding": list(m.astype(np.float32))})
+    emb = spark.createDataFrame(pdf).repartition(16).cache()
+    emb.count()
+    # exact ground truth, driver-side numpy (referee only)
+    sims = (m @ q) / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+    truth = np.argsort(-sims)[:10]
+    return emb, q, set(int(i) for i in truth)
+
+
+@pytest.mark.spark
+def test_multitable_lsh_recall(spark, planted):
+    emb, q, truth = planted
+    buckets = ann.lsh_buckets_tables(
+        emb, n_planes=N_PLANES, n_tables=N_TABLES, dim=DIM
+    ).cache()
+    n_buckets = buckets.count()
+    assert n_buckets == N * N_TABLES  # one bucket row per (vector, table)
+
+    got = ann.topk_lsh_tables(
+        emb, buckets, q, 10, n_planes=N_PLANES, n_tables=N_TABLES, multiprobe=1
+    )
+    ids = {int(r.vec_id) for r in got.collect()}
+    recall = len(ids & truth) / len(truth)
+    assert recall >= 0.8, (recall, sorted(ids), sorted(truth))
+
+    # candidate set must be a tiny fraction of the corpus (that's the point)
+    probe = ann.query_buckets_tables(q, N_PLANES, N_TABLES)
+    cond = None
+    for t, b in probe:
+        e = (F.col("table") == t) & (F.col("bucket") == b)
+        cond = e if cond is None else (cond | e)
+    exact_bucket_cands = buckets.filter(cond).select("vec_id").distinct().count()
+    assert exact_bucket_cands < N * 0.05, exact_bucket_cands
+
+
+@pytest.mark.spark
+def test_single_table_hof_matches_scalar_formula(spark, planted):
+    """JVM-HOF bucket assignment == driver-side scalar formula (F6-analogue
+    determinism; guards the zip_with/aggregate rewrite)."""
+    emb, _q, _truth = planted
+    sample = emb.filter(F.col("vec_id") < 200)
+    got = {r.vec_id: r.bucket for r in ann.lsh_buckets(sample, dim=DIM).collect()}
+    vecs = {r.vec_id: list(r.embedding) for r in sample.collect()}
+    for vid, vec in vecs.items():
+        assert got[vid] == ann.query_bucket(vec, ann.N_PLANES), vid
