@@ -39,7 +39,7 @@ def _load(spark, index_dir):
     from elipdotter_spark.sources.catalog import IndexStore
 
     store = IndexStore(spark, index_dir)
-    postings = store.postings().cache()
+    postings = store.merged_postings().cache()  # latest-wins on re-ingest
     terms = spark.read.parquet(f"{index_dir}/terms").cache()
     docstats = spark.read.parquet(f"{index_dir}/docstats").cache()
     return postings, terms, docstats

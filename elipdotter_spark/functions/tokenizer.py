@@ -8,8 +8,9 @@ single compiled-regex pass.
 Two shapes:
 - :func:`tokens_udf` -> ``array<struct<term string, pos bigint>>`` — positional
   (the "Lossless" path, byte offsets).
-- :func:`terms_udf` -> ``array<string>`` — terms only (the cheap path for
-  BM25/doc-stats/dedup where positions aren't needed).
+- :func:`simple_terms_col` -> ``array<string>`` — JVM-only terms (the
+  whole-stage-codegen fast path for dedup/text-analysis, where reference
+  byte-offset/hyphen-compound fidelity is not required).
 """
 
 from __future__ import annotations
@@ -48,16 +49,6 @@ def tokens_udf(texts: pd.Series) -> pd.Series:
         if s is None:
             return []
         return [{"term": t, "pos": p} for t, p in tokenize(s)]
-
-    return texts.map(one)
-
-
-@pandas_udf(ArrayType(StringType()))
-def terms_udf(texts: pd.Series) -> pd.Series:
-    def one(s) -> List[str]:
-        if s is None:
-            return []
-        return [t for t, _ in tokenize(s)]
 
     return texts.map(one)
 

@@ -48,13 +48,12 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def distinct_tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct (doc_id, term) via the JVM-only tokenizer — dedup needs token
+    identity, not reference byte offsets, so the whole-stage-codegen path
+    (index_build.tokens_jvm) replaces the Python tokenizer UDF here."""
     from . import index_build
 
-    return (
-        index_build.tokens(docs, id_col, text_col)
-        .select("doc_id", "term")
-        .distinct()
-    )
+    return index_build.tokens_jvm(docs, id_col, text_col).distinct()
 
 
 def minhash_bands(
@@ -84,12 +83,38 @@ def minhash_bands(
     )
 
 
-def candidate_pairs(bands: DataFrame) -> DataFrame:
-    """(a, b) doc pairs sharing at least one LSH band bucket."""
+def candidate_pairs(bands: DataFrame, max_ring: int = None) -> DataFrame:
+    """(a, b) doc pairs sharing at least one LSH band bucket.
+
+    ``max_ring=None`` emits every in-bucket pair (exact LSH candidates — the
+    cross-engine-verifiable default).  With ``max_ring=r`` the per-bucket
+    fan-out is bounded: docs are ranked inside their bucket and each doc
+    pairs only with the next ``r`` ranks (chain windows).  A degenerate
+    mega-cluster of n near-identical docs then produces O(n*r) candidate
+    pairs instead of O(n^2) — duplicate *groups* survive because chain edges
+    keep every cluster connected — and the bucket's cost becomes one sort
+    instead of a quadratic self-join melting one reducer."""
+    if max_ring is None:
+        return (
+            bands.alias("x")
+            .join(bands.alias("y"), ["band", "band_hash"])
+            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+            .distinct()
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "band_hash").orderBy("doc_id")
+    ranked = bands.withColumn("rk", F.row_number().over(w))
     return (
-        bands.alias("x")
-        .join(bands.alias("y"), ["band", "band_hash"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        ranked.alias("x")
+        .join(
+            ranked.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("y.rk") > F.col("x.rk"))
+            & (F.col("y.rk") <= F.col("x.rk") + max_ring),
+        )
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
     )
@@ -121,11 +146,14 @@ def jaccard_verify(pairs: DataFrame, toks: DataFrame, digits: int = 6) -> DataFr
     )
 
 
-def near_dup_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+def near_dup_pairs(
+    docs: DataFrame, threshold: float = 0.8, max_ring: int = None
+) -> DataFrame:
     """End-to-end near-dup detection: MinHash LSH candidates -> exact Jaccard
-    verify -> threshold filter."""
+    verify -> threshold filter.  ``max_ring`` bounds hot-bucket fan-out (see
+    candidate_pairs)."""
     bands = minhash_bands(docs)
-    pairs = candidate_pairs(bands)
+    pairs = candidate_pairs(bands, max_ring=max_ring)
     toks = distinct_tokens(docs)
     return jaccard_verify(pairs, toks).filter(F.col("jaccard") >= threshold)
 

@@ -80,10 +80,17 @@ def build_postings(
     ).sortWithinPartitions("term", "doc_id")
 
 
-def build_docstats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """docstats(doc_id, doc_len) — doc_len in tokens (BM25 input)."""
-    return tokens(docs, id_col, text_col).groupBy("doc_id").agg(
-        F.count("*").alias("doc_len")
+def tokens_jvm(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, term) via the JVM-only tokenizer (lowercase alnum runs) —
+    whole-stage-codegen, zero Python transfer.  The fast path for dedup /
+    text-analysis operators, which need token *identity*, not the reference
+    tokenizer's byte offsets or hyphen compounds (on ASCII corpora the two
+    are provably identical)."""
+    from ..functions.tokenizer import simple_terms_col
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(simple_terms_col(F.col(text_col))).alias("term"),
     )
 
 

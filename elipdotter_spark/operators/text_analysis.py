@@ -17,9 +17,10 @@ STOPWORDS = {
 
 
 def _tokens(docs: DataFrame) -> DataFrame:
+    # token identity only (no byte offsets) -> JVM-only fast path
     from . import index_build
 
-    return index_build.tokens(docs).select("doc_id", "term")
+    return index_build.tokens_jvm(docs)
 
 
 def quality(docs: DataFrame, digits: int = 6) -> DataFrame:

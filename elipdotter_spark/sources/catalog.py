@@ -80,9 +80,18 @@ class IndexStore:
         return os.path.join(self.base, "segments", segment_id)
 
     def write_segment(self, segment_id: str, docs: DataFrame) -> dict:
-        """Build + atomically commit one segment, record ledger metrics."""
+        """Build + atomically commit one segment, record ledger metrics.
+
+        Each segment is stamped with a monotonic ``seq`` (ledger insertion
+        order): re-ingesting a document in a later segment *updates* it —
+        :meth:`compacted_postings` keeps only the doc's latest version (the
+        reference's S7 delete + re-digest, src/index.rs:1100-1104 +
+        insert)."""
         t0 = time.perf_counter()
-        postings = index_build.build_postings(docs)
+        seq = len(self.ledger())
+        postings = index_build.build_postings(docs).withColumn(
+            "seq", F.lit(seq).cast("long")
+        )
         tmp = self.segment_path(segment_id) + ".tmp"
         final = self.segment_path(segment_id)
         if os.path.exists(tmp):
@@ -156,8 +165,57 @@ class IndexStore:
 
     def merged_postings(self) -> DataFrame:
         """Segments hold disjoint docs, so cross-segment merge is a no-op
-        union; for overlapping segments (re-ingest), S8 merge applies."""
-        return self.postings()
+        union; for overlapping segments (re-ingest), latest-wins applies
+        (:meth:`compacted_postings`)."""
+        return self.compacted_postings()
+
+    def compacted_postings(self) -> DataFrame:
+        """Latest-wins postings: when a doc appears in several segments
+        (update via re-ingest), only its highest-``seq`` version survives —
+        the stale terms of the old version disappear from query results.
+        One doc_id-keyed aggregate + semi-join; on Iceberg this is the
+        MERGE-on-read path and :meth:`compact` is the rewrite."""
+        p = self.postings()
+        if "seq" not in p.columns:  # pre-seq store: segments are disjoint
+            return p
+        latest = p.groupBy("doc_id").agg(F.max("seq").alias("seq"))
+        return p.join(latest, ["doc_id", "seq"]).drop("seq")
+
+    def compact(self) -> dict:
+        """Physically rewrite the store to one compacted segment (drops
+        superseded doc versions), replacing all prior segments + ledger
+        entries atomically-enough for a single-writer store."""
+        compacted = self.compacted_postings().withColumn(
+            "seq", F.lit(0).cast("long")
+        )
+        tmp = self.segment_path("compact") + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        compacted.write.mode("overwrite").parquet(tmp)
+        seg = self.spark.read.parquet(tmp)
+        n_postings = seg.count()
+        n_docs = seg.select("doc_id").distinct().count()
+        old_segments = self.completed_segments()
+        final = self.segment_path("seg-0000")
+        for s in old_segments:
+            path = self.segment_path(s)
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            os.remove(self._ledger_path(s))
+        os.rename(tmp, final)
+        row = {
+            "segment_id": "seg-0000",
+            "status": "done",
+            "n_docs": n_docs,
+            "n_postings": n_postings,
+            "bytes": _dir_bytes(final),
+            "postings_per_sec": 0.0,
+            "skew_ratio": 0.0,
+            "wall_ms": 0,
+        }
+        with open(self._ledger_path("seg-0000"), "w") as fh:
+            json.dump(row, fh)
+        return row
 
     def publish(self) -> dict:
         postings = self.merged_postings()

@@ -74,3 +74,53 @@ def test_streaming_incremental_ingest(spark, tmp_path, sf_dir):
         for r in index_build.build_postings(docs).collect()
     }
     assert got == want
+
+
+@pytest.mark.spark
+def test_streaming_update_replaces_stale_terms(spark, tmp_path):
+    """Doc update path (VERDICT r1 #9): re-ingesting a changed doc through
+    the stream supersedes its old postings — stale terms disappear from
+    query results; compact() physically rewrites to the same state."""
+    from pyspark.sql import functions as F
+
+    from elipdotter_spark.plans.compiler import QueryEngine
+    from elipdotter_spark.core.parser import parse
+
+    in_dir = str(tmp_path / "incoming")
+    os.makedirs(in_dir)
+    ckpt = str(tmp_path / "ckpt")
+    store = IndexStore(spark, str(tmp_path / "idx"))
+
+    v1 = spark.createDataFrame(
+        [(0, "alpha obsolete words here"), (1, "beta stays put")],
+        "doc_id long, text string",
+    )
+    v1.write.parquet(os.path.join(in_dir, "b1"))
+    incremental.start_ingest(spark, in_dir + "/*", store, ckpt).awaitTermination(120)
+
+    # doc 0 is edited: 'obsolete' removed, 'fresh' added; re-ingested
+    v2 = spark.createDataFrame(
+        [(0, "alpha fresh words here")], "doc_id long, text string"
+    )
+    v2.write.parquet(os.path.join(in_dir, "b2"))
+    incremental.start_ingest(spark, in_dir + "/*", store, ckpt).awaitTermination(120)
+
+    def doc_set(postings, word):
+        terms = index_build.build_terms(postings)
+        eng = QueryEngine(spark, postings, terms, proximity_threshold=1.0, algo="exact")
+        return {r.doc_id for r in eng.doc_ids(parse(word)).collect()}
+
+    merged = store.merged_postings().cache()
+    assert doc_set(merged, "obsolete") == set()          # stale term gone
+    assert doc_set(merged, "fresh") == {0}               # new term present
+    assert doc_set(merged, "alpha") == {0}               # kept term: one version
+    assert doc_set(merged, "beta") == {1}                # untouched doc intact
+    # exactly one surviving version of doc 0's 'words' posting
+    assert merged.filter((F.col("term") == "words") & (F.col("doc_id") == 0)).count() == 1
+
+    # physical compaction: same query results, single segment
+    store.compact()
+    compacted = store.merged_postings()
+    assert doc_set(compacted, "obsolete") == set()
+    assert doc_set(compacted, "fresh") == {0}
+    assert len(store.completed_segments()) == 1
