@@ -229,6 +229,15 @@ def q_ft_paren_docs(spark, sf_dir):
     )
 
 
+def q_ft_diff_docs(spark, sf_dir):
+    """J3: doc-set difference docs('table') \\ docs('value') (set.rs utility
+    operator; distinct from AND-NOT, which keeps the left side)."""
+    eng = _engine(spark, sf_dir)
+    return index_build.doc_difference(
+        eng.doc_ids(parse("table")), eng.doc_ids(parse("value"))
+    )
+
+
 def q_ft_positions(spark, sf_dir):
     """S4: posting scan by term, with byte positions."""
     p = _tables(spark, sf_dir)["postings"]
@@ -492,6 +501,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_or_docs": q_ft_or_docs,
         "ft_andnot_docs": q_ft_andnot_docs,
         "ft_paren_docs": q_ft_paren_docs,
+        "ft_diff_docs": q_ft_diff_docs,
         "ft_positions": q_ft_positions,
         "ft_bm25_scores": q_ft_bm25_scores,
         "ft_prefix_expand": q_ft_prefix_expand,
@@ -566,6 +576,12 @@ def oracle_sql() -> Dict[str, str]:
             SELECT DISTINCT doc_id FROM toks
             WHERE term IN ('table', 'vector')
             INTERSECT
+            SELECT DISTINCT doc_id FROM toks WHERE term = 'value'
+        """,
+        "ft_diff_docs": f"""
+            WITH {TOKS_SQL}
+            SELECT DISTINCT doc_id FROM toks WHERE term = 'table'
+            EXCEPT
             SELECT DISTINCT doc_id FROM toks WHERE term = 'value'
         """,
         "ft_positions": f"""

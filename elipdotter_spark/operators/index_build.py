@@ -144,8 +144,9 @@ def repair_stale(postings: DataFrame, docs: DataFrame) -> DataFrame:
 
 def docmap(docs: DataFrame, name_col: str = "url") -> DataFrame:
     """S2: deterministic dense doc-id assignment at test scale
-    (row_number over name; at web scale switch to xxhash64(url) — ids only
-    need to be stable+unique, SURVEY.md H1)."""
+    (row_number over name — a single-task global sort, so test-scale only;
+    ids only need to be stable+unique, SURVEY.md H1 — use
+    :func:`docmap_hashed` at web scale)."""
     from pyspark.sql import Window
 
     w = Window.orderBy(name_col)
@@ -153,3 +154,34 @@ def docmap(docs: DataFrame, name_col: str = "url") -> DataFrame:
         (F.row_number().over(w) - F.lit(1)).cast("long").alias("doc_id"),
         F.col(name_col).alias("url"),
     )
+
+
+def docmap_hashed(docs: DataFrame, name_col: str = "url") -> DataFrame:
+    """S2 at web scale: doc_id = xxhash64(url) — stable, shuffle-free,
+    embarrassingly parallel (no global sort / window).  Ids are sparse, which
+    every downstream operator tolerates (nothing assumes density); collision
+    probability at 10^12 docs is ~3% per birthday bound over 2^64, so a
+    builder should run :func:`docmap_collisions` once after mapping and
+    re-key any colliding urls."""
+    return docs.select(
+        F.xxhash64(F.col(name_col)).alias("doc_id"),
+        F.col(name_col).alias("url"),
+    )
+
+
+def docmap_collisions(mapped: DataFrame) -> int:
+    """Count colliding hashed ids (0 on healthy corpora) — one aggregate."""
+    return (
+        mapped.groupBy("doc_id")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .count()
+    )
+
+
+def doc_difference(a: DataFrame, b: DataFrame) -> DataFrame:
+    """J3: doc-set difference a \\ b (reference set.rs:107-114 — a utility
+    set operator, unused by the reference's own query path where AND-NOT
+    keeps the left side at doc level).  Plain anti-join: Catalyst broadcasts
+    the small side."""
+    return a.select("doc_id").join(b.select("doc_id"), "doc_id", "left_anti")

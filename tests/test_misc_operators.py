@@ -58,3 +58,34 @@ def test_cli_build_and_query(spark, tmp_path, sf_dir, capsys, monkeypatch):
     assert cli.main(["bm25", "--index", out, "--terms", "spark,fast", "--k", "5"]) == 0
     lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert len(lines) <= 5 and all("score" in l for l in lines)
+
+
+@pytest.mark.spark
+def test_docmap_hashed_stable_unique(spark):
+    from pyspark.sql import functions as F
+
+    from elipdotter_spark.operators import index_build
+
+    docs = spark.range(5000).select(
+        F.concat(F.lit("https://example.com/p/"), F.col("id").cast("string")).alias("url")
+    )
+    m1 = index_build.docmap_hashed(docs)
+    assert index_build.docmap_collisions(m1) == 0
+    # stable across runs / partitionings
+    m2 = index_build.docmap_hashed(docs.repartition(7))
+    a = {r.url: r.doc_id for r in m1.collect()}
+    b = {r.url: r.doc_id for r in m2.collect()}
+    assert a == b
+    # no global sort in the plan (the dense docmap's known scale-killer)
+    plan = m1._jdf.queryExecution().executedPlan().toString()
+    assert "Sort" not in plan, plan
+
+
+@pytest.mark.spark
+def test_doc_difference(spark):
+    from elipdotter_spark.operators import index_build
+
+    a = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    b = spark.createDataFrame([(2,), (9,)], "doc_id long")
+    got = {r.doc_id for r in index_build.doc_difference(a, b).collect()}
+    assert got == {1, 3}
