@@ -472,6 +472,28 @@ def q_zipf_bm25_compressed(spark, sf_dir):
     return topk.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def q_zipf_bm25_wand(spark, sf_dir):
+    """Single-job distributed WAND (per-partition local theta, zero driver
+    round-trips) — must equal the exhaustive DuckDB BM25 top-10."""
+    from .operators import codec
+
+    t = _zipf_tables(spark)
+    ckey = f"zipf_comp:{id(spark)}"
+    dkey = f"zipf_dlb:{id(spark)}"
+    if ckey not in _CACHE:
+        _CACHE[ckey] = codec.build_compressed(
+            t["postings"], t["docstats"], t["terms"], t["n"], t["avgdl"],
+            doc_span=16,
+        ).cache()
+    if dkey not in _CACHE:
+        _CACHE[dkey] = codec.build_doclen_blocks(t["docstats"], doc_span=16).cache()
+    topk = codec.bm25_topk_wand(
+        _CACHE[ckey], _CACHE[dkey], t["terms"], ["w1", "w800", "w3000"], 10,
+        t["n"], t["avgdl"],
+    )
+    return topk.select("doc_id", F.round("score", 6).alias("score"))
+
+
 # ------------------------------------------------------------- events/windows
 
 
@@ -526,6 +548,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_prefix_expand": q_zipf_prefix_expand,
         "zipf_dd_exact": q_zipf_dd_exact,
         "zipf_bm25_compressed": q_zipf_bm25_compressed,
+        "zipf_bm25_wand": q_zipf_bm25_wand,
     }
 
 
@@ -833,6 +856,29 @@ def oracle_sql() -> Dict[str, str]:
                 WHERE term IN ('w1', 'w800', 'w3000')
                 GROUP BY ztf.doc_id
             ) ORDER BY score DESC, doc_id ASC LIMIT 20
+        """,
+        "zipf_bm25_wand": f"""
+            WITH {ZIPF_TOKS_SQL},
+            ztf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                    FROM ztok GROUP BY doc_id, term),
+            zdl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+                    FROM ztok GROUP BY doc_id),
+            zstats AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM zdl),
+            zdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM ztf GROUP BY term)
+            SELECT doc_id, round(score, 6) AS score FROM (
+                SELECT ztf.doc_id,
+                       sum(
+                         ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                         * tf * (1.2 + 1.0)
+                         / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                       ) AS score
+                FROM ztf
+                JOIN zdf USING (term)
+                JOIN zdl USING (doc_id)
+                CROSS JOIN zstats
+                WHERE term IN ('w1', 'w800', 'w3000')
+                GROUP BY ztf.doc_id
+            ) ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
         # ft_query_hits / dd_jaccard_pairs: intentionally no SQL oracle
         # (f32 scoring pipeline; LSH-candidate-dependent pair set) -> the

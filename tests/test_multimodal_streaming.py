@@ -124,3 +124,37 @@ def test_streaming_update_replaces_stale_terms(spark, tmp_path):
     assert doc_set(compacted, "obsolete") == set()
     assert doc_set(compacted, "fresh") == {0}
     assert len(store.completed_segments()) == 1
+
+
+@pytest.mark.spark
+def test_stateful_streaming_dedup(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): duplicates are
+    dropped across micro-batches AND across stream restarts (state lives in
+    the checkpoint)."""
+    from elipdotter_spark.streaming import stateful_dedup
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    ckpt = str(tmp_path / "ckpt")
+
+    b1 = spark.createDataFrame(
+        [(10, "alpha text"), (11, "alpha text"), (12, "beta text")],
+        "doc_id long, text string",
+    )
+    out_dir = str(tmp_path / "out")
+    b1.write.parquet(os.path.join(in_dir, "b1"))
+    q = stateful_dedup.start_streaming_dedup(spark, in_dir + "/*", ckpt, out_dir)
+    q.awaitTermination(120)
+    got1 = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert got1 == {10, 12}, got1  # in-batch dup 11 dropped, lowest id wins
+
+    # batch 2: doc 13 duplicates batch-1 content (cross-restart state),
+    # doc 14 is new
+    b2 = spark.createDataFrame(
+        [(13, "alpha text"), (14, "gamma text")], "doc_id long, text string"
+    )
+    b2.write.parquet(os.path.join(in_dir, "b2"))
+    q = stateful_dedup.start_streaming_dedup(spark, in_dir + "/*", ckpt, out_dir)
+    q.awaitTermination(120)
+    got2 = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
+    assert got2 == {10, 12, 14}, got2  # 13 suppressed by checkpointed state

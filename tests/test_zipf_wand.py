@@ -66,3 +66,31 @@ def test_codec_compression_ratio_on_zipf(zipf_index):
     plain = postings.count() * 12  # 8B doc_id + 4B tf
     ratio = plain / packed
     assert ratio > 2.5, ratio
+
+
+@pytest.mark.spark
+def test_one_job_partitioned_wand_exact_and_prunes(spark, zipf_index):
+    """Single-job WAND (per-partition local theta, zero driver round-trips)
+    must equal exhaustive top-k and skip ranges."""
+    _docs, postings, terms, docstats, n, avgdl = zipf_index
+    qterms = ["t1", "t800", "t1500"]
+    want = [
+        (r.doc_id, round(r.score, 9))
+        for r in bm25.bm25_topk(postings, docstats, terms, qterms, 10, n=n, avgdl=avgdl).collect()
+    ]
+    comp = codec.build_compressed(postings, docstats, terms, n, avgdl, doc_span=64).cache()
+    dlb = codec.build_doclen_blocks(docstats, doc_span=64).cache()
+
+    got_df = codec.bm25_topk_wand(comp, dlb, terms, qterms, 10, n, avgdl)
+    got = [(r.doc_id, round(r.score, 9)) for r in got_df.collect()]
+    assert got == want
+
+    stats = codec.bm25_topk_wand(comp, dlb, terms, qterms, 10, n, avgdl, with_stats=True)
+    rows = stats.select("rng_scanned", "rng_total").distinct().collect()
+    scanned = sum(r.rng_scanned for r in rows)
+    total = sum(r.rng_total for r in rows)
+    assert total > scanned, (scanned, total)  # local thetas actually skip
+    # exactly one job shape: no collect happens before the action above —
+    # assert the plan contains the mapInPandas scan and a TakeOrdered
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "TakeOrderedAndProject" in plan
