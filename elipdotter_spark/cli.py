@@ -65,15 +65,20 @@ def cmd_query(args) -> int:
 
 
 def cmd_bm25(args) -> int:
-    from elipdotter_spark.operators import bm25
+    from elipdotter_spark.operators import bm25, codec
 
     spark = get_spark()
     postings, terms, docstats = _load(spark, args.index)
     n, avgdl = bm25.corpus_stats(docstats)
-    rows = bm25.bm25_topk(
-        postings, docstats, terms, args.terms.split(","), args.k, n=n, avgdl=avgdl
-    ).collect()
-    for r in rows:
+    qterms = args.terms.split(",")
+    if args.wand:
+        # one-job distributed block-max WAND over the compressed format
+        comp = codec.build_compressed(postings, docstats, terms, n, avgdl).cache()
+        dlb = codec.build_doclen_blocks(docstats).cache()
+        topk = codec.bm25_topk_wand(comp, dlb, terms, qterms, args.k, n, avgdl)
+    else:
+        topk = bm25.bm25_topk(postings, docstats, terms, qterms, args.k, n=n, avgdl=avgdl)
+    for r in topk.collect():
         print(json.dumps({"doc_id": r.doc_id, "score": float(r.score)}))
     return 0
 
@@ -102,6 +107,8 @@ def main(argv=None) -> int:
     m.add_argument("--index", required=True)
     m.add_argument("--terms", required=True)
     m.add_argument("--k", type=int, default=10)
+    m.add_argument("--wand", action="store_true",
+                   help="single-job block-max WAND over the compressed format")
     m.set_defaults(fn=cmd_bm25)
 
     args = p.parse_args(argv)

@@ -69,3 +69,27 @@ def test_single_table_hof_matches_scalar_formula(spark, planted):
     vecs = {r.vec_id: list(r.embedding) for r in sample.collect()}
     for vid, vec in vecs.items():
         assert got[vid] == ann.query_bucket(vec, ann.N_PLANES), vid
+
+
+@pytest.mark.spark
+def test_ivf_recall(spark, planted):
+    """IVF (k-means cells + nprobe search): recall vs exact brute force on
+    the planted corpus with a bounded candidate fraction."""
+    emb, q, truth = planted
+    cents = ann.ivf_train(emb, n_cells=64, sample=4096, iters=8)
+    assert cents.shape == (64, DIM)
+    cells = ann.ivf_assign(emb, cents).cache()
+    assert cells.count() == N
+
+    got = ann.topk_ivf(emb, cells, cents, q, 10, nprobe=8)
+    ids = {int(r.vec_id) for r in got.collect()}
+    recall = len(ids & truth) / len(truth)
+    assert recall >= 0.8, (recall, sorted(ids), sorted(truth))
+
+    # candidate set bounded by the probed cells (~nprobe/n_cells of corpus)
+    import numpy as np
+    d = ((cents - np.asarray(q)[None, :]) ** 2).sum(axis=1)
+    probe = [int(c) for c in d.argsort()[:8]]
+    from pyspark.sql import functions as F
+    n_cand = cells.filter(F.col("cell").isin(probe)).count()
+    assert n_cand < N * 0.5, n_cand
