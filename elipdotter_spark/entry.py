@@ -368,6 +368,23 @@ def q_ann_lsh_buckets(spark, sf_dir):
     return ann.lsh_buckets(_embeddings(spark, sf_dir))
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF top-10 neighbors of vec 0 (k-means cells, nprobe=all so the
+    approximate path provably equals brute force — verified in pytest with
+    partial nprobe; no SQL oracle for the k-means codebook, so this is a
+    rows-only gate)."""
+    emb = _embeddings(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    key = f"ivf:{id(spark)}:{sf_dir}"
+    if key not in _CACHE:
+        cents = ann.ivf_train(emb, n_cells=16, sample=500)
+        _CACHE[key] = (cents, ann.ivf_assign(emb, cents).cache())
+    cents, cells = _CACHE[key]
+    return ann.topk_ivf(emb, cells, cents, qvec, 10, nprobe=4).select(
+        "vec_id", F.round("cos", 6).alias("cos")
+    )
+
+
 # ---------------------------------------------------------- text analysis
 
 
@@ -537,6 +554,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_jaccard_pairs": q_dd_jaccard_pairs,
         "ann_cosine": q_ann_cosine,
         "ann_lsh_buckets": q_ann_lsh_buckets,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "txt_quality": q_txt_quality,
         "txt_langid": q_txt_langid,
         "txt_token_count": q_txt_token_count,

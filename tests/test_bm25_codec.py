@@ -81,3 +81,33 @@ def test_compressed_smaller_than_plain(spark, index):
     packed = sum(len(r.doc_deltas) + len(r.tfs) + 16 for r in rows)
     plain = postings.count() * (8 + 4)  # doc_id + tf uncompressed
     assert packed < plain, (packed, plain)
+
+
+def test_varint_roundtrip_property():
+    """Property: encode->decode is the identity for any uint64 array
+    (vectorized decoder vs byte-exact LEB128)."""
+    from hypothesis import given, settings, strategies as st
+
+    from elipdotter_spark.operators.codec import varint_decode, varint_encode
+
+    @given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=300))
+    @settings(max_examples=200, deadline=None)
+    def check(vals):
+        import numpy as np
+
+        buf = varint_encode(np.asarray(vals, dtype=np.uint64))
+        out = varint_decode(buf, len(vals))
+        assert out.tolist() == vals
+
+    check()
+
+
+def test_varint_decode_rejects_wrong_count():
+    import numpy as np
+    import pytest as _pytest
+
+    from elipdotter_spark.operators.codec import varint_decode, varint_encode
+
+    buf = varint_encode(np.asarray([1, 2, 3], dtype=np.uint64))
+    with _pytest.raises(ValueError):
+        varint_decode(buf, 2)
