@@ -118,6 +118,21 @@ def run_queries(spark, postings, terms, docstats):
         ).collect(),
         reps=7,
     )
+    # one-job distributed WAND over the compressed format (side tables are
+    # part of the published index; built once, queried repeatedly)
+    from elipdotter_spark.operators import codec
+
+    comp = codec.build_compressed(postings, docstats, terms, n, avgdl).cache()
+    comp.count()
+    dlb = codec.build_doclen_blocks(docstats).cache()
+    dlb.count()
+    timed(
+        "q_bm25_wand",
+        lambda: codec.bm25_topk_wand(
+            comp, dlb, terms, ["spark", "fast", "table"], 10, n, avgdl
+        ).collect(),
+        reps=5,
+    )
     timed(
         "q_scored_hits",
         lambda: engine.topk("table value -vector", 1000, 10).collect(),
