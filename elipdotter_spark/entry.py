@@ -344,6 +344,20 @@ def q_dd_simhash(spark, sf_dir):
     return dedup.simhash(_tables(spark, sf_dir)["docs"])
 
 
+def q_dd_shingle_bands(spark, sf_dir):
+    """MinHash LSH bands over character 3-gram shingles (the shingle ->
+    minhash -> band pipeline for boilerplate-heavy corpora)."""
+    return dedup.shingle_minhash_bands(_tables(spark, sf_dir)["docs"], n=3)
+
+
+def q_dd_embedding_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline; the
+    LSH-bucketed scale path is recall-tested in pytest)."""
+    return dedup.embedding_near_dup_pairs(
+        _embeddings(spark, sf_dir), threshold=0.2, method="exact"
+    )
+
+
 def q_dd_jaccard_pairs(spark, sf_dir):
     """Token-set Jaccard for all candidate pairs sharing a MinHash band."""
     docs = _tables(spark, sf_dir)["docs"]
@@ -552,6 +566,8 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_minhash_bands": q_dd_minhash_bands,
         "dd_simhash": q_dd_simhash,
         "dd_jaccard_pairs": q_dd_jaccard_pairs,
+        "dd_shingle_bands": q_dd_shingle_bands,
+        "dd_embedding_pairs": q_dd_embedding_pairs,
         "ann_cosine": q_ann_cosine,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -724,6 +740,56 @@ def oracle_sql() -> Dict[str, str]:
             SELECT doc_id,
                    CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS simhash
             FROM bits GROUP BY doc_id
+        """,
+        "dd_shingle_bands": f"""
+            WITH sh AS (
+                SELECT DISTINCT doc_id, term FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(
+                               range(greatest(len(text) - 2, 0)),
+                               i -> substr(text, CAST(i + 1 AS INT), 3))) AS term
+                    FROM documents
+                )
+            ),
+            seeded AS (
+                SELECT doc_id, term, seed,
+                       {seeded_tok_hash} AS h
+                FROM sh CROSS JOIN (SELECT unnest(range({N_MINHASH})) AS seed)
+            ),
+            minh AS (
+                SELECT doc_id, seed, min(h) AS mh
+                FROM seeded GROUP BY doc_id, seed
+            ),
+            banded AS (
+                SELECT doc_id, CAST(seed // {ROWS_PER_BAND} AS INT) AS band, seed, mh
+                FROM minh
+            )
+            SELECT doc_id, band,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(
+                               list_sort(list({{'s': seed, 'm': mh}})),
+                               x -> x.m)),
+                       (acc, m) -> (acc * 131 + m) % {_HASH_P}) AS band_hash
+            FROM banded
+            GROUP BY doc_id, band
+        """,
+        "dd_embedding_pairs": """
+            WITH v AS (SELECT vec_id, embedding FROM embeddings),
+            pairs AS (
+                SELECT x.vec_id AS a, y.vec_id AS b,
+                       round(
+                         list_reduce(list_prepend(0.0, list_transform(range(len(x.embedding)),
+                             i -> CAST(x.embedding[i+1] AS DOUBLE) * CAST(y.embedding[i+1] AS DOUBLE))),
+                             (acc, z) -> acc + z)
+                         / (sqrt(list_reduce(list_prepend(0.0, list_transform(x.embedding,
+                               e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))), (acc, z) -> acc + z))
+                            * sqrt(list_reduce(list_prepend(0.0, list_transform(y.embedding,
+                               e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))), (acc, z) -> acc + z))),
+                       6) AS cos
+                FROM v x JOIN v y ON x.vec_id < y.vec_id
+            )
+            SELECT a, b, cos FROM pairs WHERE cos >= 0.2
         """,
         "ann_cosine": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

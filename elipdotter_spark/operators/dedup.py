@@ -184,3 +184,119 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
         )
         .select("doc_id", "simhash")
     )
+
+
+def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, term) distinct character n-gram shingles — JVM-only
+    (transform over an index sequence + substring), the classic input for
+    near-dup MinHash when word tokens are too coarse (boilerplate pages,
+    agglutinative languages)."""
+    # guard: Spark's sequence(1, stop) DESCENDS when stop < 1 (unlike
+    # DuckDB's empty range), so texts shorter than n must yield no shingles
+    grams = F.when(
+        F.length(text_col) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(text_col) - (n - 1)),
+                lambda i: F.col(text_col).substr(i, F.lit(n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("term")
+    )
+
+
+def shingle_minhash_bands(
+    docs: DataFrame,
+    n: int = 3,
+    n_minhash: int = N_MINHASH,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """MinHash LSH bands over character n-gram shingles (the
+    shingle->minhash->band->bucket-join pipeline); same banding/bucketing as
+    the word-token variant, so candidate_pairs/jaccard_verify compose."""
+    toks = shingles(docs, n)
+    hashed = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_minhash - 1))).alias("seed"),
+        "term",
+    ).withColumn("h", poly_hash(F.col("term"), F.col("seed") + 1))
+    minh = hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
+    banded = minh.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+    return (
+        banded.groupBy("doc_id", "band")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                F.lit(0).cast("long"),
+                lambda acc, x: (acc * 131 + x["mh"]) % HASH_P,
+            ).alias("band_hash")
+        )
+        .select("doc_id", "band", "band_hash")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    method: str = "exact",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    n_tables: int = 4,
+    digits: int = 6,
+) -> DataFrame:
+    """(a, b, cos) embedding-cosine near-duplicate pairs.
+
+    ``method="exact"``: all-pairs self-join with a JVM cosine fold — the
+    oracle-verifiable baseline (O(n^2), gate/test scale only).
+    ``method="lsh"``: the scale path — candidates restricted to pairs
+    colliding in at least one multi-table LSH bucket (ann.lsh_buckets_tables),
+    then the same exact cosine verify; output is a subset of "exact" whose
+    recall on true near-dups is pinned in pytest."""
+    from . import ann
+
+    def cos_pairs(pairs: DataFrame) -> DataFrame:
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("ea"), F.col("eb"), lambda x, y: x.cast("double") * y.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+        def norm(c):
+            return F.sqrt(
+                F.aggregate(
+                    F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+
+        return (
+            pairs.withColumn("cos", F.round(dot / (norm("ea") * norm("eb")), digits))
+            .filter(F.col("cos") >= threshold)
+            .select("a", "b", "cos")
+        )
+
+    if method not in ("exact", "lsh"):
+        raise ValueError(f"unknown method {method!r}")
+    x = emb.select(F.col("vec_id").alias("a"), F.col(vec_col).alias("ea"))
+    y = emb.select(F.col("vec_id").alias("b"), F.col(vec_col).alias("eb"))
+    if method == "exact":
+        pairs = x.join(y, F.col("a") < F.col("b"))
+        return cos_pairs(pairs)
+    buckets = ann.lsh_buckets_tables(emb, n_planes=n_planes, n_tables=n_tables, vec_col=vec_col)
+    cand = (
+        buckets.alias("p")
+        .join(buckets.alias("q"), ["table", "bucket"])
+        .filter(F.col("p.vec_id") < F.col("q.vec_id"))
+        .select(F.col("p.vec_id").alias("a"), F.col("q.vec_id").alias("b"))
+        .distinct()
+    )
+    pairs = (
+        cand.join(x, "a")
+        .join(y, "b")
+    )
+    return cos_pairs(pairs)

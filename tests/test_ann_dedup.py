@@ -92,3 +92,32 @@ def test_mega_cluster_bounded_pairs(spark):
             parent[ra] = rb
     roots = {find(i) for i in range(n)}
     assert len(roots) == 1, len(roots)
+
+
+@pytest.mark.spark
+def test_embedding_near_dup_lsh_recall(spark):
+    """LSH-bucketed embedding near-dup (scale path) finds the planted
+    high-cosine pairs that the exact all-pairs baseline finds."""
+    import numpy as np
+    import pandas as pd
+
+    from elipdotter_spark.operators import dedup
+
+    rng = np.random.RandomState(3)
+    m = rng.standard_normal((2000, 64))
+    # plant 20 near-dup pairs: vector i+1000 = vector i + tiny noise
+    for i in range(20):
+        m[1000 + i] = m[i] + 0.05 * rng.standard_normal(64)
+    pdf = pd.DataFrame({"vec_id": np.arange(2000, dtype=np.int64),
+                        "embedding": list(m.astype(np.float32))})
+    emb = spark.createDataFrame(pdf).repartition(8).cache()
+
+    exact = dedup.embedding_near_dup_pairs(emb, threshold=0.95, method="exact")
+    truth = {(r.a, r.b) for r in exact.collect()}
+    assert len(truth) >= 18, truth  # the planted pairs are found exactly
+
+    lsh = dedup.embedding_near_dup_pairs(emb, threshold=0.95, method="lsh")
+    got = {(r.a, r.b) for r in lsh.collect()}
+    assert got <= truth  # verify step makes LSH a subset of exact
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, (recall, truth - got)
