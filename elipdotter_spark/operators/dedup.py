@@ -56,30 +56,61 @@ def distinct_tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
     return index_build.tokens_jvm(docs, id_col, text_col).distinct()
 
 
+def _bands_from_token_table(
+    toks: DataFrame, n_minhash: int, rows_per_band: int
+) -> DataFrame:
+    """Shared MinHash-banding plan over a (doc_id, term) table.
+
+    Plan shape (round 2): each token row computes its full k-vector of
+    seeded hashes as ONE array expression (JVM transform — the seed axis
+    never becomes rows), then a single doc-keyed aggregate folds the arrays
+    elementwise with zip_with(least).  One shuffle of |tokens| rows replaces
+    the round-1 explode (k x |tokens| rows through TWO hash aggregates);
+    band hashes are row-local array slices afterwards."""
+    hs = F.transform(
+        F.sequence(F.lit(0), F.lit(n_minhash - 1)),
+        lambda seed: F.aggregate(
+            F.transform(F.split(F.col("term"), ""), lambda c: F.ascii(c)),
+            (seed + 1).cast("long"),
+            lambda acc, cp: (acc * 131 + cp) % HASH_P,
+        ),
+    )
+    top = F.lit(HASH_P).cast("long")
+    init = F.array_repeat(top, n_minhash)
+    sigs = (
+        toks.select("doc_id", hs.alias("hs"))
+        .groupBy("doc_id")
+        .agg(
+            F.aggregate(
+                F.collect_list("hs"),
+                init,
+                lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
+            ).alias("sig")
+        )
+    )
+    n_bands = n_minhash // rows_per_band
+    band_hash = lambda b: F.aggregate(  # noqa: E731
+        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+        F.lit(0).cast("long"),
+        lambda acc, mh: (acc * 131 + mh) % HASH_P,
+    )
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*[band_hash(b) for b in range(n_bands)])).alias(
+            "band", "band_hash"
+        ),
+    )
+    return banded.select("doc_id", "band", "band_hash")
+
+
 def minhash_bands(
     docs: DataFrame,
     n_minhash: int = N_MINHASH,
     rows_per_band: int = ROWS_PER_BAND,
 ) -> DataFrame:
     """(doc_id, band, band_hash) LSH signature bands."""
-    toks = distinct_tokens(docs)
-    hashed = toks.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(n_minhash - 1))).alias("seed"),
-        "term",
-    ).withColumn("h", poly_hash(F.col("term"), F.col("seed") + 1))
-    minh = hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
-    banded = minh.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-    return (
-        banded.groupBy("doc_id", "band")
-        .agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                F.lit(0).cast("long"),
-                lambda acc, x: (acc * 131 + x["mh"]) % HASH_P,
-            ).alias("band_hash")
-        )
-        .select("doc_id", "band", "band_hash")
+    return _bands_from_token_table(
+        distinct_tokens(docs), n_minhash, rows_per_band
     )
 
 
@@ -159,31 +190,29 @@ def near_dup_pairs(
 
 
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
-    """(doc_id, simhash) — bitwise majority of distinct-token hashes."""
+    """(doc_id, simhash) — bitwise majority of distinct-token hashes.
+
+    Plan shape (round 2): ONE doc-keyed aggregate collects the per-token
+    hashes (bounded by document length), then the per-bit +/-1 sums and the
+    majority packing are row-local array folds — the round-1 plan exploded
+    ``bits`` rows per token through two shuffles."""
     toks = distinct_tokens(docs)
     h = toks.withColumn("h", poly_hash(F.col("term"), 1))
-    per_bit = (
-        h.select(
-            "doc_id",
-            "h",
-            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("i"),
-        )
-        .withColumn("bit", F.expr("shiftright(h, cast(i as int)) % 2"))
-        .groupBy("doc_id", "i")
-        .agg(F.sum(F.col("bit") * 2 - 1).alias("s"))
+    per_doc = h.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
+    bit_sum = lambda i: F.aggregate(  # noqa: E731
+        F.col("hs"),
+        F.lit(0).cast("long"),
+        lambda acc, hv: acc
+        + F.shiftright(hv, i).bitwiseAND(F.lit(1)) * 2
+        - 1,
     )
-    return (
-        per_bit.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("s") > 0,
-                    F.expr("shiftleft(cast(1 as bigint), cast(i as int))"),
-                ).otherwise(F.lit(0))
-            ).alias("simhash")
+    packed = None
+    for i in range(bits):
+        term = F.when(bit_sum(i) > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-        .select("doc_id", "simhash")
-    )
+        packed = term if packed is None else packed + term
+    return per_doc.select("doc_id", packed.alias("simhash"))
 
 
 def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -216,25 +245,7 @@ def shingle_minhash_bands(
     """MinHash LSH bands over character n-gram shingles (the
     shingle->minhash->band->bucket-join pipeline); same banding/bucketing as
     the word-token variant, so candidate_pairs/jaccard_verify compose."""
-    toks = shingles(docs, n)
-    hashed = toks.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(n_minhash - 1))).alias("seed"),
-        "term",
-    ).withColumn("h", poly_hash(F.col("term"), F.col("seed") + 1))
-    minh = hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
-    banded = minh.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-    return (
-        banded.groupBy("doc_id", "band")
-        .agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                F.lit(0).cast("long"),
-                lambda acc, x: (acc * 131 + x["mh"]) % HASH_P,
-            ).alias("band_hash")
-        )
-        .select("doc_id", "band", "band_hash")
-    )
+    return _bands_from_token_table(shingles(docs, n), n_minhash, rows_per_band)
 
 
 def embedding_near_dup_pairs(
