@@ -25,6 +25,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+# temp dirs holding the winning build's parquet (still being queried);
+# removed at process exit so repeated bench runs don't fill /tmp
+atexit_dirs: list = []
+
+
+def _cleanup_dirs():
+    import shutil as _sh
+
+    for d in atexit_dirs:
+        _sh.rmtree(d, ignore_errors=True)
+
+
+import atexit  # noqa: E402
+
+atexit.register(_cleanup_dirs)
+
 
 def make_spark(cpus: str, shuffle_partitions: int):
     from pyspark.sql import SparkSession
@@ -50,9 +66,12 @@ def build_index_timed(spark, docs):
 
     from elipdotter_spark.operators import index_build
 
+    import shutil
+
     def one_build():
         t0 = time.perf_counter()
-        path = tempfile.mkdtemp(prefix="bench_idx_") + "/postings"
+        root = tempfile.mkdtemp(prefix="bench_idx_")
+        path = root + "/postings"
         index_build.build_postings(docs).write.mode("overwrite").parquet(path)
         postings = spark.read.parquet(path)
         n_postings = postings.count()
@@ -60,14 +79,17 @@ def build_index_timed(spark, docs):
         terms.count()
         docstats = index_build.docstats_from_postings(postings).cache()
         docstats.count()
-        return postings, terms, docstats, time.perf_counter() - t0, n_postings
+        return root, postings, terms, docstats, time.perf_counter() - t0, n_postings
 
     # the sandbox shares its cores with other tenants (see bench.cpu_ceiling
     # and BENCH.md): single samples fluctuate ~2x, so time two builds and
     # keep the faster — the least-contended sample estimates capability
     r1 = one_build()
     r2 = one_build()
-    return r1 if r1[3] <= r2[3] else r2
+    win, lose = (r1, r2) if r1[4] <= r2[4] else (r2, r1)
+    shutil.rmtree(lose[0], ignore_errors=True)  # drop the slower copy's files
+    atexit_dirs.append(win[0])
+    return win[1:]
 
 
 def run_queries(spark, postings, terms, docstats):

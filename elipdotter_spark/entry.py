@@ -83,13 +83,21 @@ zx AS (
            (1103515245 * x1 + 12345) % 2147483648 AS x2
     FROM zraw
 ),
+zlvl AS (
+    -- level/offset from the LCG HIGH bits: the multiplier is divisible by
+    -- 3, so low-bit residues (x1 % 12) are degenerate (only levels 0/3/6/9)
+    SELECT doc_id, k,
+           CAST(floor(x1 / 65536) AS BIGINT) % {ZIPF_LEVELS} AS lvl,
+           CAST(floor(x2 / 65536) AS BIGINT) AS off
+    FROM zx
+),
 ztok AS (
     SELECT doc_id, k,
            'w' || CAST(
-               (CAST(1 AS BIGINT) << CAST(x1 % {ZIPF_LEVELS} AS INT))
-               + (x2 % (CAST(1 AS BIGINT) << CAST(x1 % {ZIPF_LEVELS} AS INT)))
+               (CAST(1 AS BIGINT) << CAST(lvl AS INT))
+               + (off % (CAST(1 AS BIGINT) << CAST(lvl AS INT)))
            AS VARCHAR) AS term
-    FROM zx
+    FROM zlvl
 )
 """
 
@@ -120,9 +128,13 @@ def _zipf_docs(spark: SparkSession) -> DataFrame:
     x2 = (F.lit(1103515245).cast("long") * x1 + 12345) % F.lit(2147483648).cast(
         "long"
     )
-    level = x1 % ZIPF_LEVELS
+    # high bits: the LCG multiplier is divisible by 3, so x1 % 12 only ever
+    # hits levels {0,3,6,9} (low-bit degeneracy); floor(x/65536) is exact in
+    # double for x < 2^31 and identical in DuckDB
+    level = F.floor(x1 / F.lit(65536)).cast("long") % ZIPF_LEVELS
+    off = F.floor(x2 / F.lit(65536)).cast("long")
     p2 = F.pow(F.lit(2.0), level).cast("long")  # exact for level <= 11
-    rank = p2 + (x2 % p2)
+    rank = p2 + (off % p2)
     w = F.concat(F.lit("w"), rank.cast("string"))
     return (
         toks.select("doc_id", "k", w.alias("w"))
@@ -383,10 +395,10 @@ def q_ann_lsh_buckets(spark, sf_dir):
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF top-10 neighbors of vec 0 (k-means cells, nprobe=all so the
-    approximate path provably equals brute force — verified in pytest with
-    partial nprobe; no SQL oracle for the k-means codebook, so this is a
-    rows-only gate)."""
+    """IVF top-10 neighbors of vec 0 with nprobe=4 of 16 cells — an
+    APPROXIMATE result (recall and the nprobe=all==brute-force identity are
+    pinned in tests/test_ann_scale.py / test_ann_dedup.py); no SQL oracle
+    for the k-means codebook, so this is a rows-only gate."""
     emb = _embeddings(spark, sf_dir)
     qvec = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
     key = f"ivf:{id(spark)}:{sf_dir}"
@@ -449,14 +461,14 @@ def q_mm_meta(spark, sf_dir):
 
 def q_zipf_dict_prefix(spark, sf_dir):
     """S6 at realistic vocabulary scale: dictionary range scan over the
-    ~2.5k-term Zipf dictionary (prefix 'w12' -> ~90 rows, not 2)."""
+    ~4.1k-term Zipf dictionary (prefix 'w12' -> ~100 rows, not 2)."""
     t = _zipf_tables(spark)["terms"]
     return t.filter(F.col("term").startswith("w12")).select("term", "df")
 
 
 def q_zipf_prefix_expand(spark, sf_dir):
     """F4/F7 at scale: prefix-expansion ratings for query word 'w3' over the
-    Zipf dictionary (~600 expansions; double-precision mirror of the f32
+    Zipf dictionary (~1.1k expansions; double-precision mirror of the f32
     formula for SQL comparability)."""
     t = _zipf_tables(spark)["terms"]
     w = "w3"
@@ -939,7 +951,10 @@ def oracle_sql() -> Dict[str, str]:
                 CROSS JOIN zstats
                 WHERE term IN ('w1', 'w800', 'w3000')
                 GROUP BY ztf.doc_id
-            ) ORDER BY score DESC, doc_id ASC LIMIT 20
+                -- order/limit on the UNROUNDED score (same shape as the
+                -- Spark side, which rounds only the projected output)
+                ORDER BY score DESC, doc_id ASC LIMIT 20
+            )
         """,
         "zipf_bm25_wand": f"""
             WITH {ZIPF_TOKS_SQL},
@@ -962,7 +977,8 @@ def oracle_sql() -> Dict[str, str]:
                 CROSS JOIN zstats
                 WHERE term IN ('w1', 'w800', 'w3000')
                 GROUP BY ztf.doc_id
-            ) ORDER BY score DESC, doc_id ASC LIMIT 10
+                ORDER BY score DESC, doc_id ASC LIMIT 10
+            )
         """,
         # ft_query_hits / dd_jaccard_pairs: intentionally no SQL oracle
         # (f32 scoring pipeline; LSH-candidate-dependent pair set) -> the

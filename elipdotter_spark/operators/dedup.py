@@ -69,11 +69,7 @@ def _bands_from_token_table(
     band hashes are row-local array slices afterwards."""
     hs = F.transform(
         F.sequence(F.lit(0), F.lit(n_minhash - 1)),
-        lambda seed: F.aggregate(
-            F.transform(F.split(F.col("term"), ""), lambda c: F.ascii(c)),
-            (seed + 1).cast("long"),
-            lambda acc, cp: (acc * 131 + cp) % HASH_P,
-        ),
+        lambda seed: poly_hash(F.col("term"), seed + 1),
     )
     top = F.lit(HASH_P).cast("long")
     init = F.array_repeat(top, n_minhash)

@@ -161,7 +161,11 @@ class IndexStore:
         ]
         if not segs:
             raise FileNotFoundError("no completed segments")
-        return self.spark.read.parquet(*segs)
+        # mergeSchema: a mixed-era store (pre-seq segments + seq-stamped
+        # ones) must expose the seq column from EVERY footer — the default
+        # single-footer schema pick can drop it, silently disabling
+        # latest-wins and resurrecting stale doc versions
+        return self.spark.read.option("mergeSchema", "true").parquet(*segs)
 
     def merged_postings(self) -> DataFrame:
         """Segments hold disjoint docs, so cross-segment merge is a no-op
@@ -174,37 +178,46 @@ class IndexStore:
         (update via re-ingest), only its highest-``seq`` version survives —
         the stale terms of the old version disappear from query results.
         One doc_id-keyed aggregate + semi-join; on Iceberg this is the
-        MERGE-on-read path and :meth:`compact` is the rewrite."""
+        MERGE-on-read path and :meth:`compact` is the rewrite.
+
+        Mixed stores (pre-seq segments alongside seq-stamped ones) read the
+        old segments as seq NULL -> coalesced to -1, so their docs survive
+        and any re-ingested version beats them (a NULL seq would otherwise
+        be dropped by the non-null-safe join)."""
         p = self.postings()
         if "seq" not in p.columns:  # pre-seq store: segments are disjoint
             return p
+        p = p.withColumn("seq", F.coalesce(F.col("seq"), F.lit(-1).cast("long")))
         latest = p.groupBy("doc_id").agg(F.max("seq").alias("seq"))
         return p.join(latest, ["doc_id", "seq"]).drop("seq")
 
     def compact(self) -> dict:
         """Physically rewrite the store to one compacted segment (drops
-        superseded doc versions), replacing all prior segments + ledger
-        entries atomically-enough for a single-writer store."""
+        superseded doc versions).
+
+        Commit order preserves the store's tmp+rename invariant: the
+        compacted segment is committed under a FRESH name (with a seq above
+        every existing one) and its ledger row written BEFORE the old
+        segments are deleted — a crash anywhere in between leaves a store
+        that still answers every query correctly (latest-wins makes the
+        compacted segment shadow the old ones), just temporarily larger."""
+        old_segments = self.completed_segments()
+        new_seq = len(self.ledger())
+        seg_id = f"seg-compact-{new_seq:04d}"
         compacted = self.compacted_postings().withColumn(
-            "seq", F.lit(0).cast("long")
+            "seq", F.lit(new_seq).cast("long")
         )
-        tmp = self.segment_path("compact") + ".tmp"
+        tmp = self.segment_path(seg_id) + ".tmp"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         compacted.write.mode("overwrite").parquet(tmp)
         seg = self.spark.read.parquet(tmp)
         n_postings = seg.count()
         n_docs = seg.select("doc_id").distinct().count()
-        old_segments = self.completed_segments()
-        final = self.segment_path("seg-0000")
-        for s in old_segments:
-            path = self.segment_path(s)
-            if os.path.exists(path):
-                shutil.rmtree(path)
-            os.remove(self._ledger_path(s))
-        os.rename(tmp, final)
+        final = self.segment_path(seg_id)
+        os.rename(tmp, final)  # commit the new segment first
         row = {
-            "segment_id": "seg-0000",
+            "segment_id": seg_id,
             "status": "done",
             "n_docs": n_docs,
             "n_postings": n_postings,
@@ -213,8 +226,14 @@ class IndexStore:
             "skew_ratio": 0.0,
             "wall_ms": 0,
         }
-        with open(self._ledger_path("seg-0000"), "w") as fh:
+        with open(self._ledger_path(seg_id), "w") as fh:
             json.dump(row, fh)
+        # only now retire the superseded segments (safe at any crash point)
+        for s in old_segments:
+            path = self.segment_path(s)
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            os.remove(self._ledger_path(s))
         return row
 
     def publish(self) -> dict:

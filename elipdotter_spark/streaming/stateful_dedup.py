@@ -71,8 +71,13 @@ def start_streaming_dedup(
     dedup = first_occurrences(stream)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch is at-least-once: a replayed micro-batch must not
+        # append twice, so each batch overwrites ITS OWN partition directory
+        # (idempotent; readers see output_dir as batch-partitioned parquet)
         if not batch_df.isEmpty():
-            batch_df.write.mode("append").parquet(output_dir)
+            batch_df.write.mode("overwrite").parquet(
+                f"{output_dir}/batch={batch_id}"
+            )
 
     writer = (
         dedup.writeStream.outputMode("append")

@@ -53,3 +53,48 @@ def test_resume_noop_when_complete(spark, tmp_path, sf_dir):
     store = IndexStore(spark, str(tmp_path / "idx2"))
     store.build_resumable(docs, n_segments=2)
     assert store.build_resumable(docs, n_segments=2) == []
+
+
+@pytest.mark.spark
+def test_mixed_era_store_latest_wins(spark, tmp_path):
+    """A store with round-1 segments (no seq column) plus new seq-stamped
+    segments must keep the legacy docs AND let re-ingests supersede them
+    (regression: NULL-seq join drop + single-footer schema pick)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from elipdotter_spark.operators import index_build
+    from elipdotter_spark.sources.catalog import IndexStore
+
+    store = IndexStore(spark, str(tmp_path / "idx"))
+    legacy = spark.createDataFrame(
+        [(100, "legacy words survive")], "doc_id long, text string"
+    )
+    # simulate a pre-seq segment on disk
+    index_build.build_postings(legacy).write.parquet(store.segment_path("seg-0000"))
+    with open(store._ledger_path("seg-0000"), "w") as fh:
+        json.dump({"segment_id": "seg-0000", "status": "done", "n_docs": 1,
+                   "n_postings": 3, "bytes": 1, "postings_per_sec": 0.0,
+                   "skew_ratio": 0.0, "wall_ms": 1}, fh)
+    store.write_segment(
+        "seg-0001",
+        spark.createDataFrame([(200, "modern words arrive")], "doc_id long, text string"),
+    )
+    m = store.merged_postings()
+    assert {r.doc_id for r in m.select("doc_id").distinct().collect()} == {100, 200}
+
+    # re-ingest the legacy doc: latest (seq-stamped) must beat seq=NULL
+    store.write_segment(
+        "seg-0002",
+        spark.createDataFrame([(100, "legacy replaced entirely")], "doc_id long, text string"),
+    )
+    m2 = store.merged_postings()
+    assert m2.filter((F.col("term") == "words") & (F.col("doc_id") == 100)).count() == 0
+    assert m2.filter(F.col("term") == "replaced").count() == 1
+    # compact commits under a fresh name before deleting the old segments
+    row = store.compact()
+    assert row["segment_id"].startswith("seg-compact-")
+    assert len(store.completed_segments()) == 1
+    m3 = store.merged_postings()
+    assert m3.filter(F.col("term") == "replaced").count() == 1

@@ -86,7 +86,14 @@ def test_one_job_partitioned_wand_exact_and_prunes(spark, zipf_index):
     assert got == want
 
     stats = codec.bm25_topk_wand(comp, dlb, terms, qterms, 10, n, avgdl, with_stats=True)
-    rows = stats.select("rng_scanned", "rng_total").distinct().collect()
+    # distinct per PARTITION (two partitions with identical counters must
+    # both count): tag rows with their physical partition id first
+    rows = (
+        stats.withColumn("pid", F.spark_partition_id())
+        .select("pid", "rng_scanned", "rng_total")
+        .distinct()
+        .collect()
+    )
     scanned = sum(r.rng_scanned for r in rows)
     total = sum(r.rng_total for r in rows)
     assert total > scanned, (scanned, total)  # local thetas actually skip
