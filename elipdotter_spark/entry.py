@@ -537,6 +537,21 @@ def q_zipf_bm25_wand(spark, sf_dir):
     return topk.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def q_mm_decode_meta(spark, sf_dir):
+    """REAL multimodal decode (stdlib BMP/WAV header parsers): payloads are
+    actual encoded bytes whose parameters are arithmetic in doc_id, so the
+    SQL oracle recomputes the metadata independently — equality proves
+    decode(encode(id)) == f(id) through the distributed Arrow pipeline."""
+    from .operators import multimodal
+
+    media = multimodal.synth_real_media(spark, 500)
+    meta = multimodal.extract_metadata(media, use_real_decoder=True)
+    return meta.select(
+        "doc_id", "modality", "n_bytes", "width", "height",
+        "n_frames", "sample_rate",
+    )
+
+
 # ------------------------------------------------------------- events/windows
 
 
@@ -588,6 +603,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_token_count": q_txt_token_count,
         "txt_fingerprint": q_txt_fingerprint,
         "mm_meta": q_mm_meta,
+        "mm_decode_meta": q_mm_decode_meta,
         "ev_window_stats": q_ev_window_stats,
         "ev_session_stats": q_ev_session_stats,
         "zipf_dict_prefix": q_zipf_dict_prefix,
@@ -900,6 +916,29 @@ def oracle_sql() -> Dict[str, str]:
                    CAST(count(DISTINCT sid) AS BIGINT) AS n_sessions,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM s GROUP BY user_id
+        """,
+        "mm_decode_meta": """
+            WITH m AS (SELECT unnest(range(500)) AS doc_id),
+            img AS (
+                SELECT doc_id, 'image' AS modality,
+                       CAST(54 + ((((doc_id % 63 + 1) * 3 + 3) // 4) * 4)
+                            * ((doc_id // 63) % 47 + 1) AS BIGINT) AS n_bytes,
+                       CAST(doc_id % 63 + 1 AS INT) AS width,
+                       CAST((doc_id // 63) % 47 + 1 AS INT) AS height,
+                       CAST(1 AS INT) AS n_frames,
+                       CAST(NULL AS INT) AS sample_rate
+                FROM m WHERE doc_id % 2 = 0
+            ),
+            aud AS (
+                SELECT doc_id, 'audio' AS modality,
+                       CAST(44 + (doc_id % 500 + 1) * 2 AS BIGINT) AS n_bytes,
+                       CAST(NULL AS INT) AS width,
+                       CAST(NULL AS INT) AS height,
+                       CAST(doc_id % 500 + 1 AS INT) AS n_frames,
+                       CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate
+                FROM m WHERE doc_id % 2 = 1
+            )
+            SELECT * FROM img UNION ALL SELECT * FROM aud
         """,
         "mm_meta": """
             SELECT doc_id,

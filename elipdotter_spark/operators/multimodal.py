@@ -58,12 +58,67 @@ def decode_available(modality: str) -> bool:
         return False
 
 
-def _real_decode(modality: str, payload: bytes):
+def encode_bmp(width: int, height: int) -> bytes:
+    """Minimal valid 24-bpp BMP (BITMAPINFOHEADER) with deterministic pixel
+    bytes — a real, stdlib-only encodable/decodable image format for testing
+    the decode path without Pillow."""
+    import struct
+
+    row = (width * 3 + 3) & ~3  # rows padded to 4 bytes
+    pixel_bytes = bytes((x * 7 + y * 13) % 256 for y in range(height) for x in range(row))
+    size = 14 + 40 + len(pixel_bytes)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       len(pixel_bytes), 2835, 2835, 0, 0)
+    return header + info + pixel_bytes
+
+
+def encode_wav(sample_rate: int, n_samples: int) -> bytes:
+    """Minimal valid 16-bit mono PCM WAV with deterministic samples."""
+    import struct
+
+    data = bytes(((i * 31) % 256) for i in range(n_samples * 2))
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    chunks = b"WAVEfmt " + struct.pack("<I", 16) + fmt + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks  # size = total - 8
+
+
+def _real_decode(modality: str, payload: bytes) -> dict:
+    """Header-parse metadata from REAL encoded bytes — stdlib only.
+
+    Supported without external libs: BMP (image) and 16-bit PCM WAV (audio).
+    Compressed formats (JPEG/PNG/MP3/MP4) still raise NotImplementedError
+    naming the missing dependency — that boundary stays honest; the Spark
+    plumbing around it (binary columns, Arrow batches, schema) is identical
+    either way."""
+    import struct
+
+    if payload[:2] == b"BM":
+        width, height = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        return {"width": int(width), "height": abs(int(height)),
+                "n_frames": 1, "sample_rate": None,
+                "feature": bytes([bpp, 0])}
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        # walk chunks for fmt + data
+        pos, sample_rate, data_len, block_align = 12, None, None, 2
+        while pos + 8 <= len(payload):
+            cid, clen = payload[pos:pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+            if cid == b"fmt ":
+                _fmt, _ch, sample_rate, _br, block_align, _bits = struct.unpack_from(
+                    "<HHIIHH", payload, pos + 8
+                )
+            elif cid == b"data":
+                data_len = clen
+            pos += 8 + clen + (clen & 1)
+        n_samples = (data_len or 0) // max(block_align, 1)
+        return {"width": None, "height": None, "n_frames": int(n_samples),
+                "sample_rate": int(sample_rate or 0), "feature": None}
     raise NotImplementedError(
-        f"real {modality} decode requires "
+        f"real {modality} decode of this byte format requires "
         f"{'Pillow' if modality == 'image' else 'soundfile' if modality == 'audio' else 'PyAV'}"
-        " which is not installed in this environment; the deterministic fake "
-        "decoder below exercises the Spark-side plumbing instead"
+        " which is not installed in this environment (BMP and PCM-WAV decode "
+        "natively; compressed formats stay stubbed)"
     )
 
 
@@ -119,6 +174,35 @@ def extract_metadata(payloads: DataFrame, use_real_decoder: bool = False) -> Dat
             yield pd.DataFrame(rows)
 
     return payloads.mapInPandas(run, schema=META_SCHEMA)
+
+
+def synth_real_media(spark, n: int = 500) -> DataFrame:
+    """(doc_id, payload, modality) with REAL encoded bytes: even ids get a
+    BMP whose dimensions are arithmetic functions of the id, odd ids a PCM
+    WAV likewise — so a decoder's output is independently computable (the
+    cross-engine oracle recomputes the same metadata from doc_id arithmetic,
+    proving decode(encode(id)) == f(id) end to end)."""
+    import pyarrow  # noqa: F401  (Arrow transfer of binary columns)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["id"].values
+            payloads, modality = [], []
+            for i in ids:
+                i = int(i)
+                if i % 2 == 0:
+                    payloads.append(encode_bmp(i % 63 + 1, (i // 63) % 47 + 1))
+                    modality.append("image")
+                else:
+                    payloads.append(encode_wav(8000 + (i % 8) * 1000, i % 500 + 1))
+                    modality.append("audio")
+            yield pd.DataFrame(
+                {"doc_id": ids.astype("int64"), "payload": payloads, "modality": modality}
+            )
+
+    return spark.range(0, n, 1, 16).mapInPandas(
+        gen, schema="doc_id long, payload binary, modality string"
+    )
 
 
 def frame_sample(payloads: DataFrame, every_nth: int = 2) -> DataFrame:

@@ -158,3 +158,54 @@ def test_stateful_streaming_dedup(spark, tmp_path):
     q.awaitTermination(120)
     got2 = {r.doc_id for r in spark.read.parquet(out_dir).collect()}
     assert got2 == {10, 12, 14}, got2  # 13 suppressed by checkpointed state
+
+
+def test_bmp_wav_roundtrip_property():
+    """Property: header decode inverts encode for arbitrary dimensions."""
+    from hypothesis import given, settings, strategies as st
+
+    from elipdotter_spark.operators.multimodal import (
+        _real_decode, encode_bmp, encode_wav,
+    )
+
+    @given(st.integers(1, 300), st.integers(1, 200))
+    @settings(max_examples=60, deadline=None)
+    def check_bmp(w, h):
+        m = _real_decode("image", encode_bmp(w, h))
+        assert (m["width"], m["height"], m["n_frames"]) == (w, h, 1)
+
+    @given(st.integers(4000, 96000), st.integers(0, 2000))
+    @settings(max_examples=60, deadline=None)
+    def check_wav(sr, n):
+        m = _real_decode("audio", encode_wav(sr, n))
+        assert (m["sample_rate"], m["n_frames"]) == (sr, n)
+
+    check_bmp()
+    check_wav()
+
+
+def test_real_decode_stub_for_compressed():
+    import pytest as _pytest
+
+    from elipdotter_spark.operators.multimodal import _real_decode
+
+    with _pytest.raises(NotImplementedError, match="Pillow"):
+        _real_decode("image", b"\x89PNG\r\n\x1a\n")
+    with _pytest.raises(NotImplementedError, match="soundfile"):
+        _real_decode("audio", b"ID3\x04")
+
+
+@pytest.mark.spark
+def test_real_decode_distributed(spark):
+    """extract_metadata(use_real_decoder=True) over real BMP/WAV payloads:
+    every row's metadata equals the synthesis arithmetic."""
+    from elipdotter_spark.operators import multimodal
+
+    media = multimodal.synth_real_media(spark, 200)
+    meta = multimodal.extract_metadata(media, use_real_decoder=True)
+    for r in meta.collect():
+        i = r.doc_id
+        if i % 2 == 0:
+            assert (r.modality, r.width, r.height) == ("image", i % 63 + 1, (i // 63) % 47 + 1)
+        else:
+            assert (r.modality, r.sample_rate, r.n_frames) == ("audio", 8000 + (i % 8) * 1000, i % 500 + 1)
