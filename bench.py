@@ -87,6 +87,8 @@ def build_index_timed(spark, docs):
     r1 = one_build()
     r2 = one_build()
     win, lose = (r1, r2) if r1[4] <= r2[4] else (r2, r1)
+    lose[2].unpersist()  # loser's cached terms/docstats would otherwise sit
+    lose[3].unpersist()  # in storage memory polluting the query timings
     shutil.rmtree(lose[0], ignore_errors=True)  # drop the slower copy's files
     atexit_dirs.append(win[0])
     return win[1:]

@@ -1019,10 +1019,11 @@ def oracle_sql() -> Dict[str, str]:
                 ORDER BY score DESC, doc_id ASC LIMIT 10
             )
         """,
-        # ft_query_hits / dd_jaccard_pairs: intentionally no SQL oracle
-        # (f32 scoring pipeline; LSH-candidate-dependent pair set) -> the
-        # driver records the weaker rows-only check; both are verified in
-        # pytest against the Python oracle / brute force instead.
+        # ft_query_hits: intentionally no SQL oracle (f32 scoring pipeline)
+        # -> the driver records the weaker rows-only check; verified in
+        # pytest against the Python oracle instead.  dd_jaccard_pairs DOES
+        # have an oracle (below): the candidate-pair set is deterministic
+        # because the MinHash banding is engine-portable.
         "dd_jaccard_pairs": f"""
             WITH {TOKS_SQL},
             dt AS (SELECT DISTINCT doc_id, term FROM toks),

@@ -1,11 +1,17 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Real decoders (PIL/ffmpeg/torchaudio) are not available in this container, so
-the decode step is **stubbed** behind ``decode_available()`` — attempting a
-real decode raises ``NotImplementedError`` with the dependency named, while
-the deterministic fake decoder exercises the full Spark-side contract that
-matters at scale: binary column handling, Arrow batch shape through
-``mapInPandas``, metadata schema, and partition-parallel feature extraction.
+Decode support has two tiers:
+
+- **real, stdlib-only**: BMP images and 16-bit PCM WAV audio decode natively
+  (header parse via ``struct``) — ``_real_decode`` returns true width/height
+  / sample-rate/sample-count, verified cross-engine by the ``mm_decode_meta``
+  gate (the oracle recomputes the metadata from the synthesis arithmetic);
+  corrupt/truncated payloads of these formats raise ``ValueError``.
+- **stubbed**: compressed formats (PNG/JPEG/MP3/MP4) need PIL/soundfile/PyAV,
+  which this container lacks — attempting them raises ``NotImplementedError``
+  with the dependency named.  The deterministic fake decoder exercises the
+  Spark-side contract either way: binary column handling, Arrow batch shape
+  through ``mapInPandas``, metadata schema, partition-parallel extraction.
 
 Layout convention (mirrors common lakehouse practice for image/audio/video):
     payload   binary        -- raw encoded bytes (opaque to Spark)
@@ -43,7 +49,9 @@ META_SCHEMA = StructType(
 
 
 def decode_available(modality: str) -> bool:
-    """True if a real decoder for the modality is importable."""
+    """True if a FULL (compressed-format) decoder for the modality is
+    importable.  Independently of this, BMP (image) and PCM-WAV (audio)
+    always decode natively — see ``_real_decode``."""
     try:
         if modality == "image":
             import PIL  # noqa: F401
@@ -94,6 +102,10 @@ def _real_decode(modality: str, payload: bytes) -> dict:
     import struct
 
     if payload[:2] == b"BM":
+        if len(payload) < 30:
+            raise ValueError(
+                f"corrupt/truncated BMP payload ({len(payload)} bytes)"
+            )
         width, height = struct.unpack_from("<ii", payload, 18)
         bpp = struct.unpack_from("<H", payload, 28)[0]
         return {"width": int(width), "height": abs(int(height)),
@@ -104,16 +116,18 @@ def _real_decode(modality: str, payload: bytes) -> dict:
         pos, sample_rate, data_len, block_align = 12, None, None, 2
         while pos + 8 <= len(payload):
             cid, clen = payload[pos:pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
-            if cid == b"fmt ":
+            if cid == b"fmt " and pos + 8 + 16 <= len(payload):
                 _fmt, _ch, sample_rate, _br, block_align, _bits = struct.unpack_from(
                     "<HHIIHH", payload, pos + 8
                 )
             elif cid == b"data":
                 data_len = clen
             pos += 8 + clen + (clen & 1)
-        n_samples = (data_len or 0) // max(block_align, 1)
+        if sample_rate is None or data_len is None:
+            raise ValueError("corrupt/truncated WAV payload (missing fmt/data chunk)")
+        n_samples = data_len // max(block_align, 1)
         return {"width": None, "height": None, "n_frames": int(n_samples),
-                "sample_rate": int(sample_rate or 0), "feature": None}
+                "sample_rate": int(sample_rate), "feature": None}
     raise NotImplementedError(
         f"real {modality} decode of this byte format requires "
         f"{'Pillow' if modality == 'image' else 'soundfile' if modality == 'audio' else 'PyAV'}"

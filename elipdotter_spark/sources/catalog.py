@@ -32,7 +32,8 @@ from ..operators import index_build
 
 LEDGER_SCHEMA = (
     "segment_id string, status string, n_docs long, n_postings long, "
-    "bytes long, postings_per_sec double, skew_ratio double, wall_ms long"
+    "bytes long, postings_per_sec double, skew_ratio double, wall_ms long, "
+    "seq long"
 )
 
 
@@ -66,10 +67,23 @@ class IndexStore:
         return out
 
     def ledger_df(self) -> DataFrame:
-        rows = self.ledger()
+        rows = [{"seq": None, **r} for r in self.ledger()]  # legacy rows lack seq
         if not rows:
             return self.spark.createDataFrame([], schema=LEDGER_SCHEMA)
         return self.spark.createDataFrame(rows, schema=LEDGER_SCHEMA)
+
+    def _next_seq(self) -> int:
+        """Monotonic segment sequence: max recorded seq + 1.  Legacy ledger
+        rows (written before seq was recorded) count as their insertion
+        index, so upgrades keep the old len()-derived numbering; compaction
+        can shrink the ledger without ever reissuing a lower seq."""
+        rows = self.ledger()
+        if not rows:
+            return 0
+        return max(
+            max((r.get("seq", -1) if r.get("seq") is not None else -1) for r in rows),
+            len(rows) - 1,
+        ) + 1
 
     def completed_segments(self) -> List[str]:
         return [r["segment_id"] for r in self.ledger() if r["status"] == "done"]
@@ -88,7 +102,7 @@ class IndexStore:
         reference's S7 delete + re-digest, src/index.rs:1100-1104 +
         insert)."""
         t0 = time.perf_counter()
-        seq = len(self.ledger())
+        seq = self._next_seq()
         postings = index_build.build_postings(docs).withColumn(
             "seq", F.lit(seq).cast("long")
         )
@@ -118,6 +132,7 @@ class IndexStore:
             if stats.mean
             else 0.0,
             "wall_ms": int(wall * 1000),
+            "seq": seq,
         }
         with open(self._ledger_path(segment_id), "w") as fh:
             json.dump(row, fh)
@@ -202,7 +217,7 @@ class IndexStore:
         that still answers every query correctly (latest-wins makes the
         compacted segment shadow the old ones), just temporarily larger."""
         old_segments = self.completed_segments()
-        new_seq = len(self.ledger())
+        new_seq = self._next_seq()
         seg_id = f"seg-compact-{new_seq:04d}"
         compacted = self.compacted_postings().withColumn(
             "seq", F.lit(new_seq).cast("long")
@@ -215,6 +230,10 @@ class IndexStore:
         n_postings = seg.count()
         n_docs = seg.select("doc_id").distinct().count()
         final = self.segment_path(seg_id)
+        if os.path.exists(final):
+            # orphan from a crash between a previous rename and its ledger
+            # write (never referenced by the ledger) — safe to replace
+            shutil.rmtree(final)
         os.rename(tmp, final)  # commit the new segment first
         row = {
             "segment_id": seg_id,
@@ -225,6 +244,7 @@ class IndexStore:
             "postings_per_sec": 0.0,
             "skew_ratio": 0.0,
             "wall_ms": 0,
+            "seq": new_seq,
         }
         with open(self._ledger_path(seg_id), "w") as fh:
             json.dump(row, fh)

@@ -98,3 +98,40 @@ def test_mixed_era_store_latest_wins(spark, tmp_path):
     assert len(store.completed_segments()) == 1
     m3 = store.merged_postings()
     assert m3.filter(F.col("term") == "replaced").count() == 1
+
+
+@pytest.mark.spark
+def test_compact_cycles_keep_seq_monotonic(spark, tmp_path):
+    """Regression: seq must stay monotonic across compaction (the ledger
+    shrinks, so len(ledger) would reissue LOWER seqs and post-compact
+    updates would silently lose latest-wins), and repeated compacts must
+    not collide on the segment name."""
+    from pyspark.sql import functions as F
+
+    from elipdotter_spark.sources.catalog import IndexStore
+
+    store = IndexStore(spark, str(tmp_path / "idx"))
+    store.write_segment("seg-0000", spark.createDataFrame(
+        [(7, "version one")], "doc_id long, text string"))
+    store.write_segment("seg-0001", spark.createDataFrame(
+        [(8, "other doc")], "doc_id long, text string"))
+    store.compact()
+
+    # post-compact UPDATE of doc 7: must supersede the compacted version
+    store.write_segment("seg-0002", spark.createDataFrame(
+        [(7, "version two")], "doc_id long, text string"))
+    m = store.merged_postings()
+    assert m.filter((F.col("term") == "one") & (F.col("doc_id") == 7)).count() == 0
+    assert m.filter(F.col("term") == "two").count() == 1
+    # no duplicate postings for the updated doc
+    assert m.filter((F.col("term") == "version") & (F.col("doc_id") == 7)).count() == 1
+
+    # second compact: fresh (higher) name, still correct
+    row2 = store.compact()
+    assert row2["seq"] > 2
+    m2 = store.merged_postings()
+    assert m2.filter(F.col("term") == "two").count() == 1
+    assert m2.filter(F.col("term") == "one").count() == 0
+    # third compact immediately (idempotent, no name collision)
+    store.compact()
+    assert len(store.completed_segments()) == 1
