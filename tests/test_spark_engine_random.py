@@ -111,3 +111,31 @@ def test_missing_words_empty(spark):
     eng, _ = build_both(spark, corpus, 1.0, EXACT, 2500)
     assert eng.doc_ids(parse("nosuchword")).count() == 0
     assert eng.hits(parse("nosuchword alpha"), 100).count() == 0
+
+
+@pytest.mark.spark
+def test_random_asts_node_maxes_match_oracle(spark):
+    """The single-pass qword-set algebra must produce the same per-node
+    sentinel maxes (iter_nodes order) as the oracle's set algebra — the
+    subtle invariant of the round-2 compiler refactor."""
+    from test_scoring_decomposition import leaf_docs_fn
+
+    rng = random.Random(99)
+    corpus = random_corpus(rng, 6, 20)
+    eng, idx = build_both(spark, corpus, 1.0, EXACT, 2500)
+    checked = 0
+    while checked < 8:
+        ast = random_ast(rng)
+        try:
+            prox = idx.proximate_map(ast)
+            want = oracle.node_doc_maxes(ast, leaf_docs_fn(idx, prox))
+        except oracle.StrayNot:
+            continue
+        exp = eng.expansions(ast)
+        got = eng.node_max_docs(ast, exp)
+        assert got == want, (ast, got, want)
+        # and the root doc set itself matches the oracle
+        docs_want = oracle.documents(ast, idx)
+        docs_got = sorted(r.doc_id for r in eng.doc_ids(ast, exp).collect())
+        assert docs_got == docs_want, ast
+        checked += 1
