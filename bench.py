@@ -261,7 +261,12 @@ def scaling_evidence() -> dict:
     the hardware rather than an unreachable 1.0."""
     import statistics
 
-    k = int(os.environ.get("BENCH_SCALE_FACTOR", "32"))
+    # replicate factor 96 (480k docs): large enough that the ~3s of fixed
+    # driver/job cost amortizes and the measured efficiency reflects the
+    # parallel pipeline (at k=32 the fixed part alone caps 2->8 at ~0.78 —
+    # classic Amdahl, not a shuffle/skew bottleneck; at 100 TB the fixed
+    # part is noise)
+    k = int(os.environ.get("BENCH_SCALE_FACTOR", "96"))
     n_lo = int(os.environ.get("BENCH_SCALE_LO", "2"))
     reps = int(os.environ.get("BENCH_SCALE_REPS", "3"))
     n_hi = 4 * n_lo
