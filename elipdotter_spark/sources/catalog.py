@@ -217,6 +217,10 @@ class IndexStore:
         that still answers every query correctly (latest-wins makes the
         compacted segment shadow the old ones), just temporarily larger."""
         old_segments = self.completed_segments()
+        if len(old_segments) == 1 and old_segments[0].startswith("seg-compact-"):
+            # already a single compacted segment: nothing superseded, skip
+            # the rewrite (repeated compact calls stay cheap no-ops)
+            return self.ledger()[0]
         new_seq = self._next_seq()
         seg_id = f"seg-compact-{new_seq:04d}"
         compacted = self.compacted_postings().withColumn(
