@@ -116,11 +116,20 @@ def _real_decode(modality: str, payload: bytes) -> dict:
         pos, sample_rate, data_len, block_align = 12, None, None, 2
         while pos + 8 <= len(payload):
             cid, clen = payload[pos:pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
-            if cid == b"fmt " and pos + 8 + 16 <= len(payload):
+            if cid == b"fmt ":
+                # guard against the chunk's own declared size, not just the
+                # payload tail: a truncated fmt (clen < 16) would otherwise
+                # silently overread the next chunk's bytes as sample_rate
+                if clen < 16 or pos + 8 + 16 > len(payload):
+                    raise ValueError("corrupt/truncated WAV payload (short fmt chunk)")
                 _fmt, _ch, sample_rate, _br, block_align, _bits = struct.unpack_from(
                     "<HHIIHH", payload, pos + 8
                 )
             elif cid == b"data":
+                if pos + 8 + clen > len(payload):
+                    raise ValueError(
+                        "corrupt/truncated WAV payload (data chunk exceeds file)"
+                    )
                 data_len = clen
             pos += 8 + clen + (clen & 1)
         if sample_rate is None or data_len is None:
@@ -219,13 +228,18 @@ def synth_real_media(spark, n: int = 500) -> DataFrame:
     )
 
 
-def frame_sample(payloads: DataFrame, every_nth: int = 2) -> DataFrame:
+def frame_sample(
+    payloads: DataFrame, every_nth: int = 2, use_real_decoder: bool = False
+) -> DataFrame:
     """Video-style frame sampling plumbing: explode per-payload frame indices
-    (from metadata) and keep every n-th — the decode of each frame is the
-    same stubbed boundary."""
-    meta = extract_metadata(payloads)
+    (from metadata) and keep every n-th.  With ``use_real_decoder`` the frame
+    counts come from the actual bytes (WAV sample count / BMP = 1 frame);
+    otherwise from the deterministic fake decoder."""
+    meta = extract_metadata(payloads, use_real_decoder=use_real_decoder)
     return (
-        meta.filter(F.col("n_frames").isNotNull())
+        # n_frames > 0, not just non-null: sequence(0, -1) DESCENDS in Spark,
+        # so a zero-frame payload would emit phantom frame indices
+        meta.filter(F.col("n_frames").isNotNull() & (F.col("n_frames") > 0))
         .select(
             "doc_id",
             F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx"),

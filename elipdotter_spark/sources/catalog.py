@@ -75,15 +75,26 @@ class IndexStore:
     def _next_seq(self) -> int:
         """Monotonic segment sequence: max recorded seq + 1.  Legacy ledger
         rows (written before seq was recorded) count as their insertion
-        index, so upgrades keep the old len()-derived numbering; compaction
-        can shrink the ledger without ever reissuing a lower seq."""
+        index; additionally, if any row lacks a recorded seq, the actual
+        segment parquet is consulted for stamped seqs — a store compacted by
+        code that stamped parquet but not the ledger would otherwise hand
+        out a LOWER seq and silently break latest-wins for later updates."""
         rows = self.ledger()
         if not rows:
             return 0
-        return max(
-            max((r.get("seq", -1) if r.get("seq") is not None else -1) for r in rows),
-            len(rows) - 1,
-        ) + 1
+        seqs = [r.get("seq") for r in rows]
+        base = max((s for s in seqs if s is not None), default=-1)
+        if any(s is None for s in seqs):
+            base = max(base, len(rows) - 1)
+            try:
+                p = self.postings()
+                if "seq" in p.columns:
+                    m = p.agg(F.max("seq")).collect()[0][0]
+                    if m is not None:
+                        base = max(base, int(m))
+            except FileNotFoundError:
+                pass
+        return base + 1
 
     def completed_segments(self) -> List[str]:
         return [r["segment_id"] for r in self.ledger() if r["status"] == "done"]
@@ -120,6 +131,11 @@ class IndexStore:
         ).collect()[0]
         wall = time.perf_counter() - t0
 
+        if os.path.exists(final):
+            # orphan from a crash between a previous rename and its ledger
+            # write (this segment id has no ledger row, or write_segment
+            # would not have been called) — safe to replace
+            shutil.rmtree(final)
         os.rename(tmp, final)  # atomic commit
         row = {
             "segment_id": segment_id,
