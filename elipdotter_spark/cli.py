@@ -72,9 +72,19 @@ def cmd_bm25(args) -> int:
     n, avgdl = bm25.corpus_stats(docstats)
     qterms = args.terms.split(",")
     if args.wand:
-        # one-job distributed block-max WAND over the compressed format
-        comp = codec.build_compressed(postings, docstats, terms, n, avgdl).cache()
-        dlb = codec.build_doclen_blocks(docstats).cache()
+        # one-job distributed block-max WAND over the compressed format —
+        # read the published block tables when present (publish() writes
+        # them with the index), else derive on the fly
+        import os
+
+        bp = f"{args.index}/blocks"
+        dp = f"{args.index}/doclen_blocks"
+        if os.path.isdir(bp) and os.path.isdir(dp):
+            comp = spark.read.parquet(bp)
+            dlb = spark.read.parquet(dp)
+        else:
+            comp = codec.build_compressed(postings, docstats, terms, n, avgdl).cache()
+            dlb = codec.build_doclen_blocks(docstats).cache()
         topk = codec.bm25_topk_wand(comp, dlb, terms, qterms, args.k, n, avgdl)
     else:
         topk = bm25.bm25_topk(postings, docstats, terms, qterms, args.k, n=n, avgdl=avgdl)

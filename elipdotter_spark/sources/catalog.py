@@ -276,17 +276,33 @@ class IndexStore:
             os.remove(self._ledger_path(s))
         return row
 
-    def publish(self) -> dict:
+    def publish(self, with_compressed: bool = True) -> dict:
+        """Derive and write the query-side tables: the first-char-partitioned
+        dictionary, doc stats, and (north-star index format) the compressed
+        posting blocks + doc-length side blocks that the WAND query paths
+        scan — built once with the index, not per query."""
         postings = self.merged_postings()
         terms = index_build.build_terms(postings)
         docstats = index_build.docstats_from_postings(postings)
         write_terms(terms, os.path.join(self.base, "terms"))
         docstats.write.mode("overwrite").parquet(os.path.join(self.base, "docstats"))
-        return {
+        info = {
             "segments": len(self.completed_segments()),
             "terms_path": os.path.join(self.base, "terms"),
             "docstats_path": os.path.join(self.base, "docstats"),
         }
+        if with_compressed:
+            from ..operators import bm25, codec
+
+            ds = self.spark.read.parquet(os.path.join(self.base, "docstats"))
+            n, avgdl = bm25.corpus_stats(ds)
+            comp = codec.build_compressed(postings, ds, terms, n, avgdl)
+            comp.write.mode("overwrite").parquet(os.path.join(self.base, "blocks"))
+            dlb = codec.build_doclen_blocks(ds)
+            dlb.write.mode("overwrite").parquet(os.path.join(self.base, "doclen_blocks"))
+            info["blocks_path"] = os.path.join(self.base, "blocks")
+            info["doclen_blocks_path"] = os.path.join(self.base, "doclen_blocks")
+        return info
 
 
 def write_terms(terms: DataFrame, path: str) -> None:
