@@ -36,20 +36,41 @@ def cmd_build(args) -> int:
 
 
 def _load(spark, index_dir):
+    """(store, postings, terms, docstats, stale).
+
+    Postings are always live (latest-wins over all ledger segments).  The
+    published terms/docstats snapshots are used only when FRESH — a store
+    with segments ingested after the last publish() would otherwise answer
+    with a silently stale dictionary (missing new terms entirely, wrong
+    df/idf for old ones) on every query path, not just --wand.  When stale,
+    the side tables are derived live from the postings (one aggregate each)
+    and a warning tells the operator to re-publish."""
+    from elipdotter_spark.operators import index_build
     from elipdotter_spark.sources.catalog import IndexStore
 
     store = IndexStore(spark, index_dir)
     postings = store.merged_postings().cache()  # latest-wins on re-ingest
-    terms = spark.read.parquet(f"{index_dir}/terms").cache()
-    docstats = spark.read.parquet(f"{index_dir}/docstats").cache()
-    return postings, terms, docstats
+    stale = store.published_stale()
+    if stale:
+        print(
+            "warning: published snapshot predates the newest segment (or "
+            "was never published); deriving terms/docstats live — re-run "
+            "publish() to refresh",
+            file=sys.stderr,
+        )
+        terms = index_build.build_terms(postings).cache()
+        docstats = index_build.docstats_from_postings(postings).cache()
+    else:
+        terms = spark.read.parquet(f"{index_dir}/terms").cache()
+        docstats = spark.read.parquet(f"{index_dir}/docstats").cache()
+    return store, postings, terms, docstats, stale
 
 
 def cmd_query(args) -> int:
     from elipdotter_spark.plans.compiler import QueryEngine
 
     spark = get_spark()
-    postings, terms, _ = _load(spark, args.index)
+    _store, postings, terms, _ds, _stale = _load(spark, args.index)
     engine = QueryEngine(
         spark,
         postings,
@@ -65,21 +86,23 @@ def cmd_query(args) -> int:
 
 
 def cmd_bm25(args) -> int:
+    import os
+
     from elipdotter_spark.operators import bm25, codec
 
     spark = get_spark()
-    postings, terms, docstats = _load(spark, args.index)
+    _store, postings, terms, docstats, stale = _load(spark, args.index)
     n, avgdl = bm25.corpus_stats(docstats)
     qterms = args.terms.split(",")
     if args.wand:
         # one-job distributed block-max WAND over the compressed format —
-        # read the published block tables when present (publish() writes
-        # them with the index), else derive on the fly
-        import os
-
+        # read the published block tables when FRESH (publish() stamps
+        # blocks_meta.json with the ledger's max seq; segments ingested
+        # since then would be invisible to a stale snapshot), else derive
+        # on the fly so --wand and the default path always agree
         bp = f"{args.index}/blocks"
         dp = f"{args.index}/doclen_blocks"
-        if os.path.isdir(bp) and os.path.isdir(dp):
+        if not stale and os.path.isdir(bp) and os.path.isdir(dp):
             comp = spark.read.parquet(bp)
             dlb = spark.read.parquet(dp)
         else:

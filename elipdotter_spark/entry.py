@@ -395,17 +395,18 @@ def q_ann_lsh_buckets(spark, sf_dir):
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF top-10 neighbors of vec 0 with nprobe=4 of 16 cells — an
-    APPROXIMATE result (recall and the nprobe=all==brute-force identity are
-    pinned in tests/test_ann_scale.py / test_ann_dedup.py); no SQL oracle
-    for the k-means codebook, so this is a rows-only gate."""
+    """IVF assignment + nprobe probe + exact rerank, top-10 neighbors of
+    vec 0 with nprobe=4 of 16 cells — now FULLY cross-engine verified: the
+    codebook is deterministic integer arithmetic (ann.ivf_centroids_arith),
+    so the DuckDB oracle recomputes centroids, nearest-cell assignment, the
+    query's 4 probe cells and the cosine rerank independently.  The trained
+    k-means codebook path (ann.ivf_train) has no SQL form and keeps its
+    recall >= 0.8 and nprobe=all == brute-force identities in pytest
+    (tests/test_ann_scale.py / test_ann_dedup.py)."""
     emb = _embeddings(spark, sf_dir)
     qvec = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
-    key = f"ivf:{id(spark)}:{sf_dir}"
-    if key not in _CACHE:
-        cents = ann.ivf_train(emb, n_cells=16, sample=500)
-        _CACHE[key] = (cents, ann.ivf_assign(emb, cents).cache())
-    cents, cells = _CACHE[key]
+    cents = ann.ivf_centroids_arith(16, len(qvec))
+    cells = ann.ivf_assign(emb, cents)
     return ann.topk_ivf(emb, cells, cents, qvec, 10, nprobe=4).select(
         "vec_id", F.round("cos", 6).alias("cos")
     )
@@ -487,6 +488,43 @@ def q_zipf_prefix_expand(spark, sf_dir):
     )
 
 
+def q_zipf_hamming_expand(spark, sf_dir):
+    """F2 cross-engine: normalized-Hamming fuzzy expansion of query word
+    'w31' over the Zipf dictionary via the ACTUAL engine path (first-char-
+    pruned rated dictionary scan, f32 threshold semantics;
+    /root/reference/src/proximity.rs:341-365).
+
+    The f32 boundary is made SQL-safe by integer scaling: the Hamming rating
+    1/(diff/mn + 1) == mn/(diff + mn) is a small-denominator rational, so
+    set membership at threshold 0.5 is the exact integer test mn >= diff —
+    and no such rational sits within f32 rounding distance of 0.5 except
+    mn == diff itself, where both engines agree (0.5 is exactly
+    representable).  The gate emits the exact integers (diff, mn) plus the
+    double-precision rating mirror, so DuckDB verifies both the accepted
+    SET and the rating arithmetic without any f32 emulation.  Prefix
+    matches (the F4 branch, which takes precedence in rate_candidate) are
+    excluded identically on both sides — zipf_prefix_expand gates them."""
+    t = _zipf_tables(spark)
+    eng = QueryEngine(
+        spark, t["postings"], t["terms"],
+        proximity_threshold=0.5, algo="hamming", word_count_limit=1000,
+    )
+    w = "w31"
+    exp = eng.expansions(parse(w))[w]  # engine path: f32-rated, pruned scan
+    rows = []
+    for term in exp:
+        if term.startswith(w):
+            continue  # prefix branch (F4), gated by zipf_prefix_expand
+        mn = min(len(term), len(w))
+        diff = sum(1 for a, b in zip(term, w) if a != b) + abs(len(term) - len(w))
+        rows.append((term, diff, mn))
+    df = spark.createDataFrame(rows, "term string, diff int, mn int")
+    return df.select(
+        "term", "diff", "mn",
+        F.round(F.col("mn").cast("double") / (F.col("diff") + F.col("mn")), 6).alias("rating"),
+    )
+
+
 def q_zipf_dd_exact(spark, sf_dir):
     """Exact dedup with planted duplicates: 40 md5 groups of size 2."""
     return dedup.exact_dup_groups(_zipf_tables(spark)["docs"])
@@ -552,6 +590,32 @@ def q_mm_decode_meta(spark, sf_dir):
     )
 
 
+def q_mm_decode_errors(spark, sf_dir):
+    """Dead-letter channel: real decode over a corpus with PLANTED corrupt
+    payloads (every doc_id % 7 == 3 truncated to 16 bytes — enough to keep
+    the BMP/RIFF magic so the real parsers engage and then fail on the
+    truncation guards).  Good rows decode exactly as in mm_decode_meta;
+    bad rows survive with NULL metadata and is_err=true instead of failing
+    the task — the per-row error column a 100 TB media ingest needs."""
+    from .operators import multimodal
+
+    media = multimodal.synth_real_media(spark, 500)
+    corrupted = media.withColumn(
+        "payload",
+        F.when(
+            F.col("doc_id") % 7 == 3, F.expr("substring(payload, 1, 16)")
+        ).otherwise(F.col("payload")),
+    )
+    meta = multimodal.extract_metadata(
+        corrupted, use_real_decoder=True, on_error="dead_letter"
+    )
+    return meta.select(
+        "doc_id", "modality", "n_bytes", "width", "height",
+        "n_frames", "sample_rate",
+        F.col("err").isNotNull().alias("is_err"),
+    )
+
+
 # ------------------------------------------------------------- events/windows
 
 
@@ -604,10 +668,12 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_fingerprint": q_txt_fingerprint,
         "mm_meta": q_mm_meta,
         "mm_decode_meta": q_mm_decode_meta,
+        "mm_decode_errors": q_mm_decode_errors,
         "ev_window_stats": q_ev_window_stats,
         "ev_session_stats": q_ev_session_stats,
         "zipf_dict_prefix": q_zipf_dict_prefix,
         "zipf_prefix_expand": q_zipf_prefix_expand,
+        "zipf_hamming_expand": q_zipf_hamming_expand,
         "zipf_dd_exact": q_zipf_dd_exact,
         "zipf_bm25_compressed": q_zipf_bm25_compressed,
         "zipf_bm25_wand": q_zipf_bm25_wand,
@@ -851,6 +917,54 @@ def oracle_sql() -> Dict[str, str]:
                    CAST(sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
             FROM proj GROUP BY vec_id
         """,
+        "ann_ivf_topk": """
+            WITH flat AS (
+                SELECT vec_id, d - 1 AS d, CAST(v AS DOUBLE) AS v
+                FROM (SELECT vec_id, unnest(embedding) AS v,
+                             generate_subscripts(embedding, 1) AS d
+                      FROM embeddings)
+            ),
+            dim AS (SELECT CAST(max(d) + 1 AS BIGINT) AS dim FROM flat),
+            cents AS (
+                SELECT cc.c, dd.d,
+                       CAST((1103515245 * (1000000 + cc.c * dim.dim + dd.d) + 12345)
+                            % 2147483648 AS DOUBLE) / 1073741824.0 - 1.0 AS v
+                FROM (SELECT unnest(range(16)) AS c) cc
+                CROSS JOIN dim
+                CROSS JOIN (SELECT DISTINCT d FROM flat) dd
+            ),
+            dist AS (
+                SELECT f.vec_id, c.c AS cell, sum((f.v - c.v) * (f.v - c.v)) AS d2
+                FROM flat f JOIN cents c ON c.d = f.d
+                GROUP BY f.vec_id, c.c
+            ),
+            assign AS (
+                SELECT vec_id, cell FROM (
+                    SELECT vec_id, cell,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY d2 ASC, cell ASC) AS rn
+                    FROM dist) WHERE rn = 1
+            ),
+            qc AS (
+                SELECT cell FROM (
+                    SELECT cell, row_number() OVER (ORDER BY d2 ASC, cell ASC) AS rn
+                    FROM dist WHERE vec_id = 0) WHERE rn <= 4
+            ),
+            cand AS (SELECT a.vec_id FROM assign a JOIN qc ON a.cell = qc.cell),
+            q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id, round(cos, 6) AS cos FROM (
+                SELECT e.vec_id,
+                       list_reduce(list_prepend(0.0, list_transform(range(len(e.embedding)),
+                           i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(qe[i+1] AS DOUBLE))),
+                           (a, x) -> a + x)
+                       / (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding,
+                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, y) -> a + y))
+                          * sqrt(list_reduce(list_prepend(0.0, list_transform(qe,
+                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, y) -> a + y))) AS cos
+                FROM embeddings e JOIN cand USING (vec_id) CROSS JOIN q
+                ORDER BY cos DESC, vec_id ASC LIMIT 10
+            )
+        """,
         "txt_quality": f"""
             WITH {TOKS_SQL}
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
@@ -940,6 +1054,42 @@ def oracle_sql() -> Dict[str, str]:
             )
             SELECT * FROM img UNION ALL SELECT * FROM aud
         """,
+        "mm_decode_errors": """
+            WITH m AS (SELECT unnest(range(500)) AS doc_id),
+            img AS (
+                SELECT doc_id, 'image' AS modality,
+                       CAST(54 + ((((doc_id % 63 + 1) * 3 + 3) // 4) * 4)
+                            * ((doc_id // 63) % 47 + 1) AS BIGINT) AS n_bytes,
+                       CAST(doc_id % 63 + 1 AS INT) AS width,
+                       CAST((doc_id // 63) % 47 + 1 AS INT) AS height,
+                       CAST(1 AS INT) AS n_frames,
+                       CAST(NULL AS INT) AS sample_rate
+                FROM m WHERE doc_id % 2 = 0
+            ),
+            aud AS (
+                SELECT doc_id, 'audio' AS modality,
+                       CAST(44 + (doc_id % 500 + 1) * 2 AS BIGINT) AS n_bytes,
+                       CAST(NULL AS INT) AS width,
+                       CAST(NULL AS INT) AS height,
+                       CAST(doc_id % 500 + 1 AS INT) AS n_frames,
+                       CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate
+                FROM m WHERE doc_id % 2 = 1
+            ),
+            whole AS (SELECT * FROM img UNION ALL SELECT * FROM aud)
+            SELECT doc_id, modality,
+                   CASE WHEN doc_id % 7 = 3 THEN CAST(16 AS BIGINT)
+                        ELSE n_bytes END AS n_bytes,
+                   CASE WHEN doc_id % 7 = 3 THEN CAST(NULL AS INT)
+                        ELSE width END AS width,
+                   CASE WHEN doc_id % 7 = 3 THEN CAST(NULL AS INT)
+                        ELSE height END AS height,
+                   CASE WHEN doc_id % 7 = 3 THEN CAST(NULL AS INT)
+                        ELSE n_frames END AS n_frames,
+                   CASE WHEN doc_id % 7 = 3 THEN CAST(NULL AS INT)
+                        ELSE sample_rate END AS sample_rate,
+                   (doc_id % 7 = 3) AS is_err
+            FROM whole
+        """,
         "mm_meta": """
             SELECT doc_id,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -961,6 +1111,25 @@ def oracle_sql() -> Dict[str, str]:
                          ELSE 1.0 / (0.05 * (len(term) - 2) + 0.5) - 1.2 END,
                          6) AS rating
             FROM zdict WHERE term LIKE 'w3%'
+        """,
+        "zipf_hamming_expand": f"""
+            WITH {ZIPF_TOKS_SQL},
+            zdict AS (SELECT DISTINCT term FROM ztok),
+            h AS (
+                SELECT term,
+                       CAST(least(len(term), 3) AS INT) AS mn,
+                       CAST(
+                         (CASE WHEN substr(term, 1, 1) <> 'w' THEN 1 ELSE 0 END)
+                       + (CASE WHEN len(term) >= 2 AND substr(term, 2, 1) <> '3' THEN 1 ELSE 0 END)
+                       + (CASE WHEN len(term) >= 3 AND substr(term, 3, 1) <> '1' THEN 1 ELSE 0 END)
+                       + abs(len(term) - 3) AS INT) AS diff
+                FROM zdict
+                WHERE term NOT LIKE 'w31%'
+            )
+            SELECT term, diff, mn,
+                   round(CAST(mn AS DOUBLE) / (diff + mn), 6) AS rating
+            FROM h
+            WHERE mn >= diff
         """,
         "zipf_dd_exact": f"""
             WITH {ZIPF_TEXT_SQL}

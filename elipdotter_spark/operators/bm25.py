@@ -121,9 +121,11 @@ def build_block_max(
 ) -> DataFrame:
     """Materialized per-(term, block) max impact — the ``block_max_score``
     metadata (index-build side-table, rebuilt with the index)."""
+    from .codec import range_expr
+
     imp = term_impacts(postings, docstats, terms, n, avgdl, k1, b)
     return (
-        imp.withColumn("block", (F.col("doc_id") / block_size).cast("long"))
+        imp.withColumn("block", range_expr(block_size))
         .groupBy("term", "block")
         .agg(F.max("impact").alias("block_max"))
     )
@@ -152,6 +154,8 @@ def bm25_topk_blockmax(
     Result provably equals exhaustive top-k: any doc outside the surviving
     blocks has score <= its block's upper bound < theta <= true k-th score.
     """
+    from .codec import range_expr
+
     qterms = list(dict.fromkeys(query_terms))
     bounds = (
         block_max.filter(F.col("term").isin(qterms))
@@ -163,7 +167,7 @@ def bm25_topk_blockmax(
     if not probe:
         return bm25_topk(postings, docstats, terms, qterms, k, n=n, avgdl=avgdl)
 
-    block_col = (F.col("doc_id") / block_size).cast("long")
+    block_col = range_expr(block_size)
     phase1 = bm25_scores(
         postings.filter(block_col.isin(probe)),
         docstats,

@@ -104,6 +104,40 @@ def decode_block(first_doc: int, doc_deltas: bytes, tfs: bytes, n: int):
 DEFAULT_DOC_SPAN = 1024
 
 
+def range_expr(doc_span: int):
+    """FLOOR-division range key ``floor(doc_id / doc_span)`` as an exact
+    integer Spark expression — the single source of truth for doc->range
+    mapping on BOTH the posting-block and doclen-block build paths.
+
+    Why not ``(doc_id / span).cast('long')``: the cast truncates toward zero,
+    which disagrees with floor for negative ids (-5/16 -> 0 vs -1) — and
+    negative ids are a real input (``index_build.docmap_hashed`` assigns
+    signed xxhash64 ids).  Why not ``F.floor(col / span)``: the double
+    division loses integer precision above 2^53, which xxhash64 ids exceed.
+    Implementation is truncate-then-correct (``div`` minus 1 when the
+    truncated remainder is negative): unlike ``doc_id - pmod(doc_id, span)``
+    it never materializes ``floor(id/span)*span``, which can sit below
+    Long.MIN for ids near the boundary (ANSI overflow)."""
+    s = int(doc_span)
+    return F.expr(
+        f"(doc_id div cast({s} as bigint)) - "
+        f"(case when (doc_id % cast({s} as bigint)) < 0 then 1 else 0 end)"
+    )
+
+
+def doc_span_for_sparse(n_docs: int, docs_per_range: int = DEFAULT_DOC_SPAN) -> int:
+    """Range width for SPARSE hashed doc ids (xxhash64 over the full signed
+    64-bit space, ``index_build.docmap_hashed``).  ``doc_id // DEFAULT_SPAN``
+    would degenerate to ~1 doc per range there; uniformly hashed ids instead
+    get bucketed by their HIGH bits — span = 2^64 * target / n — which yields
+    ~``docs_per_range`` docs per range while keeping ranges contiguous id
+    intervals (delta-friendly, same floor mapping on both build sides).
+    Capped at 2^62 so the span always fits the bigint arithmetic in
+    :func:`range_expr`."""
+    span = (2**64 * int(docs_per_range)) // max(int(n_docs), 1)
+    return max(1, min(span, 2**62))
+
+
 def build_compressed(
     postings: DataFrame,
     docstats: DataFrame,
@@ -120,13 +154,20 @@ def build_compressed(
 
     Range alignment is what makes block skipping *sound*: a doc's entire
     score lives inside its range, so a range whose summed block maxes is
-    below threshold can be skipped for all query terms at once."""
+    below threshold can be skipped for all query terms at once.
+
+    The range key is computed ONCE Spark-side (:func:`range_expr`, exact
+    integer floor division) and shared with :func:`build_doclen_blocks` —
+    a floor-vs-truncate mismatch between the two sides would silently
+    misalign doc-length lookups for negative (hashed) doc ids.  For sparse
+    xxhash64 ids pass ``doc_span=doc_span_for_sparse(n_docs)``."""
     from .bm25 import term_impacts
 
     imp = term_impacts(postings, docstats, terms, n, avgdl, k1, b)
     rows = (
         postings.select("term", "doc_id", "tf")
         .join(imp, ["term", "doc_id"])
+        .withColumn("rng", range_expr(doc_span))
         .repartition(F.col("term"))
         .sortWithinPartitions("term", "doc_id")
     )
@@ -158,10 +199,11 @@ def build_compressed(
             imps.clear()
 
         for pdf in batches:
-            for term, doc, tf, impact in zip(
-                pdf["term"], pdf["doc_id"].values, pdf["tf"].values, pdf["impact"].values
+            for term, doc, tf, impact, rng in zip(
+                pdf["term"], pdf["doc_id"].values, pdf["tf"].values,
+                pdf["impact"].values, pdf["rng"].values,
             ):
-                rng = int(doc) // doc_span
+                rng = int(rng)  # precomputed Spark-side by range_expr
                 if term != cur_term or rng != cur_range:
                     if cur_term is not None:
                         flush(cur_term, cur_range)
@@ -382,10 +424,16 @@ def build_doclen_blocks(docstats: DataFrame, doc_span: int = DEFAULT_DOC_SPAN) -
     """Range-aligned compressed doc-length side-table (BLOCK_SCHEMA rows with
     term=DOCLEN_TERM, tfs=varint(doc_len)).  Unioned with the posting blocks
     it makes every doc range self-contained: a scan that decodes a range has
-    everything needed to score it — no doc-stats join, no driver lookup."""
+    everything needed to score it — no doc-stats join, no driver lookup.
+
+    ``doc_span`` MUST match the posting blocks'; the shared
+    :func:`range_expr` keeps the mapping identical (exact floor division —
+    a truncate-toward-zero cast here used to disagree with the posting
+    side's floor for negative hashed doc ids, landing doc lengths in the
+    wrong range)."""
     rows = (
         docstats.select("doc_id", "doc_len")
-        .withColumn("block", (F.col("doc_id") / doc_span).cast("long"))
+        .withColumn("block", range_expr(doc_span))
         .repartition(F.col("block"))
         .sortWithinPartitions("block", "doc_id")
     )
@@ -460,6 +508,8 @@ def bm25_topk_wand(
     k1: float = 1.2,
     b: float = 0.75,
     with_stats: bool = False,
+    theta0: float = None,
+    global_probe: bool = False,
 ) -> DataFrame:
     """Single-job distributed block-max WAND — zero driver round-trips
     (the missing piece named by the round-1 verdict: per-partition theta).
@@ -470,8 +520,20 @@ def bm25_topk_wand(
     order, keeps a local top-k heap, and stops at the first range whose ub
     falls below its local k-th score (the local theta only *under*-prunes
     relative to a global theta — never over-prunes — so results stay exact).
-    Per-partition survivors feed one TakeOrderedAndProject.  The only
-    driver-side data is the W-row idf map for the query's own terms.
+    Per-range scoring is fully numpy-vectorized: decoded posting arrays are
+    searchsorted against the range's doclen ids and BM25 accumulates with
+    one fancy-indexed add per term — no per-posting Python.  Per-partition
+    survivors feed one TakeOrderedAndProject.  The only driver-side data is
+    the W-row idf map for the query's own terms.
+
+    ``theta0``: an externally-known TRUE score achieved by >= k docs (e.g.
+    from a previous probe) — seeds every partition's threshold, tightening
+    pruning beyond local thetas while staying exact: a range with ub < theta0
+    only holds docs strictly below the final k-th score.  ``global_probe``
+    computes such a theta0 with one extra tiny job (decode + score ONLY the
+    single highest-ub range, collect k rows) — trading the zero-round-trip
+    property for global pruning; the probed range itself is never skipped
+    (its ub is the global max >= theta0).
 
     With ``with_stats`` the survivors keep (rng_scanned, rng_total)
     per-partition counters instead of being cut to the global top-k."""
@@ -491,6 +553,26 @@ def bm25_topk_wand(
     blk = compressed.filter(F.col("term").isin(qterms)).unionByName(
         doclen_blocks
     )
+
+    if global_probe and theta0 is None:
+        best = (
+            compressed.filter(F.col("term").isin(qterms))
+            .groupBy("block")
+            .agg(F.sum("block_max").alias("ub"))
+            .orderBy(F.desc("ub"), F.asc("block"))
+            .limit(1)
+            .collect()
+        )
+        if best:
+            probe_rng = int(best[0].block)
+            probe_top = bm25_topk_wand(
+                compressed.filter(F.col("block") == probe_rng),
+                doclen_blocks.filter(F.col("block") == probe_rng),
+                terms, qterms, k, n, avgdl, k1, b,
+            ).collect()
+            if len(probe_top) >= k:
+                theta0 = float(probe_top[-1].score)
+    th0 = float("-inf") if theta0 is None else float(theta0)
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         by_range: dict = {}
@@ -531,21 +613,42 @@ def bm25_topk_wand(
         heap: List[Tuple[float, int]] = []  # local top-k, min-heap of (s, -doc)
         scanned = 0
         for rng in sorted(by_range, key=lambda r: (-ub[r], r)):
-            if len(heap) >= k and ub[rng] < heap[0][0]:
+            theta = heap[0][0] if len(heap) >= k else th0
+            if ub[rng] < theta:
                 break  # ub descending: every remaining range is below theta
             scanned += 1
+            if rng not in dl_blocks:
+                raise ValueError(
+                    f"no doc-length side block for doc range {rng}: posting "
+                    "blocks and doclen blocks were built with different "
+                    "doc_span / range keys (build both with the same "
+                    "doc_span; see codec.range_expr)"
+                )
             cnt, first, dd, lnb = dl_blocks[rng]
-            d_ids, d_lens = decode_block(first, dd, lnb, cnt)
-            dl = dict(zip(d_ids.tolist(), d_lens.tolist()))
-            scores: dict = {}
+            d_ids, d_lens = decode_block(first, dd, lnb, cnt)  # sorted ids
+            norm = k1f * (1.0 - bf + bf * d_lens.astype(np.float64) / avg)
+            scores = np.zeros(len(d_ids), dtype=np.float64)
+            hit = np.zeros(len(d_ids), dtype=bool)
             for term, cnt2, first2, dd2, tfb2 in by_range[rng]:
                 ids, tfs = decode_block(first2, dd2, tfb2, cnt2)
-                w = idf_map[term]
-                for doc, tf in zip(ids.tolist(), tfs.tolist()):
-                    scores[doc] = scores.get(doc, 0.0) + w * tf * (
-                        k1f + 1.0
-                    ) / (tf + k1f * (1.0 - bf + bf * dl[doc] / avg))
-            for doc, s in scores.items():
+                pos = np.searchsorted(d_ids, ids)
+                if len(ids) and (
+                    pos.max() >= len(d_ids) or not np.array_equal(d_ids[pos], ids)
+                ):
+                    raise ValueError(
+                        f"doc-length block for range {rng} does not cover all "
+                        "posting docs — blocks built from inconsistent "
+                        "docstats or with mismatched doc_span"
+                    )
+                tf = tfs.astype(np.float64)
+                scores[pos] += idf_map[term] * tf * (k1f + 1.0) / (tf + norm[pos])
+                hit[pos] = True
+            c_scores = scores[hit]
+            c_docs = d_ids[hit]
+            if len(c_scores) > k:  # only the range's own top-k can matter
+                top = np.argpartition(-c_scores, k - 1)[:k]
+                c_scores, c_docs = c_scores[top], c_docs[top]
+            for s, doc in zip(c_scores.tolist(), c_docs.tolist()):
                 if len(heap) < k:
                     heapq.heappush(heap, (s, -doc))
                 elif (s, -doc) > heap[0]:

@@ -158,11 +158,13 @@ def docmap(docs: DataFrame, name_col: str = "url") -> DataFrame:
 
 def docmap_hashed(docs: DataFrame, name_col: str = "url") -> DataFrame:
     """S2 at web scale: doc_id = xxhash64(url) — stable, shuffle-free,
-    embarrassingly parallel (no global sort / window).  Ids are sparse, which
-    every downstream operator tolerates (nothing assumes density); collision
-    probability at 10^12 docs is ~3% per birthday bound over 2^64, so a
-    builder should run :func:`docmap_collisions` once after mapping and
-    re-key any colliding urls."""
+    embarrassingly parallel (no global sort / window).  Ids are sparse and
+    SIGNED (negative ~half the time), which every downstream operator
+    tolerates (nothing assumes density; the codec range key is exact floor
+    division).  Collision math (birthday bound over 2^64): ~3% total
+    collision probability at 10^9 docs, but EXPECTED collisions ~n^2/2^65 ~
+    2.7e4 at 10^12 docs — so :func:`docmap_collisions` + re-keying the
+    colliding urls is MANDATORY at trillion-doc scale, not a precaution."""
     return docs.select(
         F.xxhash64(F.col(name_col)).alias("doc_id"),
         F.col(name_col).alias("url"),

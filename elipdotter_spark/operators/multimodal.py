@@ -44,6 +44,9 @@ META_SCHEMA = StructType(
         StructField("n_frames", IntegerType(), True),
         StructField("sample_rate", IntegerType(), True),
         StructField("feature", BinaryType(), True),
+        # dead-letter channel: decode error (None on success) — populated
+        # only with on_error="dead_letter"; on_error="raise" fails the task
+        StructField("err", StringType(), True),
     ]
 )
 
@@ -173,10 +176,27 @@ def synth_payloads(docs: DataFrame, modality: str = "image") -> DataFrame:
     )
 
 
-def extract_metadata(payloads: DataFrame, use_real_decoder: bool = False) -> DataFrame:
+def extract_metadata(
+    payloads: DataFrame,
+    use_real_decoder: bool = False,
+    on_error: str = "raise",
+) -> DataFrame:
     """Partition-parallel decode/feature-extract via mapInPandas (Arrow
     batches of binary payloads — the real shape a 100 TB media pipeline
-    uses; only the innermost decode call is faked here)."""
+    uses; only the innermost decode call is faked here).
+
+    ``on_error``:
+    - ``"raise"`` (default): a corrupt payload raises and fails the task —
+      right for tests, wrong for a 100 TB ingest where one bad WARC record
+      would kill the job;
+    - ``"dead_letter"``: per-row error channel — bad rows keep (doc_id,
+      modality, n_bytes) and carry the error message in ``err`` with NULL
+      metadata, good rows flow through untouched (err NULL).  Downstream
+      splits on ``err IS NULL``; the bad rows are the dead-letter table.
+    """
+    if on_error not in ("raise", "dead_letter"):
+        raise ValueError(f"on_error must be 'raise' or 'dead_letter', got {on_error!r}")
+    dead_letter = on_error == "dead_letter"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -185,13 +205,22 @@ def extract_metadata(payloads: DataFrame, use_real_decoder: bool = False) -> Dat
                 pdf["doc_id"].values, pdf["payload"], pdf["modality"]
             ):
                 data = bytes(payload) if payload is not None else b""
-                if use_real_decoder:
-                    meta = _real_decode(modality, data)
-                else:
-                    meta = _fake_decode(modality, data)
+                err = None
+                try:
+                    if use_real_decoder:
+                        meta = _real_decode(modality, data)
+                    else:
+                        meta = _fake_decode(modality, data)
+                except (ValueError, NotImplementedError) as e:
+                    if not dead_letter:
+                        raise
+                    err = f"{type(e).__name__}: {e}"
+                    meta = {k: None for k in
+                            ("width", "height", "n_frames", "sample_rate", "feature")}
                 rows["doc_id"].append(int(doc_id))
                 rows["modality"].append(modality)
                 rows["n_bytes"].append(len(data))
+                rows["err"].append(err)
                 for k in ("width", "height", "n_frames", "sample_rate", "feature"):
                     rows[k].append(meta[k])
             yield pd.DataFrame(rows)

@@ -244,13 +244,41 @@ class QueryEngine:
         ev(ast)
         return exprs
 
+    @staticmethod
+    def _effective_leaf(p: Part) -> Optional[Word]:
+        """The single Word the root's doc set reduces to, if any: a bare
+        Word, or (recursively) the kept side of `x AND NOT y` — J6 makes the
+        NOT side irrelevant at doc level.  Lets retrieval skip the qword-set
+        aggregate entirely (round-1 fast path, re-measured 2.3x on the
+        sf0.1 AND-NOT bench after round 2 lost it)."""
+        if isinstance(p, Word):
+            return p
+        if isinstance(p, And):
+            if isinstance(p.right, Not) and not isinstance(p.left, Not):
+                return QueryEngine._effective_leaf(p.left)
+            if isinstance(p.left, Not) and not isinstance(p.right, Not):
+                return QueryEngine._effective_leaf(p.right)
+        return None
+
     def doc_ids(self, ast: Part, exp=None) -> DataFrame:
         """Boolean doc retrieval (EP2; J1/J2/J6) — one scan + one aggregate,
-        root-node membership filter."""
+        root-node membership filter; single-leaf roots (a Word, or AND-NOT
+        of a Word) short-circuit to a bare term-pruned distinct, skipping
+        the collect_set aggregate."""
         if exp is None:
             exp = self.expansions(ast)
-        root = self._node_member_exprs(ast)[0]
-        return self._qword_sets(exp).filter(root).select("doc_id")
+        exprs = self._node_member_exprs(ast)  # also validates stray NOTs
+        leaf = self._effective_leaf(ast)
+        if leaf is not None:
+            terms = sorted(exp.get(leaf.text, {}))
+            if not terms:
+                return self.spark.range(0).select(F.col("id").alias("doc_id"))
+            return (
+                self.postings.filter(F.col("term").isin(terms))
+                .select("doc_id")
+                .distinct()
+            )
+        return self._qword_sets(exp).filter(exprs[0]).select("doc_id")
 
     # ------------------------------------------------------- node max docs
 

@@ -112,6 +112,15 @@ class IndexStore:
         :meth:`compacted_postings` keeps only the doc's latest version (the
         reference's S7 delete + re-digest, src/index.rs:1100-1104 +
         insert)."""
+        if os.path.exists(self._ledger_path(segment_id)):
+            # a COMMITTED segment must never be silently clobbered by
+            # segment-id reuse — only true crash orphans (rename happened,
+            # ledger write didn't) may be replaced below
+            raise ValueError(
+                f"segment {segment_id!r} is already committed (ledger row"
+                " exists); refusing to overwrite — ingest under a new"
+                " segment id (updates win by seq) or compact() first"
+            )
         t0 = time.perf_counter()
         seq = self._next_seq()
         postings = index_build.build_postings(docs).withColumn(
@@ -132,9 +141,8 @@ class IndexStore:
         wall = time.perf_counter() - t0
 
         if os.path.exists(final):
-            # orphan from a crash between a previous rename and its ledger
-            # write (this segment id has no ledger row, or write_segment
-            # would not have been called) — safe to replace
+            # crash orphan (rename happened, ledger write didn't — the
+            # committed case was rejected at function entry)
             shutil.rmtree(final)
         os.rename(tmp, final)  # atomic commit
         row = {
@@ -276,33 +284,102 @@ class IndexStore:
             os.remove(self._ledger_path(s))
         return row
 
-    def publish(self, with_compressed: bool = True) -> dict:
+    def superseded_fraction(self) -> float:
+        """Fraction of ingested doc versions shadowed by later re-ingests —
+        the auto-compaction trigger signal.  Ledger doc counts are free;
+        the live-doc count is one narrow distinct aggregate (a maintenance
+        query, not a hot-path one)."""
+        total = sum(r["n_docs"] for r in self.ledger() if r["status"] == "done")
+        if total <= 0:
+            return 0.0
+        live = self.postings().select("doc_id").distinct().count()
+        return 1.0 - live / total
+
+    def maybe_compact(self, max_superseded: float = 0.3) -> Optional[dict]:
+        """Auto-compaction policy: physically rewrite when the superseded
+        fraction passes ``max_superseded`` (Iceberg analogue: a
+        rewrite_data_files maintenance trigger on the delete-file ratio).
+        Returns the compaction ledger row, or None when below threshold —
+        repeated update rounds interleaved with maybe_compact keep store
+        size bounded at ~(1 + max_superseded) x live data."""
+        if len(self.completed_segments()) <= 1:
+            return None
+        if self.superseded_fraction() >= max_superseded:
+            return self.compact()
+        return None
+
+    def _auto_doc_span(self, docstats, n: int) -> int:
+        """Pick the compressed-block range width from the observed id space:
+        span = id_spread * target / n gives ~DEFAULT_DOC_SPAN docs per range
+        for dense ids (spread ~ n -> span ~ 1024) AND for sparse xxhash64 ids
+        (spread ~ 2^64 -> the doc_span_for_sparse bucketing) with one
+        formula — the web-scale-sane range key the raw ``id // 1024`` is
+        not."""
+        from ..operators import codec
+
+        row = docstats.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).collect()[0]
+        spread = int(row.hi) - int(row.lo) + 1 if row.lo is not None else 1
+        span = (spread * codec.DEFAULT_DOC_SPAN) // max(n, 1)
+        return max(1, min(span, 2**62))
+
+    def publish(self, with_compressed: bool = True, doc_span: int = None) -> dict:
         """Derive and write the query-side tables: the first-char-partitioned
         dictionary, doc stats, and (north-star index format) the compressed
         posting blocks + doc-length side blocks that the WAND query paths
-        scan — built once with the index, not per query."""
+        scan — built once with the index, not per query.
+
+        ``blocks_meta.json`` records the doc_span used and the max ledger
+        seq at publish time, so readers (cli --wand) can detect stale block
+        snapshots after later ingests."""
         postings = self.merged_postings()
         terms = index_build.build_terms(postings)
         docstats = index_build.docstats_from_postings(postings)
         write_terms(terms, os.path.join(self.base, "terms"))
         docstats.write.mode("overwrite").parquet(os.path.join(self.base, "docstats"))
+        seqs = [r.get("seq") for r in self.ledger()]
+        max_seq = max((s for s in seqs if s is not None), default=-1)
         info = {
             "segments": len(self.completed_segments()),
             "terms_path": os.path.join(self.base, "terms"),
             "docstats_path": os.path.join(self.base, "docstats"),
+            "max_seq": max_seq,
         }
         if with_compressed:
             from ..operators import bm25, codec
 
             ds = self.spark.read.parquet(os.path.join(self.base, "docstats"))
             n, avgdl = bm25.corpus_stats(ds)
-            comp = codec.build_compressed(postings, ds, terms, n, avgdl)
+            if doc_span is None:
+                doc_span = self._auto_doc_span(ds, n)
+            comp = codec.build_compressed(postings, ds, terms, n, avgdl,
+                                          doc_span=doc_span)
             comp.write.mode("overwrite").parquet(os.path.join(self.base, "blocks"))
-            dlb = codec.build_doclen_blocks(ds)
+            dlb = codec.build_doclen_blocks(ds, doc_span=doc_span)
             dlb.write.mode("overwrite").parquet(os.path.join(self.base, "doclen_blocks"))
             info["blocks_path"] = os.path.join(self.base, "blocks")
             info["doclen_blocks_path"] = os.path.join(self.base, "doclen_blocks")
+            info["doc_span"] = int(doc_span)
+        meta = {"max_seq": max_seq}
+        if with_compressed:
+            meta["doc_span"] = int(doc_span)
+        with open(os.path.join(self.base, "blocks_meta.json"), "w") as fh:
+            json.dump(meta, fh)
         return info
+
+    def published_stale(self) -> bool:
+        """True when the published snapshot (terms/docstats/blocks) predates
+        the newest ledger segment — i.e. query-side readers must derive
+        live tables instead of trusting the snapshot."""
+        mp = os.path.join(self.base, "blocks_meta.json")
+        if not os.path.exists(mp):
+            return True  # never published (or pre-stamp era): assume stale
+        with open(mp) as fh:
+            meta = json.load(fh)
+        seqs = [r.get("seq") for r in self.ledger()]
+        cur = max((s for s in seqs if s is not None), default=-1)
+        return meta.get("max_seq") != cur
 
 
 def write_terms(terms: DataFrame, path: str) -> None:

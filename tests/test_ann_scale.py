@@ -93,3 +93,93 @@ def test_ivf_recall(spark, planted):
     from pyspark.sql import functions as F
     n_cand = cells.filter(F.col("cell").isin(probe)).count()
     assert n_cand < N * 0.5, n_cand
+
+
+@pytest.mark.spark
+def test_bucket_layout_partition_pruned_and_identical(spark, planted, tmp_path_factory):
+    """Materialized (table, bp)-partitioned bucket layout: probe scans show
+    real PartitionFilters (file pruning) and return the same top-k as the
+    in-memory bucket table."""
+    emb, q, _truth = planted
+    buckets = ann.lsh_buckets_tables(emb, n_planes=N_PLANES, n_tables=N_TABLES, dim=DIM)
+    path = str(tmp_path_factory.mktemp("lsh_layout") / "buckets")
+    ann.write_bucket_layout(buckets, path)
+    stored = spark.read.parquet(path)
+
+    got_mem = [
+        (r.vec_id, round(r.cos, 9))
+        for r in ann.topk_lsh_tables(
+            emb, buckets, q, 10, n_planes=N_PLANES, n_tables=N_TABLES
+        ).collect()
+    ]
+    layout_topk = ann.topk_lsh_tables(
+        emb, stored, q, 10, n_planes=N_PLANES, n_tables=N_TABLES
+    )
+    got_layout = [(r.vec_id, round(r.cos, 9)) for r in layout_topk.collect()]
+    assert got_layout == got_mem
+
+    # the probed scan must be partition-pruned, not a full read + row filter
+    probe = ann.query_buckets_tables(q, N_PLANES, N_TABLES)
+    mask = (1 << ann.DEFAULT_PREFIX_BITS) - 1
+    cond = None
+    for t, b in probe:
+        e = (F.col("table") == t) & (F.col("bp") == (b & mask)) & (F.col("bucket") == b)
+        cond = e if cond is None else (cond | e)
+    plan = (
+        stored.filter(cond)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+    # the filter list must actually mention the partition columns
+    seg = plan.split("PartitionFilters")[1][:400]
+    assert "table" in seg and "bp" in seg, seg
+
+
+@pytest.mark.spark
+def test_multiprobe_radius_honored(spark, planted):
+    """multiprobe is a Hamming RADIUS: r=2 probes strictly more buckets than
+    r=1 (it used to silently behave like r=1 for any value >= 1)."""
+    emb, q, _truth = planted
+    buckets = ann.lsh_buckets_tables(
+        emb, n_planes=N_PLANES, n_tables=N_TABLES, dim=DIM
+    ).cache()
+
+    def cand_count(r):
+        probe = []
+        for t, qb in ann.query_buckets_tables(q, N_PLANES, N_TABLES):
+            probe.append((t, qb))
+            if r >= 1:
+                probe += [(t, qb ^ (1 << j)) for j in range(N_PLANES)]
+            if r >= 2:
+                probe += [
+                    (t, qb ^ (1 << i) ^ (1 << j))
+                    for i in range(N_PLANES)
+                    for j in range(i + 1, N_PLANES)
+                ]
+        by_table = {}
+        for t, b in probe:
+            by_table.setdefault(t, set()).add(b)
+        cond = None
+        for t, bs in sorted(by_table.items()):
+            e = (F.col("table") == t) & F.col("bucket").isin(sorted(bs))
+            cond = e if cond is None else (cond | e)
+        return buckets.filter(cond).select("vec_id").distinct().count()
+
+    c1, c2 = cand_count(1), cand_count(2)
+    assert c2 > c1, (c1, c2)
+    # and the operator's own r=2 result reranks at least the r=1 recall
+    got2 = {
+        int(r.vec_id)
+        for r in ann.topk_lsh_tables(
+            emb, buckets, q, 10, n_planes=N_PLANES, n_tables=N_TABLES, multiprobe=2
+        ).collect()
+    }
+    got1 = {
+        int(r.vec_id)
+        for r in ann.topk_lsh_tables(
+            emb, buckets, q, 10, n_planes=N_PLANES, n_tables=N_TABLES, multiprobe=1
+        ).collect()
+    }
+    assert len(got2) == 10 and len(got1) == 10

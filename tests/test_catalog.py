@@ -135,3 +135,96 @@ def test_compact_cycles_keep_seq_monotonic(spark, tmp_path):
     # third compact immediately (idempotent, no name collision)
     store.compact()
     assert len(store.completed_segments()) == 1
+
+
+@pytest.mark.spark
+def test_write_segment_refuses_committed_id(spark, tmp_path):
+    """ADVICE r2: segment-id reuse must fail loudly, not silently clobber a
+    committed segment; true crash orphans (dir exists, no ledger row) are
+    still replaced."""
+    import os
+    import shutil
+
+    store = IndexStore(spark, str(tmp_path / "idx"))
+    store.write_segment("seg-0000", spark.createDataFrame(
+        [(1, "committed words")], "doc_id long, text string"))
+    with pytest.raises(ValueError, match="already committed"):
+        store.write_segment("seg-0000", spark.createDataFrame(
+            [(2, "other")], "doc_id long, text string"))
+    # the committed data survived the refused overwrite
+    assert store.postings().filter("term = 'committed'").count() == 1
+
+    # crash orphan: dir exists but ledger write never happened -> replaced
+    orphan = store.segment_path("seg-0001")
+    shutil.copytree(store.segment_path("seg-0000"), orphan)
+    assert not os.path.exists(store._ledger_path("seg-0001"))
+    store.write_segment("seg-0001", spark.createDataFrame(
+        [(3, "replacement")], "doc_id long, text string"))
+    assert store.postings().filter("term = 'replacement'").count() == 1
+
+
+@pytest.mark.spark
+def test_auto_compaction_bounds_store_size(spark, tmp_path):
+    """maybe_compact: repeated update rounds keep segment count bounded and
+    never change query results."""
+    from pyspark.sql import functions as F
+
+    store = IndexStore(spark, str(tmp_path / "idx"))
+    store.write_segment("seg-base", spark.createDataFrame(
+        [(i, f"doc number {i} stable words") for i in range(20)],
+        "doc_id long, text string"))
+    assert store.maybe_compact() is None  # single segment: nothing to do
+
+    for rnd in range(4):
+        # re-ingest (update) half the docs each round
+        store.write_segment(
+            f"seg-upd-{rnd}",
+            spark.createDataFrame(
+                [(i, f"doc number {i} updated round {rnd}") for i in range(10)],
+                "doc_id long, text string",
+            ),
+        )
+        before = {
+            (r.term, r.doc_id)
+            for r in store.merged_postings().select("term", "doc_id").collect()
+        }
+        compacted = store.maybe_compact(max_superseded=0.25)
+        after = {
+            (r.term, r.doc_id)
+            for r in store.merged_postings().select("term", "doc_id").collect()
+        }
+        assert after == before  # compaction never changes results
+        if compacted is not None:
+            assert len(store.completed_segments()) == 1
+        assert len(store.completed_segments()) <= 3  # bounded, never grows
+
+    # updated docs show the latest round only
+    m = store.merged_postings()
+    assert m.filter((F.col("term") == "updated") & (F.col("doc_id") == 0)).count() == 1
+    assert m.filter((F.col("term") == "stable") & (F.col("doc_id") == 15)).count() == 1
+
+
+@pytest.mark.spark
+def test_publish_writes_blocks_meta(spark, tmp_path):
+    """publish() stamps blocks_meta.json with doc_span + max ledger seq so
+    readers can detect stale block snapshots (ADVICE r2)."""
+    import json
+    import os
+
+    store = IndexStore(spark, str(tmp_path / "idx"))
+    store.write_segment("seg-0000", spark.createDataFrame(
+        [(i, f"some words {i}") for i in range(30)], "doc_id long, text string"))
+    info = store.publish()
+    mp = os.path.join(str(tmp_path / "idx"), "blocks_meta.json")
+    with open(mp) as fh:
+        meta = json.load(fh)
+    assert meta["doc_span"] == info["doc_span"] > 0
+    assert meta["max_seq"] == 0
+    # dense small ids -> small span (not the sparse bucketing)
+    assert meta["doc_span"] < 2**20
+
+    # a later ingest makes the snapshot stale: max_seq moves past the stamp
+    store.write_segment("seg-0001", spark.createDataFrame(
+        [(100, "late arrival")], "doc_id long, text string"))
+    seqs = [r.get("seq") for r in store.ledger()]
+    assert max(s for s in seqs if s is not None) > meta["max_seq"]

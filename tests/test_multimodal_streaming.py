@@ -209,3 +209,45 @@ def test_real_decode_distributed(spark):
             assert (r.modality, r.width, r.height) == ("image", i % 63 + 1, (i // 63) % 47 + 1)
         else:
             assert (r.modality, r.sample_rate, r.n_frames) == ("audio", 8000 + (i % 8) * 1000, i % 500 + 1)
+
+
+@pytest.mark.spark
+def test_dead_letter_decode_channel(spark):
+    """on_error='dead_letter': corrupt payloads become per-row errors with
+    NULL metadata; good rows are untouched; default on_error='raise' still
+    fails the task (a silent default change would hide corruption)."""
+    from pyspark.sql import functions as F
+
+    from elipdotter_spark.operators import multimodal
+
+    media = multimodal.synth_real_media(spark, 60)
+    corrupted = media.withColumn(
+        "payload",
+        F.when(F.col("doc_id") % 7 == 3, F.expr("substring(payload, 1, 16)"))
+        .otherwise(F.col("payload")),
+    )
+    meta = multimodal.extract_metadata(
+        corrupted, use_real_decoder=True, on_error="dead_letter"
+    ).collect()
+    assert len(meta) == 60  # every row survives
+    bad = [r for r in meta if r.err is not None]
+    good = [r for r in meta if r.err is None]
+    assert {r.doc_id % 7 for r in bad} == {3}
+    assert all(r.doc_id % 7 != 3 for r in good)
+    for r in bad:
+        assert r.n_bytes == 16
+        assert r.width is None and r.n_frames is None and r.sample_rate is None
+        assert "ValueError" in r.err
+    # good rows decode exactly as the uncorrupted pipeline
+    clean = {
+        r.doc_id: (r.width, r.height, r.n_frames, r.sample_rate)
+        for r in multimodal.extract_metadata(media, use_real_decoder=True).collect()
+    }
+    for r in good:
+        assert clean[r.doc_id] == (r.width, r.height, r.n_frames, r.sample_rate)
+
+    # the default stays loud
+    with pytest.raises(Exception, match="corrupt|truncated"):
+        multimodal.extract_metadata(corrupted, use_real_decoder=True).collect()
+    with pytest.raises(ValueError, match="on_error"):
+        multimodal.extract_metadata(corrupted, on_error="ignore")

@@ -153,3 +153,33 @@ def test_topk(spark):
     rows = engine.topk("vi -planet", 100_000, 2).collect()
     assert len(rows) == 2
     assert rows[0].rating >= rows[1].rating
+
+
+@pytest.mark.spark
+@pytest.mark.parametrize("qstr", ["lorem", "volutpat -hac", "-hac volutpat"])
+def test_single_leaf_retrieval_short_circuits(spark, qstr):
+    """A bare-Word root (or AND-NOT of a Word, J6) must skip the qword-set
+    collect_set aggregate: retrieval is one term-pruned distinct (the
+    round-1 fast path the round-2 uniform algebra lost — 2.3x on the
+    AND-NOT bench).  Result must still equal the general-path doc set."""
+    engine = make_engine(spark, LOREM_CORPUS, 0.85, HAMMING, 2500)
+    ast = parse(qstr)
+    df = engine.doc_ids(ast)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_set" not in plan, qstr
+
+    # general path (no short-circuit): same docs
+    exp = engine.expansions(ast)
+    general = (
+        engine._qword_sets(exp)
+        .filter(engine._node_member_exprs(ast)[0])
+        .select("doc_id")
+    )
+    assert sorted(r.doc_id for r in df.collect()) == sorted(
+        r.doc_id for r in general.collect()
+    )
+
+    # a genuinely multi-leaf root must NOT short-circuit
+    multi = engine.doc_ids(parse("lorem feugiat"))
+    mplan = multi._jdf.queryExecution().executedPlan().toString()
+    assert "collect_set" in mplan

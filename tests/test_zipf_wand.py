@@ -101,3 +101,42 @@ def test_one_job_partitioned_wand_exact_and_prunes(spark, zipf_index):
     # assert the plan contains the mapInPandas scan and a TakeOrdered
     plan = got_df._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan and "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.spark
+def test_wand_global_probe_exact_and_tighter(spark, zipf_index):
+    """Sampled-global-theta variant: one extra tiny job scores the single
+    highest-ub range and broadcasts its k-th score as every partition's
+    starting threshold — must stay exact and never scan MORE ranges than
+    local thetas alone."""
+    _docs, postings, terms, docstats, n, avgdl = zipf_index
+    qterms = ["t1", "t800", "t1500"]
+    want = [
+        (r.doc_id, round(r.score, 9))
+        for r in bm25.bm25_topk(postings, docstats, terms, qterms, 10, n=n, avgdl=avgdl).collect()
+    ]
+    comp = codec.build_compressed(postings, docstats, terms, n, avgdl, doc_span=64).cache()
+    dlb = codec.build_doclen_blocks(docstats, doc_span=64).cache()
+
+    got = [
+        (r.doc_id, round(r.score, 9))
+        for r in codec.bm25_topk_wand(
+            comp, dlb, terms, qterms, 10, n, avgdl, global_probe=True
+        ).collect()
+    ]
+    assert got == want
+
+    def scanned(**kw):
+        rows = (
+            codec.bm25_topk_wand(comp, dlb, terms, qterms, 10, n, avgdl,
+                                 with_stats=True, **kw)
+            .withColumn("pid", F.spark_partition_id())
+            .select("pid", "rng_scanned")
+            .distinct()
+            .collect()
+        )
+        return sum(r.rng_scanned for r in rows)
+
+    local = scanned()
+    seeded = scanned(global_probe=True)
+    assert seeded <= local, (seeded, local)
