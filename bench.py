@@ -132,9 +132,12 @@ def run_queries(spark, postings, terms, docstats):
                 "n": reps,
             }
 
-    timed("q_bool_and", lambda: engine.doc_ids(parse("table value fast")).count())
-    timed("q_bool_or", lambda: engine.doc_ids(parse("table or vector or stream")).count())
-    timed("q_bool_andnot", lambda: engine.doc_ids(parse("table -vector")).count())
+    # medians of 5: the round-2 driver run flagged "regressions" on the
+    # boolean queries that were single-sample sandbox noise — measure like
+    # the scaling protocol instead
+    timed("q_bool_and", lambda: engine.doc_ids(parse("table value fast")).count(), reps=5)
+    timed("q_bool_or", lambda: engine.doc_ids(parse("table or vector or stream")).count(), reps=5)
+    timed("q_bool_andnot", lambda: engine.doc_ids(parse("table -vector")).count(), reps=5)
     timed(
         "q_bm25_top10",
         lambda: bm25.bm25_topk(
@@ -158,6 +161,14 @@ def run_queries(spark, postings, terms, docstats):
         reps=5,
     )
     timed(
+        "q_bm25_wand_probe",
+        lambda: codec.bm25_topk_wand(
+            comp, dlb, terms, ["spark", "fast", "table"], 10, n, avgdl,
+            global_probe=True,
+        ).collect(),
+        reps=5,
+    )
+    timed(
         "q_scored_hits",
         lambda: engine.topk("table value -vector", 1000, 10).collect(),
         reps=5,
@@ -170,6 +181,7 @@ def run_queries(spark, postings, terms, docstats):
     timed(
         "q_dict_prefix",
         lambda: terms.filter(F.col("term").startswith("v")).count(),
+        reps=5,
     )
     return timings, percentiles
 
