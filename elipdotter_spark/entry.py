@@ -377,6 +377,21 @@ def q_dd_jaccard_pairs(spark, sf_dir):
     return dedup.jaccard_verify(pairs, dedup.distinct_tokens(docs))
 
 
+def q_dd_components(spark, sf_dir):
+    """Duplicate clustering: connected components over the strong
+    (jaccard >= 0.8) near-dup pairs — the canonicalization step after pair
+    generation (keep min-id doc per component, drop the rest).  Iterative
+    min-label propagation in Spark; the DuckDB oracle recomputes the same
+    components with a recursive CTE."""
+    docs = _tables(spark, sf_dir)["docs"]
+    pairs = dedup.jaccard_verify(
+        dedup.candidate_pairs(dedup.minhash_bands(docs)),
+        dedup.distinct_tokens(docs),
+    )
+    strong = pairs.filter(F.col("jaccard") >= 0.8).select("a", "b")
+    return dedup.connected_components(strong).select("doc_id", "component")
+
+
 # ------------------------------------------------------------ ANN / vectors
 
 
@@ -436,6 +451,12 @@ def q_txt_token_count(spark, sf_dir):
 def q_txt_fingerprint(spark, sf_dir):
     """Rolling polynomial fingerprint of the full text (codepoint fold)."""
     return text_analysis.fingerprint(_tables(spark, sf_dir)["docs"])
+
+
+def q_txt_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals over word bigrams
+    (duplicate-n-gram fraction + dominant-n-gram fraction)."""
+    return text_analysis.repetition(_tables(spark, sf_dir)["docs"], n=2)
 
 
 # ------------------------------------------------------------- multimodal
@@ -659,6 +680,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_jaccard_pairs": q_dd_jaccard_pairs,
         "dd_shingle_bands": q_dd_shingle_bands,
         "dd_embedding_pairs": q_dd_embedding_pairs,
+        "dd_components": q_dd_components,
         "ann_cosine": q_ann_cosine,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -666,6 +688,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_langid": q_txt_langid,
         "txt_token_count": q_txt_token_count,
         "txt_fingerprint": q_txt_fingerprint,
+        "txt_repetition": q_txt_repetition,
         "mm_meta": q_mm_meta,
         "mm_decode_meta": q_mm_decode_meta,
         "mm_decode_errors": q_mm_decode_errors,
@@ -885,6 +908,57 @@ def oracle_sql() -> Dict[str, str]:
             )
             SELECT a, b, cos FROM pairs WHERE cos >= 0.2
         """,
+        "dd_components": f"""
+            WITH RECURSIVE {TOKS_SQL},
+            dt AS (SELECT DISTINCT doc_id, term FROM toks),
+            sizes AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id),
+            bands AS (
+                WITH seeded AS (
+                    SELECT doc_id, term, seed,
+                           {seeded_tok_hash} AS h
+                    FROM dt CROSS JOIN (SELECT unnest(range({N_MINHASH})) AS seed)
+                ),
+                minh AS (SELECT doc_id, seed, min(h) AS mh FROM seeded GROUP BY doc_id, seed),
+                banded AS (SELECT doc_id, CAST(seed // {ROWS_PER_BAND} AS INT) AS band, seed, mh FROM minh)
+                SELECT doc_id, band,
+                       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(list_sort(list({{'s': seed, 'm': mh}})), x -> x.m)),
+                           (acc, m) -> (acc * 131 + m) % {_HASH_P}) AS band_hash
+                FROM banded GROUP BY doc_id, band
+            ),
+            cpairs AS (
+                SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                FROM bands x JOIN bands y
+                  ON x.band = y.band AND x.band_hash = y.band_hash
+                 AND x.doc_id < y.doc_id
+            ),
+            common AS (
+                SELECT p.a, p.b, count(*) AS c
+                FROM cpairs p
+                JOIN dt ta ON ta.doc_id = p.a
+                JOIN dt tb ON tb.doc_id = p.b AND tb.term = ta.term
+                GROUP BY p.a, p.b
+            ),
+            jp AS (
+                SELECT common.a, common.b
+                FROM common
+                JOIN sizes sa ON sa.doc_id = common.a
+                JOIN sizes sb ON sb.doc_id = common.b
+                WHERE round(c / CAST(sa.n + sb.n - c AS DOUBLE), 6) >= 0.8
+            ),
+            edges AS (
+                SELECT a AS src, b AS dst FROM jp
+                UNION
+                SELECT b AS src, a AS dst FROM jp
+            ),
+            reach(doc_id, comp) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.doc_id
+            )
+            SELECT doc_id, CAST(min(comp) AS BIGINT) AS component
+            FROM reach GROUP BY doc_id
+        """,
         "ann_cosine": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,
@@ -1003,6 +1077,21 @@ def oracle_sql() -> Dict[str, str]:
         """,
         "txt_fingerprint": f"""
             SELECT doc_id, {text_hash} AS fp FROM documents
+        """,
+        "txt_repetition": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+            g AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(len(l) - 1),
+                                             i -> l[i + 1] || ' ' || l[i + 2])) AS gram
+                FROM t WHERE len(l) >= 2
+            ),
+            c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram)
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_ngrams,
+                   round(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 6) AS dup_ngram_frac,
+                   round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_ngram_frac
+            FROM c GROUP BY doc_id
         """,
         "ev_window_stats": """
             SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -645,8 +645,12 @@ def bm25_topk_wand(
                 hit[pos] = True
             c_scores = scores[hit]
             c_docs = d_ids[hit]
-            if len(c_scores) > k:  # only the range's own top-k can matter
-                top = np.argpartition(-c_scores, k - 1)[:k]
+            if len(c_scores) > k:
+                # only the range's own top-k can matter — but the cut must
+                # respect the (score desc, doc asc) tie-break, or a block of
+                # equal scores surfaces an arbitrary k-subset (argpartition
+                # is tie-oblivious); lexsort keys: primary -score, then doc
+                top = np.lexsort((c_docs, -c_scores))[:k]
                 c_scores, c_docs = c_scores[top], c_docs[top]
             for s, doc in zip(c_scores.tolist(), c_docs.tolist()):
                 if len(heap) < k:

@@ -307,3 +307,70 @@ def embedding_near_dup_pairs(
         .join(y, "b")
     )
     return cos_pairs(pairs)
+
+
+# --------------------------------------------------- duplicate clustering
+
+
+def connected_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
+    """(doc_id, component) — connected components over a near-duplicate
+    pair list; component = the smallest doc_id reachable from the doc.
+    This is the canonicalization step every dedup pipeline runs after pair
+    generation: keep one doc per component, drop the rest.
+
+    Algorithm: iterative min-label propagation over the symmetrized edge
+    list — each round every vertex takes the min of its own label and its
+    neighbors' labels (one join + one aggregate per round, both map-side
+    combinable), until a fixpoint.  Rounds needed = graph diameter; near-dup
+    clusters are short-diameter (hub-and-spokes around shared buckets), so
+    this converges in a handful of rounds — the same loop shape Spark's own
+    GraphFrames CC uses.  Each round's result is localCheckpoint()ed so the
+    lineage does not grow unboundedly across iterations (the classic
+    iterative-Spark trap).  Driver coordination is one tiny count per round
+    (the convergence check), never data.
+    """
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neighbor = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .select(F.col("dst").alias("doc_id"), "component")
+        )
+        new = (
+            labels.select("doc_id", "component")
+            .unionByName(neighbor)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") < F.col("o.component"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds — "
+        "pathological graph diameter; raise max_iters or pre-contract with "
+        "large-star/small-star"
+    )
+
+
+def canonical_docs(docs: DataFrame, components: DataFrame) -> DataFrame:
+    """Drop non-canonical near-duplicates: keep every doc that is its own
+    component representative (the smallest id in its cluster) plus every
+    doc with no near-dup pair at all.  One broadcast-friendly anti-join."""
+    losers = components.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    return docs.join(losers, "doc_id", "left_anti")

@@ -81,3 +81,35 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, fp) — rolling polynomial over the full text's codepoints."""
     return docs.select("doc_id", poly_hash(F.col(text_col), 0).alias("fp"))
+
+
+def repetition(docs: DataFrame, n: int = 2, digits: int = 6, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_ngrams, dup_ngram_frac, top_ngram_frac) — Gopher-style
+    repetition signals over word n-grams, the web-text quality filter that
+    drops boilerplate/spam (high duplicate-n-gram fraction) and degenerate
+    repetition (one dominant n-gram).
+
+    JVM-only plan: split -> sliding array_join windows (no UDF) -> explode
+    -> per-(doc, gram) count -> one narrow per-doc aggregate; at 100 TB
+    both aggregates partial-combine map-side.  Docs with fewer than ``n``
+    tokens have no n-grams and drop out (same on the SQL oracle side)."""
+    toks = F.split(F.col(text_col), " ")
+    # guard: Spark sequence(0, stop) DESCENDS when stop < 0, which would
+    # mint phantom window starts for docs shorter than n tokens
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_gram = (
+        docs.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+    )
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_ngrams"),
+        F.round(F.lit(1.0) - F.count("*") / F.sum("c"), digits).alias("dup_ngram_frac"),
+        F.round(F.max("c") / F.sum("c"), digits).alias("top_ngram_frac"),
+    )

@@ -314,13 +314,25 @@ class IndexStore:
         for dense ids (spread ~ n -> span ~ 1024) AND for sparse xxhash64 ids
         (spread ~ 2^64 -> the doc_span_for_sparse bucketing) with one
         formula — the web-scale-sane range key the raw ``id // 1024`` is
-        not."""
+        not.
+
+        Spread is the inner-99% quantile spread (one approx_percentile
+        aggregate), not min..max: a handful of id-space outliers (one doc
+        keyed at 10^12 in an otherwise dense store) would inflate a raw
+        spread by orders of magnitude and collapse range pruning; with the
+        quantile spread the outliers simply land in their own far ranges
+        (the floor mapping needs no contiguity)."""
         from ..operators import codec
 
         row = docstats.agg(
-            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+            F.expr(
+                "approx_percentile(doc_id, array(0.005, 0.995), 10000)"
+            ).alias("q")
         ).collect()[0]
-        spread = int(row.hi) - int(row.lo) + 1 if row.lo is not None else 1
+        if not row.q or row.q[0] is None:
+            return codec.DEFAULT_DOC_SPAN
+        spread = max(int(row.q[1]) - int(row.q[0]), 1)
+        spread = int(spread / 0.99) + 1  # unbias the inner-99% window
         span = (spread * codec.DEFAULT_DOC_SPAN) // max(n, 1)
         return max(1, min(span, 2**62))
 

@@ -121,3 +121,58 @@ def test_embedding_near_dup_lsh_recall(spark):
     assert got <= truth  # verify step makes LSH a subset of exact
     recall = len(got & truth) / len(truth)
     assert recall >= 0.9, (recall, truth - got)
+
+
+@pytest.mark.spark
+def test_connected_components_matches_union_find(spark):
+    """Min-label propagation == driver-side union-find referee on random
+    graphs (including multi-cluster, chains, and a dense clique)."""
+    import random
+
+    rng = random.Random(11)
+    edges = set()
+    # three planted shapes: a chain (worst diameter), a clique, random noise
+    for i in range(20):  # chain 100..120
+        edges.add((100 + i, 101 + i))
+    for a in range(200, 210):  # clique 200..209
+        for b in range(a + 1, 210):
+            edges.add((a, b))
+    nodes = list(range(300, 400))
+    for _ in range(60):
+        a, b = rng.sample(nodes, 2)
+        edges.add((min(a, b), max(a, b)))
+
+    # union-find referee
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+
+    pairs = spark.createDataFrame(sorted(edges), "a long, b long")
+    got = {
+        r.doc_id: r.component
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.spark
+def test_canonical_docs_keeps_one_per_cluster(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(10)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "a long, b long")
+    comps = dedup.connected_components(pairs)
+    kept = {r.doc_id for r in dedup.canonical_docs(docs, comps).collect()}
+    # clusters {1,2,3} -> keep 1; {7,8} -> keep 7; singletons untouched
+    assert kept == {0, 1, 4, 5, 6, 7, 9}

@@ -228,3 +228,42 @@ def test_publish_writes_blocks_meta(spark, tmp_path):
         [(100, "late arrival")], "doc_id long, text string"))
     seqs = [r.get("seq") for r in store.ledger()]
     assert max(s for s in seqs if s is not None) > meta["max_seq"]
+
+
+@pytest.mark.spark
+def test_auto_doc_span_robust_to_outlier_ids(spark, tmp_path):
+    """One id-space outlier must not inflate the block range width (and
+    collapse pruning): the quantile spread ignores it, queries stay exact."""
+    from pyspark.sql import functions as F
+
+    from elipdotter_spark.operators import bm25, codec
+
+    store = IndexStore(spark, str(tmp_path / "idx"))
+    rows = [(i, f"some words number {i}") for i in range(300)]
+    rows.append((10**12, "outlier doc far away words"))
+    store.write_segment(
+        "seg-0000", spark.createDataFrame(rows, "doc_id long, text string")
+    )
+    info = store.publish()
+    assert info["doc_span"] < 2**20, info["doc_span"]  # dense-sized, not 10^12-sized
+
+    comp = spark.read.parquet(info["blocks_path"])
+    dlb = spark.read.parquet(info["doclen_blocks_path"])
+    postings = store.merged_postings()
+    terms = spark.read.parquet(info["terms_path"])
+    docstats = spark.read.parquet(info["docstats_path"])
+    n, avgdl = bm25.corpus_stats(docstats)
+    want = [
+        (r.doc_id, round(r.score, 9))
+        for r in bm25.bm25_topk(
+            postings, docstats, terms, ["words", "outlier"], 5, n=n, avgdl=avgdl
+        ).collect()
+    ]
+    got = [
+        (r.doc_id, round(r.score, 9))
+        for r in codec.bm25_topk_wand(
+            comp, dlb, terms, ["words", "outlier"], 5, n, avgdl
+        ).collect()
+    ]
+    assert got == want
+    assert any(d == 10**12 for d, _ in got)  # the outlier doc is retrievable

@@ -89,3 +89,27 @@ def test_doc_difference(spark):
     b = spark.createDataFrame([(2,), (9,)], "doc_id long")
     got = {r.doc_id for r in index_build.doc_difference(a, b).collect()}
     assert got == {1, 3}
+
+
+@pytest.mark.spark
+def test_repetition_planted_boilerplate(spark):
+    """Gopher-style repetition signals: a doc that is one phrase repeated
+    scores near-1 duplicate-bigram fraction; a doc of distinct tokens
+    scores 0; docs shorter than n produce no row (no phantom descending
+    sequences)."""
+    from elipdotter_spark.operators import text_analysis
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),          # 5 identical bigrams
+            (2, "alpha beta gamma delta epsilon"),          # 4 distinct bigrams
+            (3, "one"),                                     # too short for n=2
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in text_analysis.repetition(docs, n=2).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].n_ngrams == 5 and rows[1].dup_ngram_frac == 0.8
+    assert rows[1].top_ngram_frac == 1.0
+    assert rows[2].n_ngrams == 4 and rows[2].dup_ngram_frac == 0.0
+    assert rows[2].top_ngram_frac == 0.25
