@@ -91,23 +91,34 @@ def cmd_bm25(args) -> int:
     from elipdotter_spark.operators import bm25, codec
 
     spark = get_spark()
-    _store, postings, terms, docstats, stale = _load(spark, args.index)
+    store, postings, terms, docstats, _stale = _load(spark, args.index)
     n, avgdl = bm25.corpus_stats(docstats)
     qterms = args.terms.split(",")
     if args.wand:
         # one-job distributed block-max WAND over the compressed format —
-        # read the published block tables when FRESH (publish() stamps
-        # blocks_meta.json with the ledger's max seq; segments ingested
-        # since then would be invisible to a stale snapshot), else derive
-        # on the fly so --wand and the default path always agree
+        # read the published block tables when FRESH (publish() stamps the
+        # block tables' own blocks_max_seq — tracked separately from the
+        # terms/docstats stamp, since publish(with_compressed=False)
+        # refreshes those but not the blocks), else derive on the fly so
+        # --wand and the default path always agree
         bp = f"{args.index}/blocks"
         dp = f"{args.index}/doclen_blocks"
-        if not stale and os.path.isdir(bp) and os.path.isdir(dp):
+        if not store.blocks_stale() and os.path.isdir(bp) and os.path.isdir(dp):
             comp = spark.read.parquet(bp)
             dlb = spark.read.parquet(dp)
         else:
-            comp = codec.build_compressed(postings, docstats, terms, n, avgdl).cache()
-            dlb = codec.build_doclen_blocks(docstats).cache()
+            print(
+                "warning: published block tables are stale or absent; "
+                "deriving them on the fly — re-run publish() to refresh",
+                file=sys.stderr,
+            )
+            # auto-span, not the dense default: a hashed-id store would
+            # otherwise degenerate to ~1 doc per range
+            span = store._auto_doc_span(docstats, n)
+            comp = codec.build_compressed(
+                postings, docstats, terms, n, avgdl, doc_span=span
+            ).cache()
+            dlb = codec.build_doclen_blocks(docstats, doc_span=span).cache()
         topk = codec.bm25_topk_wand(comp, dlb, terms, qterms, args.k, n, avgdl)
     else:
         topk = bm25.bm25_topk(postings, docstats, terms, qterms, args.k, n=n, avgdl=avgdl)

@@ -383,12 +383,11 @@ def q_dd_components(spark, sf_dir):
     generation (keep min-id doc per component, drop the rest).  Iterative
     min-label propagation in Spark; the DuckDB oracle recomputes the same
     components with a recursive CTE."""
-    docs = _tables(spark, sf_dir)["docs"]
-    pairs = dedup.jaccard_verify(
-        dedup.candidate_pairs(dedup.minhash_bands(docs)),
-        dedup.distinct_tokens(docs),
+    strong = (
+        q_dd_jaccard_pairs(spark, sf_dir)  # the SAME pipeline that gate runs
+        .filter(F.col("jaccard") >= 0.8)
+        .select("a", "b")
     )
-    strong = pairs.filter(F.col("jaccard") >= 0.8).select("a", "b")
     return dedup.connected_components(strong).select("doc_id", "component")
 
 
@@ -414,7 +413,11 @@ def q_ann_ivf_topk(spark, sf_dir):
     vec 0 with nprobe=4 of 16 cells — now FULLY cross-engine verified: the
     codebook is deterministic integer arithmetic (ann.ivf_centroids_arith),
     so the DuckDB oracle recomputes centroids, nearest-cell assignment, the
-    query's 4 probe cells and the cosine rerank independently.  The trained
+    query's 4 probe cells and the cosine rerank independently.  The two
+    engines' distance accumulation differs in fp rounding (numpy matmul vs
+    SQL sequential sum, ~1e-12 relative), so every discrete cut the gate
+    depends on is pinned to have margin >> that by
+    tests/test_ann_dedup.py::test_ivf_gate_argmin_margins.  The trained
     k-means codebook path (ann.ivf_train) has no SQL form and keeps its
     recall >= 0.8 and nprobe=all == brute-force identities in pytest
     (tests/test_ann_scale.py / test_ann_dedup.py)."""

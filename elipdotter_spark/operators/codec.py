@@ -613,7 +613,10 @@ def bm25_topk_wand(
         heap: List[Tuple[float, int]] = []  # local top-k, min-heap of (s, -doc)
         scanned = 0
         for rng in sorted(by_range, key=lambda r: (-ub[r], r)):
-            theta = heap[0][0] if len(heap) >= k else th0
+            # th0 stays in force even after the local heap fills: a weak
+            # partition's local k-th score must not REGRESS the threshold
+            # below the probe's global one
+            theta = max(heap[0][0], th0) if len(heap) >= k else th0
             if ub[rng] < theta:
                 break  # ub descending: every remaining range is below theta
             scanned += 1

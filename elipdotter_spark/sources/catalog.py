@@ -373,25 +373,51 @@ class IndexStore:
             info["blocks_path"] = os.path.join(self.base, "blocks")
             info["doclen_blocks_path"] = os.path.join(self.base, "doclen_blocks")
             info["doc_span"] = int(doc_span)
+        # freshness is stamped PER ARTIFACT FAMILY: terms/docstats are
+        # rewritten by every publish (max_seq), the block tables only when
+        # with_compressed (blocks_max_seq).  A single shared stamp would let
+        # publish(with_compressed=False) mark OLD blocks as fresh and --wand
+        # silently serve a pre-ingest snapshot.
         meta = {"max_seq": max_seq}
+        old = self._meta()
         if with_compressed:
             meta["doc_span"] = int(doc_span)
+            meta["blocks_max_seq"] = max_seq
+        elif old is not None and "blocks_max_seq" in old:
+            meta["doc_span"] = old.get("doc_span")
+            meta["blocks_max_seq"] = old["blocks_max_seq"]
         with open(os.path.join(self.base, "blocks_meta.json"), "w") as fh:
             json.dump(meta, fh)
         return info
 
-    def published_stale(self) -> bool:
-        """True when the published snapshot (terms/docstats/blocks) predates
-        the newest ledger segment — i.e. query-side readers must derive
-        live tables instead of trusting the snapshot."""
+    def _meta(self) -> Optional[dict]:
         mp = os.path.join(self.base, "blocks_meta.json")
         if not os.path.exists(mp):
-            return True  # never published (or pre-stamp era): assume stale
+            return None
         with open(mp) as fh:
-            meta = json.load(fh)
+            return json.load(fh)
+
+    def _cur_max_seq(self) -> int:
         seqs = [r.get("seq") for r in self.ledger()]
-        cur = max((s for s in seqs if s is not None), default=-1)
-        return meta.get("max_seq") != cur
+        return max((s for s in seqs if s is not None), default=-1)
+
+    def published_stale(self) -> bool:
+        """True when the published terms/docstats predate the newest ledger
+        segment — i.e. query-side readers must derive live tables instead
+        of trusting the snapshot."""
+        meta = self._meta()
+        if meta is None:
+            return True  # never published (or pre-stamp era): assume stale
+        return meta.get("max_seq") != self._cur_max_seq()
+
+    def blocks_stale(self) -> bool:
+        """True when the published compressed block tables predate the
+        newest ledger segment (tracked separately from terms/docstats:
+        publish(with_compressed=False) refreshes those but not blocks)."""
+        meta = self._meta()
+        if meta is None or "blocks_max_seq" not in meta:
+            return True
+        return meta["blocks_max_seq"] != self._cur_max_seq()
 
 
 def write_terms(terms: DataFrame, path: str) -> None:

@@ -176,3 +176,42 @@ def test_canonical_docs_keeps_one_per_cluster(spark):
     kept = {r.doc_id for r in dedup.canonical_docs(docs, comps).collect()}
     # clusters {1,2,3} -> keep 1; {7,8} -> keep 7; singletons untouched
     assert kept == {0, 1, 4, 5, 6, 7, 9}
+
+
+@pytest.mark.spark
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_ivf_gate_argmin_margins(spark, sf):
+    """The ann_ivf_topk gate's cross-engine equality rests on three argmin/
+    top-k cuts whose two sides use algebraically-equal but fp-different
+    accumulation (numpy matmul vs SQL sequential sum).  fp divergence is
+    ~1e-12 relative; this test pins that every cut has margin >> that, so
+    the discrete candidate sets cannot flip between engines.  If a corpus
+    change introduces a near-tie, this fails BEFORE the gate flakes."""
+    import numpy as np
+
+    from elipdotter_spark.operators import ann
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    rows = emb.collect()
+    m = np.asarray([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    q = np.asarray(
+        [r.embedding for r in rows if r.vec_id == 0][0], dtype=np.float64
+    )
+    cents = ann.ivf_centroids_arith(16, m.shape[1])
+
+    # 1. per-vector cell assignment: best vs 2nd-best distance gap
+    d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    part = np.sort(d2, axis=1)
+    assert (part[:, 1] - part[:, 0]).min() > 1e-6
+
+    # 2. query probe cells: 4th vs 5th nearest centroid gap
+    qd = np.sort(((cents - q[None, :]) ** 2).sum(axis=1))
+    assert qd[4] - qd[3] > 1e-6
+
+    # 3. rerank boundary: 10th vs 11th candidate cosine gap
+    probe = set(((cents - q[None, :]) ** 2).sum(axis=1).argsort()[:4])
+    assign = d2.argmin(axis=1)
+    cand = np.asarray([i for i in range(len(m)) if assign[i] in probe])
+    cos = (m[cand] @ q) / (np.linalg.norm(m[cand], axis=1) * np.linalg.norm(q))
+    top = np.sort(cos)[::-1]
+    assert len(top) > 10 and top[9] - top[10] > 1e-9

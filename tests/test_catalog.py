@@ -267,3 +267,36 @@ def test_auto_doc_span_robust_to_outlier_ids(spark, tmp_path):
     ]
     assert got == want
     assert any(d == 10**12 for d, _ in got)  # the outlier doc is retrievable
+
+
+@pytest.mark.spark
+def test_blocks_staleness_tracked_separately(spark, tmp_path):
+    """publish(with_compressed=False) refreshes terms/docstats but NOT the
+    block tables — the per-family stamps must reflect that, or --wand would
+    serve a pre-ingest block snapshot marked fresh."""
+    store = IndexStore(spark, str(tmp_path / "idx"))
+    store.write_segment("seg-0000", spark.createDataFrame(
+        [(i, f"words {i}") for i in range(20)], "doc_id long, text string"))
+    store.publish(with_compressed=True)
+    assert not store.published_stale() and not store.blocks_stale()
+
+    store.write_segment("seg-0001", spark.createDataFrame(
+        [(100, "late words")], "doc_id long, text string"))
+    assert store.published_stale() and store.blocks_stale()
+
+    # terms/docstats-only publish: terms fresh, blocks STILL stale
+    store.publish(with_compressed=False)
+    assert not store.published_stale()
+    assert store.blocks_stale()
+
+    # full publish refreshes both
+    store.publish(with_compressed=True)
+    assert not store.published_stale() and not store.blocks_stale()
+
+    # never-compressed store: blocks always stale, terms stamp still works
+    store2 = IndexStore(spark, str(tmp_path / "idx2"))
+    store2.write_segment("seg-0000", spark.createDataFrame(
+        [(1, "solo words")], "doc_id long, text string"))
+    store2.publish(with_compressed=False)
+    assert not store2.published_stale()
+    assert store2.blocks_stale()
