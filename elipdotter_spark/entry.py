@@ -314,6 +314,21 @@ def q_ft_query_hits(spark, sf_dir):
     return hits.select("doc_id", "start", "rating", "word_id")
 
 
+def q_ft_snippets(spark, sf_dir):
+    """Result highlighting: +-20 chars of context around every occurrence
+    of 'spark' (the reference's occurrence starts exist exactly for this —
+    excerpting around hits; /root/reference/src/lib.rs front-page
+    example)."""
+    p = _tables(spark, sf_dir)["postings"]
+    hits = (
+        p.filter(F.col("term") == "spark")
+        .select("doc_id", F.explode("positions").alias("start"))
+    )
+    return text_analysis.snippet_extract(
+        hits, _tables(spark, sf_dir)["docs"], width=20
+    )
+
+
 def q_ft_proximity_docs(spark, sf_dir):
     """Ordered proximity over positional postings: docs where 'value'
     follows 'table' within 40 bytes (phrase search at gap = len+1)."""
@@ -676,6 +691,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_remove_doc": q_ft_remove_doc,
         "ft_segment_merge": q_ft_segment_merge,
         "ft_query_hits": q_ft_query_hits,
+        "ft_snippets": q_ft_snippets,
         "ft_proximity_docs": q_ft_proximity_docs,
         "dd_exact": q_dd_exact,
         "dd_minhash_bands": q_dd_minhash_bands,
@@ -805,6 +821,15 @@ def oracle_sql() -> Dict[str, str]:
             WITH {TOKS_SQL}
             SELECT term, doc_id, CAST(count(*) AS INT) AS tf
             FROM toks GROUP BY term, doc_id
+        """,
+        "ft_snippets": f"""
+            WITH {POS_SQL}
+            SELECT p.doc_id, p.pos AS start,
+                   substr(d.text,
+                          CAST(greatest(0, p.pos - 20) + 1 AS INT),
+                          40) AS snippet
+            FROM positions p JOIN documents d ON d.doc_id = p.doc_id
+            WHERE p.term = 'spark'
         """,
         "ft_proximity_docs": f"""
             WITH {POS_SQL}

@@ -228,6 +228,27 @@ def build_compressed(
     return rows.mapInPandas(pack, schema=BLOCK_SCHEMA)
 
 
+def qterm_blocks(compressed: DataFrame, qterms) -> DataFrame:
+    """The query's posting-block scan, physically pruned when possible.
+
+    When the blocks were published partitioned by first character
+    (catalog.publish writes them with a ``first`` partition column, the
+    same layout as the dictionary), the query's first-char set is a literal
+    partition filter — at web scale the block table is the biggest
+    artifact in the store and a 3-term query reads only its terms' leading
+    directories instead of every file.  Extra physical columns are dropped
+    so downstream unions against side-block tables keep the canonical
+    BLOCK_SCHEMA shape."""
+    scan = compressed
+    if "first" in scan.columns:
+        chars = sorted({t[0] for t in qterms if t})
+        if chars:
+            scan = scan.filter(F.col("first").isin(chars))
+    return scan.filter(F.col("term").isin(list(qterms))).select(
+        *[f.name for f in BLOCK_SCHEMA.fields]
+    )
+
+
 # ------------------------------------------------------- query (block-max)
 
 
@@ -345,7 +366,7 @@ def bm25_topk_compressed_df(
 
     spark = compressed.sparkSession
     qterms = list(dict.fromkeys(query_terms))
-    blk = compressed.filter(F.col("term").isin(qterms))
+    blk = qterm_blocks(compressed, qterms)
     idf = terms.filter(F.col("term").isin(qterms)).select(
         "term", _idf_col(n).alias("idf")
     )
@@ -550,13 +571,13 @@ def bm25_topk_wand(
     idf_map = {r.term: float(r.idf) for r in idf_rows}
     k1f, bf, avg = float(k1), float(b), float(avgdl)
 
-    blk = compressed.filter(F.col("term").isin(qterms)).unionByName(
-        doclen_blocks
+    blk = qterm_blocks(compressed, qterms).unionByName(
+        doclen_blocks.select(*[f.name for f in BLOCK_SCHEMA.fields])
     )
 
     if global_probe and theta0 is None:
         best = (
-            compressed.filter(F.col("term").isin(qterms))
+            qterm_blocks(compressed, qterms)
             .groupBy("block")
             .agg(F.sum("block_max").alias("ub"))
             .orderBy(F.desc("ub"), F.asc("block"))

@@ -83,6 +83,32 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", poly_hash(F.col(text_col), 0).alias("fp"))
 
 
+def snippet_extract(
+    hits: DataFrame, docs: DataFrame, width: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, start, snippet) — +-``width`` characters of context around
+    each hit's start offset: the reference engine's raison d'etre is
+    highlighting search results (occurrence starts are offsets into the
+    original document precisely so a caller can excerpt around them —
+    /root/reference/src/lib.rs front-page example).
+
+    One broadcast-friendly join (hits are a query result: small) + a
+    JVM substring; no Python.  Offsets are the engine's byte offsets —
+    on ASCII corpora byte == char (the same equivalence the oracle SQL
+    relies on, see entry.py module docstring); non-ASCII corpora would
+    need a byte-slice UDF instead of substr."""
+    begin = (F.greatest(F.lit(0), F.col("start") - width) + 1).cast("int")
+    return (
+        hits.select("doc_id", "start")
+        .join(docs.select("doc_id", text_col), "doc_id")
+        .select(
+            "doc_id",
+            "start",
+            F.col(text_col).substr(begin, F.lit(2 * width)).alias("snippet"),
+        )
+    )
+
+
 def repetition(docs: DataFrame, n: int = 2, digits: int = 6, text_col: str = "text") -> DataFrame:
     """(doc_id, n_ngrams, dup_ngram_frac, top_ngram_frac) — Gopher-style
     repetition signals over word n-grams, the web-text quality filter that

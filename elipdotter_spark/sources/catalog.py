@@ -367,7 +367,16 @@ class IndexStore:
                 doc_span = self._auto_doc_span(ds, n)
             comp = codec.build_compressed(postings, ds, terms, n, avgdl,
                                           doc_span=doc_span)
-            comp.write.mode("overwrite").parquet(os.path.join(self.base, "blocks"))
+            # same first-char physical layout as the dictionary: the block
+            # table is the store's biggest artifact, and codec.qterm_blocks
+            # turns a query's first-char set into a partition filter so a
+            # W-term query reads only its leading directories
+            (
+                comp.withColumn("first", F.substring("term", 1, 1))
+                .write.mode("overwrite")
+                .partitionBy("first")
+                .parquet(os.path.join(self.base, "blocks"))
+            )
             dlb = codec.build_doclen_blocks(ds, doc_span=doc_span)
             dlb.write.mode("overwrite").parquet(os.path.join(self.base, "doclen_blocks"))
             info["blocks_path"] = os.path.join(self.base, "blocks")

@@ -173,3 +173,43 @@ def test_store_publish_to_wand_on_hashed_ids(spark, tmp_path_factory):
         ).collect()
     ]
     assert got == want
+
+
+@pytest.mark.spark
+def test_published_blocks_first_char_pruned(spark, tmp_path_factory):
+    """publish() writes the block table first-char partitioned; the WAND
+    query scan must show PartitionFilters on the query terms' first chars
+    and stay exact."""
+    base = tmp_path_factory.mktemp("blk_layout")
+    docs = zipf_corpus(spark, n_docs=300, vocab_size=400, doc_len=30)
+    store = IndexStore(spark, str(base))
+    store.write_segment("seg-0000", docs)
+    info = store.publish()
+
+    comp = spark.read.parquet(info["blocks_path"])
+    assert "first" in comp.columns
+    dlb = spark.read.parquet(info["doclen_blocks_path"])
+    postings = store.merged_postings()
+    terms = spark.read.parquet(info["terms_path"])
+    docstats = spark.read.parquet(info["docstats_path"])
+    n, avgdl = bm25.corpus_stats(docstats)
+
+    want = [
+        (r.doc_id, round(r.score, 9))
+        for r in bm25.bm25_topk(
+            postings, docstats, terms, QTERMS, 10, n=n, avgdl=avgdl
+        ).collect()
+    ]
+    got_df = codec.bm25_topk_wand(comp, dlb, terms, QTERMS, 10, n, avgdl)
+    got = [(r.doc_id, round(r.score, 9)) for r in got_df.collect()]
+    assert got == want
+
+    plan = (
+        codec.qterm_blocks(comp, QTERMS)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1][:300]
+    assert "first" in seg, seg

@@ -113,3 +113,25 @@ def test_repetition_planted_boilerplate(spark):
     assert rows[1].top_ngram_frac == 1.0
     assert rows[2].n_ngrams == 4 and rows[2].dup_ngram_frac == 0.0
     assert rows[2].top_ngram_frac == 0.25
+
+
+@pytest.mark.spark
+def test_snippet_extract_boundaries(spark):
+    from elipdotter_spark.operators import text_analysis
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghijklmnopqrstuvwxyz0123456789 end of the document here")],
+        "doc_id long, text string",
+    )
+    hits = spark.createDataFrame(
+        [(1, 0), (1, 30), (1, 61)], "doc_id long, start long"
+    )
+    got = {r.start: r.snippet for r in
+           text_analysis.snippet_extract(hits, docs, width=10).collect()}
+    text = "abcdefghijklmnopqrstuvwxyz0123456789 end of the document here"
+    # start 0: clamped to the text head, 20 chars
+    assert got[0] == text[0:20]
+    # interior: 10 before + 10 after
+    assert got[30] == text[20:40]
+    # final-token quirk offset (start == len(text) - 1): trailing window
+    assert got[61] == text[51:]
