@@ -3,7 +3,9 @@
 Subcommands:
   build  --input <parquet dir/glob> --output <index store dir> [--segments N]
   query  --index <index store dir> --query "<elipdotter query>" [--k N]
-  bm25   --index <index store dir> --terms t1,t2 [--k N]
+  bm25   --index <index store dir> --terms t1,t2 [--k N] [--wand]
+  dedup  --input <parquet dir/glob> [--output <parquet>] [--threshold J]
+         [--max-ring R]   # near-dup clustering -> canonical corpus
 
 On a cluster the SparkSession comes from spark-submit's conf; standalone runs
 fall back to local[*].  The build is the resumable segmented build — re-run
@@ -127,6 +129,43 @@ def cmd_bm25(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Near-duplicate pipeline: minhash bands -> (bounded) candidate pairs
+    -> jaccard verify -> connected components -> canonical docs.  Prints a
+    one-line JSON summary; --output writes the canonical (deduplicated)
+    corpus as parquet."""
+    from pyspark.sql import functions as F
+
+    from elipdotter_spark.operators import dedup
+
+    spark = get_spark()
+    docs = spark.read.parquet(args.input).cache()
+    n_docs = docs.count()
+    bands = dedup.minhash_bands(docs)
+    pairs = dedup.candidate_pairs(
+        bands, max_ring=args.max_ring if args.max_ring > 0 else None
+    )
+    verified = dedup.jaccard_verify(pairs, dedup.distinct_tokens(docs))
+    strong = verified.filter(F.col("jaccard") >= args.threshold).select("a", "b")
+    comps = dedup.connected_components(strong).cache()
+    n_in_clusters = comps.count()
+    n_clusters = comps.select("component").distinct().count()
+    kept = dedup.canonical_docs(docs, comps)
+    if args.output:
+        kept.write.mode("overwrite").parquet(args.output)
+    n_kept = kept.count()
+    print(json.dumps({
+        "n_docs": n_docs,
+        "n_candidate_docs_in_clusters": n_in_clusters,
+        "n_clusters": n_clusters,
+        "n_kept": n_kept,
+        "n_dropped": n_docs - n_kept,
+        "threshold": args.threshold,
+        "output": args.output,
+    }))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="elipdotter-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -154,6 +193,16 @@ def main(argv=None) -> int:
     m.add_argument("--wand", action="store_true",
                    help="single-job block-max WAND over the compressed format")
     m.set_defaults(fn=cmd_bm25)
+
+    d = sub.add_parser("dedup")
+    d.add_argument("--input", required=True)
+    d.add_argument("--output", default=None,
+                   help="write the canonical (deduplicated) corpus here")
+    d.add_argument("--threshold", type=float, default=0.8,
+                   help="jaccard acceptance for near-dup pairs")
+    d.add_argument("--max-ring", type=int, default=8,
+                   help="bounded per-bucket pair fan-out (0 = exact all-pairs)")
+    d.set_defaults(fn=cmd_dedup)
 
     args = p.parse_args(argv)
     return args.fn(args)

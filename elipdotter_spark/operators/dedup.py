@@ -318,13 +318,16 @@ def connected_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     This is the canonicalization step every dedup pipeline runs after pair
     generation: keep one doc per component, drop the rest.
 
-    Algorithm: iterative min-label propagation over the symmetrized edge
-    list — each round every vertex takes the min of its own label and its
-    neighbors' labels (one join + one aggregate per round, both map-side
-    combinable), until a fixpoint.  Rounds needed = graph diameter; near-dup
-    clusters are short-diameter (hub-and-spokes around shared buckets), so
-    this converges in a handful of rounds — the same loop shape Spark's own
-    GraphFrames CC uses.  Each round's result is localCheckpoint()ed so the
+    Algorithm: each round is (1) min-label propagation over the symmetrized
+    edge list — every vertex takes the min of its own and its neighbors'
+    labels (one join + one combiner aggregate) — then (2) POINTER JUMPING:
+    ``component <- min(component, component-of-component)`` (one self-join),
+    which doubles label-path lengths per round.  Step 1 alone needs
+    O(diameter) rounds, and long chains are not exotic here: our own
+    ``candidate_pairs(max_ring=r)`` emits exactly chain-shaped edges for a
+    mega-bucket, so a 10^5-doc duplicate cluster would be a 10^5-diameter
+    graph.  With step 2 the loop converges in O(log n) rounds (the
+    hash-to-min shape).  Each round's result is localCheckpoint()ed so the
     lineage does not grow unboundedly across iterations (the classic
     iterative-Spark trap).  Driver coordination is one tiny count per round
     (the convergence check), never data.
@@ -345,11 +348,26 @@ def connected_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
             edges.join(labels, edges.src == labels.doc_id)
             .select(F.col("dst").alias("doc_id"), "component")
         )
-        new = (
+        prop = (
             labels.select("doc_id", "component")
             .unionByName(neighbor)
             .groupBy("doc_id")
             .agg(F.min("component").alias("component"))
+        )
+        # pointer jump: follow the label one hop (component's component)
+        parents = prop.select(
+            F.col("doc_id").alias("component"),
+            F.col("component").alias("parent_comp"),
+        )
+        new = (
+            prop.join(parents, "component", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("parent_comp"), F.col("component")),
+                ).alias("component"),
+            )
             .localCheckpoint()
         )
         changed = (
@@ -363,8 +381,7 @@ def connected_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds — "
-        "pathological graph diameter; raise max_iters or pre-contract with "
-        "large-star/small-star"
+        "raise max_iters (expected O(log n) with pointer jumping)"
     )
 
 

@@ -27,12 +27,20 @@ def start_ingest(
     checkpoint_dir: str,
     schema: str = "doc_id long, text string",
     available_now: bool = True,
+    auto_compact_superseded: float = None,
 ):
     """Stream parquet files from ``input_dir`` into index segments.
 
     Each micro-batch becomes one ledger-tracked segment
     (``stream-<batch_id>``); ``availableNow`` drains the backlog and stops
-    (the batch-incremental mode); pass False for a continuous ingest."""
+    (the batch-incremental mode); pass False for a continuous ingest.
+
+    ``auto_compact_superseded``: when set, each batch ends with
+    ``store.maybe_compact(threshold)`` so continuous re-ingest keeps the
+    store physically bounded.  A batch REPLAYED after a compaction (its
+    stream segment id no longer in the ledger) re-ingests its docs as
+    updates — latest-wins keeps query results identical, at the cost of
+    one extra superseded version until the next compaction."""
     stream = (
         spark.readStream.schema(schema).parquet(input_dir)
     )
@@ -40,7 +48,17 @@ def start_ingest(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        store.write_segment(f"stream-{batch_id:06d}", batch_df)
+        seg_id = f"stream-{batch_id:06d}"
+        if seg_id in store.completed_segments():
+            # foreachBatch may REPLAY a batch after a restart (the
+            # checkpoint advances after the sink returns); the same batch id
+            # carries the same rows, so the committed segment is already
+            # correct — skip, keeping the sink idempotent (write_segment
+            # itself refuses to clobber committed segments)
+            return
+        store.write_segment(seg_id, batch_df)
+        if auto_compact_superseded is not None:
+            store.maybe_compact(auto_compact_superseded)
 
     writer = (
         stream.writeStream.foreachBatch(sink)

@@ -131,9 +131,12 @@ def test_connected_components_matches_union_find(spark):
 
     rng = random.Random(11)
     edges = set()
-    # three planted shapes: a chain (worst diameter), a clique, random noise
-    for i in range(20):  # chain 100..120
-        edges.add((100 + i, 101 + i))
+    # three planted shapes: a LONG chain (worst diameter — the exact shape
+    # candidate_pairs(max_ring) emits for a mega-bucket; pointer jumping
+    # must converge in O(log n), plain propagation would need 300 rounds),
+    # a clique, and random noise
+    for i in range(300):  # chain 1000..1300
+        edges.add((1000 + i, 1001 + i))
     for a in range(200, 210):  # clique 200..209
         for b in range(a + 1, 210):
             edges.add((a, b))

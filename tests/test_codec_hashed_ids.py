@@ -213,3 +213,51 @@ def test_published_blocks_first_char_pruned(spark, tmp_path_factory):
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters")[1][:300]
     assert "first" in seg, seg
+
+
+def test_block_roundtrip_signed_property():
+    """encode/decode roundtrip over ARBITRARY signed int64 id sets (sorted
+    unique) — the delta encoding survives even full-range spreads because
+    two's-complement wrap in diff/cumsum cancels exactly; tf payloads
+    roundtrip alongside."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-(2**63) + 1, max_value=2**63 - 1),
+            min_size=1, max_size=64, unique=True,
+        ),
+        st.data(),
+    )
+    def roundtrip(ids, data):
+        ids = sorted(ids)
+        tfs = data.draw(
+            st.lists(st.integers(min_value=1, max_value=2**31),
+                     min_size=len(ids), max_size=len(ids))
+        )
+        first, dd, tb = codec.encode_block(ids, tfs)
+        out_ids, out_tfs = codec.decode_block(first, dd, tb, len(ids))
+        assert out_ids.tolist() == ids
+        assert out_tfs.tolist() == tfs
+
+    roundtrip()
+
+
+def test_range_key_python_matches_spec_property():
+    """Python floor // (the pack-side spec) over arbitrary signed ids and
+    spans stays within the doclen-block key space: same function, so
+    alignment is structural; this pins the PYTHON side of range_expr's
+    contract (the Spark side is pinned in test_range_expr_matches_python_floor)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.integers(min_value=-(2**63) + 1, max_value=2**63 - 1),
+        st.integers(min_value=1, max_value=2**62),
+    )
+    def check(doc, span):
+        rng = doc // span
+        assert rng * span <= doc < (rng + 1) * span
+
+    check()
