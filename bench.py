@@ -200,8 +200,11 @@ def run_queries(spark, docs, postings, terms, docstats):
         ).count(),
         reps=3,
     )
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").repartition(8).cache()
-    emb.count()
+    # NOT cached: embedding is an array<float> column, and columnar-caching
+    # nested arrays is ~10x slower than re-reading parquet (CLAUDE.md /
+    # BENCH.md round-2 finding) — the parquet scan IS the production shape
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").repartition(8)
+    emb.count()  # warm the FS cache / codegen only
     qvec = emb.filter(F.col("vec_id") == 0).first().embedding
     buckets = ann.lsh_buckets_tables(emb).cache()
     buckets.count()

@@ -134,19 +134,21 @@ def cmd_dedup(args) -> int:
     -> jaccard verify -> connected components -> canonical docs.  Prints a
     one-line JSON summary; --output writes the canonical (deduplicated)
     corpus as parquet."""
-    from pyspark.sql import functions as F
-
     from elipdotter_spark.operators import dedup
 
     spark = get_spark()
-    docs = spark.read.parquet(args.input).cache()
-    n_docs = docs.count()
-    bands = dedup.minhash_bands(docs)
-    pairs = dedup.candidate_pairs(
-        bands, max_ring=args.max_ring if args.max_ring > 0 else None
+    # single-file inputs give one input partition: spread BEFORE tokenize
+    # (minhash + distinct_tokens both tokenize) or one core does everything
+    docs = (
+        spark.read.parquet(args.input)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .cache()
     )
-    verified = dedup.jaccard_verify(pairs, dedup.distinct_tokens(docs))
-    strong = verified.filter(F.col("jaccard") >= args.threshold).select("a", "b")
+    n_docs = docs.count()
+    strong = dedup.near_dup_pairs(
+        docs, args.threshold,
+        max_ring=args.max_ring if args.max_ring > 0 else None,
+    ).select("a", "b")
     comps = dedup.connected_components(strong).cache()
     n_in_clusters = comps.count()
     n_clusters = comps.select("component").distinct().count()

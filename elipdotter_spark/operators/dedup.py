@@ -353,6 +353,7 @@ def connected_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
             .unionByName(neighbor)
             .groupBy("doc_id")
             .agg(F.min("component").alias("component"))
+            .localCheckpoint()  # self-joined below: don't pay the aggregate twice
         )
         # pointer jump: follow the label one hop (component's component)
         parents = prop.select(

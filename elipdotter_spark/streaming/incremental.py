@@ -51,11 +51,32 @@ def start_ingest(
         seg_id = f"stream-{batch_id:06d}"
         if seg_id in store.completed_segments():
             # foreachBatch may REPLAY a batch after a restart (the
-            # checkpoint advances after the sink returns); the same batch id
-            # carries the same rows, so the committed segment is already
-            # correct — skip, keeping the sink idempotent (write_segment
-            # itself refuses to clobber committed segments)
-            return
+            # checkpoint advances after the sink returns) — the same id
+            # carries the same rows WITHIN one checkpoint lineage, so the
+            # committed segment is already correct and we skip.  But a
+            # batch id can also COLLIDE across checkpoints (wiped/fresh
+            # checkpoint dir against the same store): silently skipping
+            # would drop whatever the new batch 0 contains beyond the old
+            # one.  Distinguish by content: same doc set -> true replay,
+            # skip; different -> fail loudly.
+            committed = {
+                r.doc_id
+                for r in store.spark.read.parquet(store.segment_path(seg_id))
+                .select("doc_id").distinct().collect()
+            }
+            incoming = {
+                r.doc_id
+                for r in batch_df.select("doc_id").distinct().collect()
+            }
+            if incoming == committed:
+                return  # idempotent replay
+            raise ValueError(
+                f"segment {seg_id!r} already committed with a DIFFERENT doc "
+                "set — batch-id collision across checkpoints (fresh/wiped "
+                "checkpoint dir against an existing store?). Use a new "
+                "store, a new checkpoint lineage suffix, or compact() and "
+                "re-ingest."
+            )
         store.write_segment(seg_id, batch_df)
         if auto_compact_superseded is not None:
             store.maybe_compact(auto_compact_superseded)

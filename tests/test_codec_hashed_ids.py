@@ -244,20 +244,24 @@ def test_block_roundtrip_signed_property():
     roundtrip()
 
 
-def test_range_key_python_matches_spec_property():
-    """Python floor // (the pack-side spec) over arbitrary signed ids and
-    spans stays within the doclen-block key space: same function, so
-    alignment is structural; this pins the PYTHON side of range_expr's
-    contract (the Spark side is pinned in test_range_expr_matches_python_floor)."""
-    from hypothesis import given, settings, strategies as st
+@pytest.mark.spark
+def test_range_expr_matches_python_floor_randomized(spark):
+    """range_expr == Python // over a seeded random spread of signed int64
+    ids and spans (one Spark job per span; extends the fixed edge-case list
+    in test_range_expr_matches_python_floor with bulk random coverage)."""
+    import random
 
-    @settings(max_examples=300, deadline=None)
-    @given(
-        st.integers(min_value=-(2**63) + 1, max_value=2**63 - 1),
-        st.integers(min_value=1, max_value=2**62),
+    rng = random.Random(1234)
+    vals = sorted(
+        {rng.randint(-(2**63) + 1, 2**63 - 1) for _ in range(200)}
+        | {rng.randint(-(2**20), 2**20) for _ in range(100)}
     )
-    def check(doc, span):
-        rng = doc // span
-        assert rng * span <= doc < (rng + 1) * span
-
-    check()
+    df = spark.createDataFrame([(v,) for v in vals], "doc_id long")
+    for span in (7, 1024, rng.randint(2, 2**40), 2**62):
+        got = {
+            r.doc_id: r.rng
+            for r in df.select(
+                "doc_id", codec.range_expr(span).alias("rng")
+            ).collect()
+        }
+        assert got == {v: v // span for v in vals}, span

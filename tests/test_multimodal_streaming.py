@@ -276,11 +276,11 @@ def test_streaming_sink_idempotent_on_replay(spark, tmp_path):
     segs = store.completed_segments()
     assert len(segs) == 1 and segs[0].startswith("stream-")
 
-    # simulate the replay: same batch id delivered again -> no error, no dup
+    # simulate the replay: the sink closure isn't exported, so replay
+    # through a fresh stream with a WIPED checkpoint — batch 0 redelivers
+    # the SAME file set, the exact crash-replay shape (same doc set ->
+    # idempotent skip; a different doc set would raise, tested below)
     from pyspark.sql import functions as F
-    replay_id = int(segs[0].split("-")[1])
-    # the sink closure isn't exported; replaying through a fresh stream with
-    # a WIPED checkpoint delivers batch 0 again — the exact crash-replay shape
     import shutil
     shutil.rmtree(str(tmp_path / "ckpt"))
     q2 = incremental.start_ingest(
@@ -290,3 +290,20 @@ def test_streaming_sink_idempotent_on_replay(spark, tmp_path):
     assert store.completed_segments() == segs  # skipped, not duplicated/raised
     m = store.merged_postings()
     assert m.filter(F.col("term") == "replayed").count() == 1
+
+    # batch-id COLLISION (not replay): new files land, checkpoint wiped ->
+    # batch 0 now carries a DIFFERENT doc set; silently skipping would lose
+    # docs, so the sink must fail loudly instead
+    spark.createDataFrame(
+        [(2, "new arrival after wipe")], "doc_id long, text string"
+    ).write.mode("append").parquet(str(src))
+    q3 = incremental.start_ingest(
+        spark, str(src), store, str(tmp_path / "ckpt3")
+    )
+    try:
+        q3.awaitTermination(120)
+        raised = False
+    except Exception as e:
+        raised = "collision" in str(e) or "DIFFERENT doc set" in str(e)
+    assert raised, "collision must fail loudly, not drop docs"
+    assert store.completed_segments() == segs  # store untouched
