@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""1M-doc (200x sf0.1) stress: store-published index -> one-job WAND.
+
+Reproduces the BENCH.md stress numbers end to end THROUGH THE STORE — not
+in-memory DataFrames: build a 1M-doc Zipf corpus, ingest it as a segment,
+publish() (auto doc_span, first-char-partitioned blocks + doclen side
+blocks on disk), then measure the published-file WAND path against the
+exhaustive scorer.  Prints one JSON line.
+
+Usage: PYTHONPATH=/root/repo python scripts/stress_1m.py [workdir]
+"""
+
+import json
+import shutil
+import sys
+import time
+
+from pyspark.sql import SparkSession, functions as F
+
+
+def main() -> int:
+    work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/elipdotter_stress_1m"
+    shutil.rmtree(work, ignore_errors=True)
+
+    from elipdotter_spark.operators import bm25, codec
+    from elipdotter_spark.sources.catalog import IndexStore
+    from elipdotter_spark.sources.corpus import zipf_corpus
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+    docs = zipf_corpus(spark, n_docs=1_000_000, vocab_size=50_000, doc_len=60)
+    store = IndexStore(spark, work)
+    t0 = time.perf_counter()
+    row = store.write_segment("seg-0000", docs)
+    build_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    info = store.publish()
+    publish_s = time.perf_counter() - t0
+
+    comp = spark.read.parquet(info["blocks_path"])
+    dlb = spark.read.parquet(info["doclen_blocks_path"])
+    postings = store.merged_postings()
+    terms = spark.read.parquet(info["terms_path"])
+    docstats = spark.read.parquet(info["docstats_path"])
+    n, avgdl = bm25.corpus_stats(docstats)
+
+    q = ["t1", "t800", "t30000"]
+    want = [
+        (r.doc_id, round(r.score, 9))
+        for r in bm25.bm25_topk(
+            postings, docstats, terms, q, 10, n=n, avgdl=avgdl
+        ).collect()
+    ]
+    # warm (python workers + codegen), then median of 3
+    codec.bm25_topk_wand(comp, dlb, terms, q, 10, n, avgdl).collect()
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        got = [
+            (r.doc_id, round(r.score, 9))
+            for r in codec.bm25_topk_wand(
+                comp, dlb, terms, q, 10, n, avgdl
+            ).collect()
+        ]
+        ts.append(time.perf_counter() - t0)
+        assert got == want, "published WAND != exhaustive"
+    stats = (
+        codec.bm25_topk_wand(comp, dlb, terms, q, 10, n, avgdl, with_stats=True)
+        .withColumn("pid", F.spark_partition_id())
+        .select("pid", "rng_scanned", "rng_total")
+        .distinct()
+        .collect()
+    )
+    plan = (
+        codec.qterm_blocks(comp, q)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    print(json.dumps({
+        "n_docs": 1_000_000,
+        "n_postings": row["n_postings"],
+        "segment_build_sec": round(build_s, 2),
+        "publish_sec": round(publish_s, 2),
+        "doc_span": info["doc_span"],
+        "wand_published_sec_median": round(sorted(ts)[1], 3),
+        "ranges_scanned": sum(r.rng_scanned for r in stats),
+        "ranges_total": sum(r.rng_total for r in stats),
+        "partition_filtered_scan": "PartitionFilters" in plan,
+        "exact_vs_exhaustive": True,
+    }))
+    spark.stop()
+    shutil.rmtree(work, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
