@@ -1,0 +1,75 @@
+"""In-process CLI drives — the spark-submit surface, pinned in pytest.
+
+Mirrors the verify recipe's CLI known-goods (sf0.001): build -> query
+(exact top hit doc 217, rating ~16.3464) -> bm25 default == --wand ->
+dedup pipeline summary.  get_spark is monkeypatched to the session fixture
+so no new JVM is spawned per subcommand.
+"""
+
+import json
+
+import pytest
+
+
+@pytest.fixture()
+def cli(spark, monkeypatch):
+    import elipdotter_spark.cli as cli_mod
+
+    monkeypatch.setattr(cli_mod, "get_spark", lambda: spark)
+    return cli_mod
+
+
+def _json_lines(capsys):
+    return [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+        if line.startswith("{")
+    ]
+
+
+@pytest.mark.spark
+def test_cli_build_query_bm25(cli, tmp_path, sf_dir, capsys):
+    idx = str(tmp_path / "idx")
+    assert cli.main([
+        "build", "--input", f"{sf_dir}/documents.parquet",
+        "--output", idx, "--segments", "2",
+    ]) == 0
+    info = _json_lines(capsys)[-1]
+    assert info["built_segments"] == 2
+    assert info["max_seq"] == 1 and info["doc_span"] > 0
+
+    assert cli.main([
+        "query", "--index", idx, "--query", "table value -vector",
+        "--k", "3", "--algo", "exact",
+    ]) == 0
+    rows = _json_lines(capsys)
+    assert rows[0]["doc_id"] == 217  # verify-recipe known-good at sf0.001
+    assert abs(rows[0]["rating"] - 16.3464) < 0.001
+
+    assert cli.main([
+        "bm25", "--index", idx, "--terms", "table,value", "--k", "5",
+    ]) == 0
+    exhaustive = _json_lines(capsys)
+    assert cli.main([
+        "bm25", "--index", idx, "--terms", "table,value", "--k", "5", "--wand",
+    ]) == 0
+    wand = _json_lines(capsys)
+    assert [r["doc_id"] for r in wand] == [r["doc_id"] for r in exhaustive]
+    for a, b in zip(wand, exhaustive):
+        assert abs(a["score"] - b["score"]) < 1e-9
+
+
+@pytest.mark.spark
+def test_cli_dedup_summary(cli, sf_dir, capsys):
+    assert cli.main([
+        "dedup", "--input", f"{sf_dir}/documents.parquet",
+        "--threshold", "0.8", "--max-ring", "8",
+    ]) == 0
+    summary = _json_lines(capsys)[-1]
+    assert summary["n_docs"] == 500
+    assert summary["n_kept"] + summary["n_dropped"] == 500
+    assert summary["n_clusters"] > 0
+    # canonicality: every cluster keeps exactly one representative
+    assert summary["n_kept"] == 500 - (
+        summary["n_candidate_docs_in_clusters"] - summary["n_clusters"]
+    )
