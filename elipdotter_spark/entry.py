@@ -56,6 +56,13 @@ positions AS (
 
 _CACHE: Dict[str, dict] = {}
 
+
+def _spark_key(spark: SparkSession) -> str:
+    """Cache key tied to the session's JVM application id (a raw python
+    object id could theoretically be reused after GC in a long-lived
+    driver)."""
+    return spark.sparkContext.applicationId
+
 # ------------------------------------------------- cross-engine Zipf corpus
 #
 # The sf corpora have a ~31-term near-uniform vocabulary, which makes several
@@ -152,7 +159,7 @@ def _zipf_docs(spark: SparkSession) -> DataFrame:
 
 
 def _zipf_tables(spark: SparkSession) -> dict:
-    key = f"zipf:{id(spark)}"
+    key = f"zipf:{_spark_key(spark)}"
     if key not in _CACHE:
         docs = _zipf_docs(spark).cache()
         postings = index_build.build_postings(docs).cache()
@@ -171,7 +178,7 @@ def _zipf_tables(spark: SparkSession) -> dict:
 
 
 def _tables(spark: SparkSession, sf_dir: str) -> dict:
-    key = f"{id(spark)}:{sf_dir}"
+    key = f"{_spark_key(spark)}:{sf_dir}"
     if key not in _CACHE:
         # the sf parquet is one small file -> spread it so the tokenize
         # stage parallelizes (real corpora arrive as many files)
@@ -576,7 +583,7 @@ def q_zipf_bm25_compressed(spark, sf_dir):
     from .operators import codec
 
     t = _zipf_tables(spark)
-    key = f"zipf_comp:{id(spark)}"
+    key = f"zipf_comp:{_spark_key(spark)}"
     if key not in _CACHE:
         _CACHE[key] = codec.build_compressed(
             t["postings"], t["docstats"], t["terms"], t["n"], t["avgdl"],
@@ -598,8 +605,8 @@ def q_zipf_bm25_wand(spark, sf_dir):
     from .operators import codec
 
     t = _zipf_tables(spark)
-    ckey = f"zipf_comp:{id(spark)}"
-    dkey = f"zipf_dlb:{id(spark)}"
+    ckey = f"zipf_comp:{_spark_key(spark)}"
+    dkey = f"zipf_dlb:{_spark_key(spark)}"
     if ckey not in _CACHE:
         _CACHE[ckey] = codec.build_compressed(
             t["postings"], t["docstats"], t["terms"], t["n"], t["avgdl"],
