@@ -43,6 +43,7 @@ def build_postings(
     id_col: str = "doc_id",
     text_col: str = "text",
     term_buckets: int = DEFAULT_TERM_BUCKETS,
+    doc_salt: int = 1,
 ) -> DataFrame:
     """postings(term, doc_id, positions array<long>, tf int), positions sorted
     unique (A1; src/index.rs:1080-1098).
@@ -72,12 +73,27 @@ def build_postings(
     # only ever see term-equality scans (expanded term sets), which parquet
     # page stats prune inside each sorted bucket file; prefix/range scans
     # happen on the *terms* dictionary, which the catalog publishes
-    # partitioned by first char.  A degenerate hot term (stopword) lands in
-    # one bucket: AQE skew splitting handles the read side, and the catalog
-    # writer salts by doc-range when a bucket exceeds its size budget.
-    return postings.repartition(
-        term_buckets, F.pmod(F.xxhash64("term"), F.lit(term_buckets))
-    ).sortWithinPartitions("term", "doc_id")
+    # partitioned by first char.
+    #
+    # Hot-term skew: a degenerate stopword lands in ONE bucket — AQE skew
+    # splitting handles the read side, and ``doc_salt > 1`` splits the
+    # WRITE side by hashed doc id (partition = bucket * salt + doc-hash
+    # salt), so a 10^11-posting term spreads over ``doc_salt`` writer
+    # tasks/files instead of melting one.  Term-equality scans then touch
+    # doc_salt files per bucket; each stays (term, doc_id)-sorted, so every
+    # downstream consumer (page-stat pruning, codec pack, merge) is
+    # unaffected.  Size doc_salt so bucket_bytes/salt ~ the target file
+    # size at the corpus scale.
+    salt = max(1, int(doc_salt))
+    if salt == 1:
+        part_expr = F.pmod(F.xxhash64("term"), F.lit(term_buckets))
+    else:
+        part_expr = F.pmod(F.xxhash64("term"), F.lit(term_buckets)) * salt + F.pmod(
+            F.xxhash64("doc_id"), F.lit(salt)
+        )
+    return postings.repartition(term_buckets * salt, part_expr).sortWithinPartitions(
+        "term", "doc_id"
+    )
 
 
 def tokens_jvm(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -135,3 +135,44 @@ def test_snippet_extract_boundaries(spark):
     assert got[30] == text[20:40]
     # final-token quirk offset (start == len(text) - 1): trailing window
     assert got[61] == text[51:]
+
+
+@pytest.mark.spark
+def test_doc_salt_spreads_hot_term(spark):
+    """doc_salt > 1 spreads a degenerate hot term over multiple writer
+    partitions (the hot-bucket write-side salting) while preserving the
+    layout invariants: identical posting content, (term, doc_id)-sorted
+    within every partition."""
+    from pyspark.sql import functions as F
+
+    from elipdotter_spark.operators import index_build
+
+    # one mega-hot term ('hot' in every doc) + per-doc unique terms
+    docs = spark.createDataFrame(
+        [(i, f"hot unique{i}") for i in range(2000)], "doc_id long, text string"
+    ).repartition(8)
+
+    plain = index_build.build_postings(docs)
+    salted = index_build.build_postings(docs, doc_salt=4)
+
+    want = {(r.term, r.doc_id, r.tf) for r in plain.collect()}
+    got = {(r.term, r.doc_id, r.tf) for r in salted.collect()}
+    assert got == want  # content identical
+
+    hot_parts = (
+        salted.filter(F.col("term") == "hot")
+        .select(F.spark_partition_id().alias("pid"))
+        .distinct()
+        .count()
+    )
+    assert hot_parts > 1, hot_parts  # the hot term no longer melts one task
+
+    # within-partition (term, doc_id) sort preserved under salting
+    def assert_sorted(it):
+        import pandas as pd
+        for pdf in it:
+            keys = list(zip(pdf["term"], pdf["doc_id"]))
+            assert keys == sorted(keys)
+            yield pd.DataFrame({"ok": [True]})
+
+    salted.mapInPandas(assert_sorted, schema="ok boolean").collect()
