@@ -571,6 +571,35 @@ def q_zipf_hamming_expand(spark, sf_dir):
     )
 
 
+def q_zipf_jaro_short(spark, sf_dir):
+    """F1 + F5 cross-engine: Jaro fuzzy expansion for the SHORT query word
+    'w' (< 3 bytes -> the reference's similarity-only branch with STRICT
+    ``>`` threshold, src/proximity.rs:152-161) over the Zipf dictionary,
+    via the actual engine path (vectorized Jaro, first-char pruned scan).
+
+    For a 1-char query word strsim's generic_jaro collapses to the exact
+    rational (2 + 1/len(term))/3 when the term starts with the char (m=1,
+    t=0), else 0 — so DuckDB verifies both set membership (strict > 0.75
+    <=> len <= 3; the len-4 rating is EXACTLY 0.75 in f64 and f32, so the
+    strict inequality agrees bit-for-bit) and the rating arithmetic
+    (double-precision mirror computed identically on both sides).  The
+    general Jaro state machine stays pytest-verified (strsim parity +
+    Swedish golden); this gate pins the short-word branch end-to-end."""
+    t = _zipf_tables(spark)
+    eng = QueryEngine(
+        spark, t["postings"], t["terms"],
+        proximity_threshold=0.75, algo="jaro", word_count_limit=1000,
+    )
+    exp = eng.expansions(parse("w"))["w"]  # engine path, f32 strict >
+    df = spark.createDataFrame(
+        [(term, len(term)) for term in exp], "term string, tlen int"
+    )
+    return df.select(
+        "term", "tlen",
+        F.round((F.lit(2.0) + 1.0 / F.col("tlen")) / 3.0, 6).alias("rating"),
+    )
+
+
 def q_zipf_dd_exact(spark, sf_dir):
     """Exact dedup with planted duplicates: 40 md5 groups of size 2."""
     return dedup.exact_dup_groups(_zipf_tables(spark)["docs"])
@@ -723,6 +752,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_dict_prefix": q_zipf_dict_prefix,
         "zipf_prefix_expand": q_zipf_prefix_expand,
         "zipf_hamming_expand": q_zipf_hamming_expand,
+        "zipf_jaro_short": q_zipf_jaro_short,
         "zipf_dd_exact": q_zipf_dd_exact,
         "zipf_bm25_compressed": q_zipf_bm25_compressed,
         "zipf_bm25_wand": q_zipf_bm25_wand,
@@ -1254,6 +1284,14 @@ def oracle_sql() -> Dict[str, str]:
                    round(CAST(mn AS DOUBLE) / (diff + mn), 6) AS rating
             FROM h
             WHERE mn >= diff
+        """,
+        "zipf_jaro_short": f"""
+            WITH {ZIPF_TOKS_SQL},
+            zdict AS (SELECT DISTINCT term FROM ztok)
+            SELECT term, CAST(len(term) AS INT) AS tlen,
+                   round((2.0 + 1.0 / len(term)) / 3.0, 6) AS rating
+            FROM zdict
+            WHERE len(term) <= 3
         """,
         "zipf_dd_exact": f"""
             WITH {ZIPF_TEXT_SQL}
