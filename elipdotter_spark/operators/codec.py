@@ -228,6 +228,29 @@ def build_compressed(
     return rows.mapInPandas(pack, schema=BLOCK_SCHEMA)
 
 
+def first_char_filter(scan: DataFrame, chars) -> DataFrame:
+    """Type-stable partition filter on the first-char layout column.
+
+    Spark's partition-column type inference reads ``first`` as INT on a
+    store whose terms all start with digits (every directory name parses as
+    a number); an ``isin`` over string literals against an int column then
+    fails *analysis* on any non-castable char instead of returning rows.
+    Filter with literals of the column's inferred type: for an int column
+    only the digit chars can match (a letter-initial query term has no
+    partition in an all-digit layout by construction), so non-digit chars
+    reduce the predicate honestly to their absence.  Literals — not a cast
+    on the column — so Catalyst still turns the predicate into
+    PartitionFilters in both typings."""
+    chars = sorted({c for c in chars if c})
+    if not chars:
+        return scan
+    dtype = dict(scan.dtypes).get("first", "string")
+    if dtype != "string":
+        ints = [int(c) for c in chars if c.isdigit()]
+        return scan.filter(F.col("first").isin(ints) if ints else F.lit(False))
+    return scan.filter(F.col("first").isin(chars))
+
+
 def qterm_blocks(compressed: DataFrame, qterms) -> DataFrame:
     """The query's posting-block scan, physically pruned when possible.
 
@@ -241,9 +264,7 @@ def qterm_blocks(compressed: DataFrame, qterms) -> DataFrame:
     BLOCK_SCHEMA shape."""
     scan = compressed
     if "first" in scan.columns:
-        chars = sorted({t[0] for t in qterms if t})
-        if chars:
-            scan = scan.filter(F.col("first").isin(chars))
+        scan = first_char_filter(scan, {t[0] for t in qterms if t})
     return scan.filter(F.col("term").isin(list(qterms))).select(
         *[f.name for f in BLOCK_SCHEMA.fields]
     )

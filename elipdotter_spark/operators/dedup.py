@@ -312,7 +312,9 @@ def embedding_near_dup_pairs(
 # --------------------------------------------------- duplicate clustering
 
 
-def connected_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
+def connected_components(
+    pairs: DataFrame, max_iters: int = 50, checkpoint_dir: str = None
+) -> DataFrame:
     """(doc_id, component) — connected components over a near-duplicate
     pair list; component = the smallest doc_id reachable from the doc.
     This is the canonicalization step every dedup pipeline runs after pair
@@ -327,40 +329,77 @@ def connected_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     ``candidate_pairs(max_ring=r)`` emits exactly chain-shaped edges for a
     mega-bucket, so a 10^5-doc duplicate cluster would be a 10^5-diameter
     graph.  With step 2 the loop converges in O(log n) rounds (the
-    hash-to-min shape).  Each round's result is localCheckpoint()ed so the
-    lineage does not grow unboundedly across iterations (the classic
+    hash-to-min shape).  Each round's labels are materialized so lineage
+    does not grow unboundedly across iterations (the classic
     iterative-Spark trap).  Driver coordination is one tiny count per round
     (the convergence check), never data.
+
+    ``checkpoint_dir``: when None, rounds are ``localCheckpoint()``ed —
+    fastest, but the checkpoint lives in executor block storage, so losing
+    an executor mid-iteration kills the job unrecoverably.  On a real
+    cluster (preemptible nodes, 10^9-edge graphs) pass a durable directory:
+    each round is then persisted as parquet and read back — an executor
+    loss only recomputes the current round from durable inputs.  Superseded
+    round files are deleted as the loop advances; the FINAL round's parquet
+    is left in place, so the returned DataFrame is re-readable without any
+    of the original lineage (the caller owns eventual cleanup of the dir).
     """
+    import os
+    import shutil
+
+    spark = pairs.sparkSession
+    rnd = [0]
+
+    def persist(df: DataFrame, tag: str) -> DataFrame:
+        if checkpoint_dir is None:
+            return df.localCheckpoint()
+        path = os.path.join(checkpoint_dir, f"cc-{rnd[0]:04d}-{tag}")
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    def drop_rounds(upto_exclusive: int) -> None:
+        if checkpoint_dir is None or not os.path.isdir(checkpoint_dir):
+            return
+        for name in os.listdir(checkpoint_dir):
+            if not name.startswith("cc-"):
+                continue
+            try:
+                n = int(name.split("-")[1])
+            except (IndexError, ValueError):
+                continue
+            if n < upto_exclusive:
+                shutil.rmtree(os.path.join(checkpoint_dir, name))
+
     edges = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .distinct()
     )
-    labels = (
+    labels = persist(
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
-        .withColumn("component", F.col("doc_id"))
-        .localCheckpoint()
+        .withColumn("component", F.col("doc_id")),
+        "init",
     )
     for _ in range(max_iters):
+        rnd[0] += 1
         neighbor = (
             edges.join(labels, edges.src == labels.doc_id)
             .select(F.col("dst").alias("doc_id"), "component")
         )
-        prop = (
+        prop = persist(
             labels.select("doc_id", "component")
             .unionByName(neighbor)
             .groupBy("doc_id")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint()  # self-joined below: don't pay the aggregate twice
+            .agg(F.min("component").alias("component")),
+            "prop",  # self-joined below: don't pay the aggregate twice
         )
         # pointer jump: follow the label one hop (component's component)
         parents = prop.select(
             F.col("doc_id").alias("component"),
             F.col("component").alias("parent_comp"),
         )
-        new = (
+        new = persist(
             prop.join(parents, "component", "left")
             .select(
                 "doc_id",
@@ -368,8 +407,8 @@ def connected_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
                     F.col("component"),
                     F.coalesce(F.col("parent_comp"), F.col("component")),
                 ).alias("component"),
-            )
-            .localCheckpoint()
+            ),
+            "new",
         )
         changed = (
             new.alias("n")
@@ -378,6 +417,8 @@ def connected_components(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
             .count()
         )
         labels = new
+        # this round's "new" is durable: every earlier round is superseded
+        drop_rounds(rnd[0])
         if changed == 0:
             return labels
     raise RuntimeError(

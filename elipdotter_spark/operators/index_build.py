@@ -77,9 +77,13 @@ def build_postings(
     #
     # Hot-term skew: a degenerate stopword lands in ONE bucket — AQE skew
     # splitting handles the read side, and ``doc_salt > 1`` splits the
-    # WRITE side by hashed doc id (partition = bucket * salt + doc-hash
-    # salt), so a 10^11-posting term spreads over ``doc_salt`` writer
-    # tasks/files instead of melting one.  Term-equality scans then touch
+    # WRITE side by hashed doc id: the partition key becomes
+    # ``bucket * salt + doc-hash salt``, which repartition() re-hashes, so
+    # a hot term's ``salt`` distinct key values spread over ~doc_salt
+    # writer tasks in expectation (hash collisions can co-locate a few —
+    # the spread is probabilistic, not a literal value->partition map), so
+    # a 10^11-posting term spreads over ~doc_salt writer tasks/files
+    # instead of melting one.  Term-equality scans then touch up to
     # doc_salt files per bucket; each stays (term, doc_id)-sorted, so every
     # downstream consumer (page-stat pruning, codec pack, merge) is
     # unaffected.  Size doc_salt so bucket_bytes/salt ~ the target file

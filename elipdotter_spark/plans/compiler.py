@@ -110,7 +110,9 @@ class QueryEngine:
         if prune:
             first_chars = sorted({w[0] for w in words if w})
             if first_chars and "first" in scan.columns:
-                scan = scan.filter(F.col("first").isin(first_chars))
+                from ..operators.codec import first_char_filter
+
+                scan = first_char_filter(scan, first_chars)
             elif first_chars:
                 cond = None
                 for c in first_chars:

@@ -33,8 +33,23 @@ from ..operators import index_build
 LEDGER_SCHEMA = (
     "segment_id string, status string, n_docs long, n_postings long, "
     "bytes long, postings_per_sec double, skew_ratio double, wall_ms long, "
-    "seq long"
+    "seq long, doc_digest long"
 )
+
+
+def content_digest(docs: DataFrame) -> tuple:
+    """(row_count, order-insensitive content hash) over ALL columns — one
+    scalar row per side, computed in-plan (never a collect of row sets).
+    ``bit_xor`` of per-row xxhash64 is commutative and overflow-free (ANSI
+    mode sums would throw on 64-bit hash sums); the count catches the xor
+    blind spot of a value appearing an even number of times."""
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "bit_xor(xxhash64({}))".format(", ".join(f"`{c}`" for c in docs.columns))
+        ).alias("h"),
+    ).collect()[0]
+    return int(row.n), (int(row.h) if row.h is not None else 0)
 
 
 def _dir_bytes(path: str) -> int:
@@ -67,7 +82,8 @@ class IndexStore:
         return out
 
     def ledger_df(self) -> DataFrame:
-        rows = [{"seq": None, **r} for r in self.ledger()]  # legacy rows lack seq
+        # legacy rows lack seq / doc_digest
+        rows = [{"seq": None, "doc_digest": None, **r} for r in self.ledger()]
         if not rows:
             return self.spark.createDataFrame([], schema=LEDGER_SCHEMA)
         return self.spark.createDataFrame(rows, schema=LEDGER_SCHEMA)
@@ -78,12 +94,16 @@ class IndexStore:
         index; additionally, if any row lacks a recorded seq, the actual
         segment parquet is consulted for stamped seqs — a store compacted by
         code that stamped parquet but not the ledger would otherwise hand
-        out a LOWER seq and silently break latest-wins for later updates."""
+        out a LOWER seq and silently break latest-wins for later updates.
+        Outstanding seq CLAIMS (concurrent writers that claimed a number but
+        have not committed their ledger row yet) count as taken, so
+        monotonicity holds across the claim->commit window."""
         rows = self.ledger()
+        base = max(self._seq_claims(), default=-1)
         if not rows:
-            return 0
+            return base + 1
         seqs = [r.get("seq") for r in rows]
-        base = max((s for s in seqs if s is not None), default=-1)
+        base = max(base, max((s for s in seqs if s is not None), default=-1))
         if any(s is None for s in seqs):
             base = max(base, len(rows) - 1)
             try:
@@ -95,6 +115,43 @@ class IndexStore:
             except FileNotFoundError:
                 pass
         return base + 1
+
+    def _seq_claims(self) -> List[int]:
+        d = os.path.join(self.base, "ledger")
+        out = []
+        for f in os.listdir(d):
+            if f.startswith(".seq-") and f.endswith(".claim"):
+                try:
+                    out.append(int(f[len(".seq-") : -len(".claim")]))
+                except ValueError:
+                    pass
+        return out
+
+    def _claim_seq(self) -> int:
+        """Atomically claim the next segment seq (multi-writer safety).
+
+        Concurrent ingest drivers against one store are the normal shape of
+        a web-scale pipeline; a bare read-max-then-increment lets two of
+        them mint the SAME seq and silently corrupt latest-wins (a later
+        update could lose to an earlier one).  Writers therefore race on an
+        ``O_CREAT|O_EXCL`` create of a seq-named marker file — the
+        filesystem guarantees exactly one winner per number; losers retry
+        the next number.  A claim is never deleted: a claimant that crashes
+        before committing its ledger row just burns one integer (seqs only
+        need to be monotonic, not dense), and :meth:`_next_seq` counts
+        outstanding claims so later writers start above them.  On Iceberg
+        this whole mechanism is subsumed by optimistic snapshot commit."""
+        n = self._next_seq()
+        d = os.path.join(self.base, "ledger")
+        while True:
+            path = os.path.join(d, f".seq-{n:020d}.claim")
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                n += 1
+                continue
+            os.close(fd)
+            return n
 
     def completed_segments(self) -> List[str]:
         return [r["segment_id"] for r in self.ledger() if r["status"] == "done"]
@@ -122,27 +179,41 @@ class IndexStore:
                 " segment id (updates win by seq) or compact() first"
             )
         t0 = time.perf_counter()
-        seq = self._next_seq()
+        seq = self._claim_seq()  # atomic: concurrent writers get distinct seqs
         postings = index_build.build_postings(docs).withColumn(
             "seq", F.lit(seq).cast("long")
         )
-        tmp = self.segment_path(segment_id) + ".tmp"
         final = self.segment_path(segment_id)
+        # tmp dir is per-claim (seq is writer-unique), so two concurrent
+        # writers racing on the same segment id never clobber each other's
+        # in-flight files; the loser is rejected at ledger-commit below
+        tmp = f"{final}.tmp-{seq}"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         postings.write.mode("overwrite").parquet(tmp)
 
         seg = self.spark.read.parquet(tmp)
         n_postings = seg.count()
-        n_docs = docs.count()
+        # one aggregate gives the doc count AND the segment's input-content
+        # digest (recorded in the ledger so a streaming replay can verify
+        # "same batch id => same content" without collecting row sets)
+        n_docs, doc_digest = content_digest(docs)
         stats = seg.groupBy("term").count().agg(
             F.max("count").alias("mx"), F.avg("count").alias("mean")
         ).collect()[0]
         wall = time.perf_counter() - t0
 
         if os.path.exists(final):
+            if os.path.exists(self._ledger_path(segment_id)):
+                # a concurrent writer committed this id while we were
+                # building — abort without touching its data
+                shutil.rmtree(tmp)
+                raise ValueError(
+                    f"segment {segment_id!r} was committed concurrently;"
+                    " refusing to overwrite"
+                )
             # crash orphan (rename happened, ledger write didn't — the
-            # committed case was rejected at function entry)
+            # committed case was rejected at function entry and just above)
             shutil.rmtree(final)
         os.rename(tmp, final)  # atomic commit
         row = {
@@ -157,10 +228,28 @@ class IndexStore:
             else 0.0,
             "wall_ms": int(wall * 1000),
             "seq": seq,
+            "doc_digest": doc_digest,
         }
-        with open(self._ledger_path(segment_id), "w") as fh:
-            json.dump(row, fh)
+        self._commit_ledger_row(segment_id, row)
         return row
+
+    def _commit_ledger_row(self, segment_id: str, row: dict) -> None:
+        """Exclusive-create ledger commit: of two writers racing the same
+        segment id, exactly one lands the row; the loser fails loudly
+        instead of silently overwriting the winner's lineage record."""
+        try:
+            fd = os.open(
+                self._ledger_path(segment_id),
+                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+            )
+        except FileExistsError:
+            raise ValueError(
+                f"segment {segment_id!r} was committed concurrently by"
+                " another writer (ledger row exists); ingest under a"
+                " distinct segment id per writer"
+            )
+        with os.fdopen(fd, "w") as fh:
+            json.dump(row, fh)
 
     # -------------------------------------------------------------- build
 
@@ -245,7 +334,7 @@ class IndexStore:
             # already a single compacted segment: nothing superseded, skip
             # the rewrite (repeated compact calls stay cheap no-ops)
             return self.ledger()[0]
-        new_seq = self._next_seq()
+        new_seq = self._claim_seq()
         seg_id = f"seg-compact-{new_seq:04d}"
         compacted = self.compacted_postings().withColumn(
             "seq", F.lit(new_seq).cast("long")
@@ -274,8 +363,7 @@ class IndexStore:
             "wall_ms": 0,
             "seq": new_seq,
         }
-        with open(self._ledger_path(seg_id), "w") as fh:
-            json.dump(row, fh)
+        self._commit_ledger_row(seg_id, row)
         # only now retire the superseded segments (safe at any crash point)
         for s in old_segments:
             path = self.segment_path(s)

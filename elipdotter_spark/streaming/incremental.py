@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..sources.catalog import IndexStore
+from ..sources.catalog import IndexStore, content_digest
 
 
 def start_ingest(
@@ -49,33 +49,51 @@ def start_ingest(
         if batch_df.isEmpty():
             return
         seg_id = f"stream-{batch_id:06d}"
-        if seg_id in store.completed_segments():
+        committed_row = next(
+            (r for r in store.ledger() if r["segment_id"] == seg_id), None
+        )
+        if committed_row is not None:
             # foreachBatch may REPLAY a batch after a restart (the
             # checkpoint advances after the sink returns) — the same id
             # carries the same rows WITHIN one checkpoint lineage, so the
             # committed segment is already correct and we skip.  But a
             # batch id can also COLLIDE across checkpoints (wiped/fresh
             # checkpoint dir against the same store): silently skipping
-            # would drop whatever the new batch 0 contains beyond the old
-            # one.  Distinguish by content: same doc set -> true replay,
-            # skip; different -> fail loudly.
-            committed = {
-                r.doc_id
-                for r in store.spark.read.parquet(store.segment_path(seg_id))
-                .select("doc_id").distinct().collect()
-            }
-            incoming = {
-                r.doc_id
-                for r in batch_df.select("doc_id").distinct().collect()
-            }
-            if incoming == committed:
-                return  # idempotent replay
+            # would drop whatever the new batch 0 carries beyond the old
+            # one — including the SAME doc ids with UPDATED text.
+            # Distinguish by CONTENT, compared as one scalar row per side
+            # (never a driver-side collect of row sets): the ledger records
+            # the committed batch's (count, order-insensitive xxhash64-xor)
+            # over all input columns; recompute the same over the incoming
+            # batch.  Equal -> true replay, skip; different -> fail loudly.
+            if committed_row.get("doc_digest") is not None:
+                n, h = content_digest(batch_df)
+                if (
+                    n == committed_row["n_docs"]
+                    and h == committed_row["doc_digest"]
+                ):
+                    return  # idempotent replay (identical content)
+            else:
+                # legacy segment committed before digests were recorded:
+                # the raw text is gone, so compare the strongest thing both
+                # sides still share — the distinct doc-id digest (still
+                # in-plan, one row per side; misses same-id text edits,
+                # which post-legacy segments catch above)
+                committed_ids = (
+                    store.spark.read.parquet(store.segment_path(seg_id))
+                    .select("doc_id")
+                    .distinct()
+                )
+                if content_digest(committed_ids) == content_digest(
+                    batch_df.select("doc_id").distinct()
+                ):
+                    return  # idempotent replay (same doc-id set)
             raise ValueError(
-                f"segment {seg_id!r} already committed with a DIFFERENT doc "
-                "set — batch-id collision across checkpoints (fresh/wiped "
-                "checkpoint dir against an existing store?). Use a new "
-                "store, a new checkpoint lineage suffix, or compact() and "
-                "re-ingest."
+                f"segment {seg_id!r} already committed with DIFFERENT "
+                "content — batch-id collision across checkpoints "
+                "(fresh/wiped checkpoint dir against an existing store?). "
+                "Use a new store, a new checkpoint lineage suffix, or "
+                "compact() and re-ingest."
             )
         store.write_segment(seg_id, batch_df)
         if auto_compact_superseded is not None:
