@@ -89,6 +89,10 @@ class QueryEngine:
         self.algo = algo
         self.word_count_limit = word_count_limit
         self._term_count: Optional[int] = None
+        # set once a topk() prune attempt proves futile on this corpus
+        # (theta below the median upper bound -> <2x kernel reduction);
+        # later topk() calls then skip the prune phases entirely
+        self._prune_futile = False
 
     # ------------------------------------------------------------ expansion
 
@@ -191,25 +195,56 @@ class QueryEngine:
         schema = "qword string, term string, proximity float"
         return self.spark.createDataFrame(rows, schema=schema)
 
-    def _qword_sets(self, exp: Dict[str, Dict[str, np.float32]]) -> DataFrame:
+    def _qword_sets(
+        self, exp: Dict[str, Dict[str, np.float32]], with_stats: bool = False
+    ) -> DataFrame:
         """(doc_id, qws array<string>) — per doc, the set of query words with
         at least one expanded-term occurrence.  ONE posting scan + ONE shuffle
         computes the inputs for every node of the boolean algebra: each node's
         doc-set membership is a row-local expression over ``qws`` (see
         :meth:`_node_member_exprs`), so a W-word query costs one scan instead
-        of 2W per-leaf scans + distincts."""
+        of 2W per-leaf scans + distincts.
+
+        ``with_stats`` adds, per query word ``j`` (sorted order), the three
+        scalars the rating upper bound (:meth:`_upper_bound_expr`) needs —
+        ``__maxp_j``/``__minp_j`` (extreme expansion proximities present in
+        the doc) and ``__nocc_j`` (the doc's occurrence count over the word's
+        expansions) — in the SAME aggregate, so the prune costs no extra
+        scan or shuffle."""
         all_terms = sorted({t for d in exp.values() for t in d})
         if not all_terms:
-            return self.spark.range(0).select(
+            out = self.spark.range(0).select(
                 F.col("id").alias("doc_id"),
                 F.array().cast("array<string>").alias("qws"),
             )
-        exp_df = self._expansion_df(exp).select("qword", "term")
+            if with_stats:
+                for j, _w in enumerate(sorted(exp)):
+                    out = (
+                        out.withColumn(f"__maxp_{j}", F.lit(None).cast("float"))
+                        .withColumn(f"__minp_{j}", F.lit(None).cast("float"))
+                        .withColumn(f"__nocc_{j}", F.lit(None).cast("long"))
+                    )
+            return out
+        exp_df = self._expansion_df(exp).select("qword", "term", "proximity")
+        aggs = [F.collect_set("qword").alias("qws")]
+        if with_stats:
+            tf_col = (
+                F.col("tf")
+                if "tf" in self.postings.columns
+                else F.size("positions").cast("long")
+            )
+            for j, w in enumerate(sorted(exp)):
+                cond = F.col("qword") == w
+                aggs += [
+                    F.max(F.when(cond, F.col("proximity"))).alias(f"__maxp_{j}"),
+                    F.min(F.when(cond, F.col("proximity"))).alias(f"__minp_{j}"),
+                    F.sum(F.when(cond, tf_col)).alias(f"__nocc_{j}"),
+                ]
         return (
             self.postings.filter(F.col("term").isin(all_terms))
             .join(F.broadcast(exp_df), "term")
             .groupBy("doc_id")
-            .agg(F.collect_set("qword").alias("qws"))
+            .agg(*aggs)
         )
 
     def _node_member_exprs(self, ast: Part) -> List:
@@ -282,6 +317,133 @@ class QueryEngine:
             )
         return self._qword_sets(exp).filter(exprs[0]).select("doc_id")
 
+    # --------------------------------------------------- rating upper bound
+
+    def _upper_bound_expr(self, ast: Part, exp: Dict[str, Dict[str, np.float32]]):
+        """Per-doc upper bound (a Column over the ``with_stats`` qword-set
+        row) on the rating of ANY hit the reference pipeline can emit for
+        the doc — the distributed analogue of the reference's lazy top-k
+        (/root/reference/src/lib.rs:16-19 pulls hits on demand; we instead
+        skip whole documents that provably cannot reach the running k-th).
+
+        Derivation = interval arithmetic over the AST, mirroring the kernel
+        (core.oracle.occurrences_pipeline) bonus-by-bonus:
+
+        - leaf: seed rating ``(proximity-1)*4`` bounded by the doc's extreme
+          expansion proximities; +2.0 (W1 session merge) only possible when
+          the word has >=2 occurrences in the doc;
+        - AND: output hits are left-side hits (merge() never touches
+          rating) -> left interval;
+        - OR: hull of the present sides;
+        - AND-NOT: NOT side absent in doc -> exactly +2.5 (J7 LEFT branch);
+          present -> hull of {+2.5, -decrease - not_rating} where
+          decrease in (0, 40] and not_rating spans the NOT subtree's
+          interval (so ``hi = hi_kept - lo_not``: a *negative* fuzzy NOT
+          rating raises the kept hit);
+        - final fold (A5): each adjacent DIFFERENT-word pair adds
+          <= 0.5/0.1 = 5.0, and a hit's occurrence set only accumulates
+          kept-side leaf occurrences (J7 records closest_not without
+          merging).  With per-leaf occurrence counts c_i (word ids are
+          per-leaf, so a repeated query word still means distinct labels),
+          the maximum number of different-label adjacencies in ANY
+          arrangement is ``min(N-1, 2*(N - max c_i))`` (every boundary
+          touches a non-majority item, each item has <= 2 boundaries) —
+          and that bound is monotone under taking subsets, so it covers
+          every individual hit's occurrence set.  A single-leaf query
+          therefore gets a pair cap of exactly 0.
+
+        The bound is computed in float64 over exact-f32 inputs (seeds are
+        Sterbenz-exact), then padded for the kernel's f32 round-up drift
+        (relative pad scaled by the occurrence count, absolute floor 1e-3)
+        so ``ub >= actual`` holds for every accumulation length.  Validity
+        argument for pruning: any doc with ``ub < theta`` can only emit
+        hits strictly below ``theta``; if >= k hits rated >= theta exist,
+        no such doc can contribute to the top k under (rating desc, ...)
+        ordering, ties included."""
+        words = sorted(exp)
+        idx = {w: j for j, w in enumerate(words)}
+
+        def leaf(w: str):
+            j = idx[w]
+            maxp = F.col(f"__maxp_{j}").cast("double")
+            minp = F.col(f"__minp_{j}").cast("double")
+            nocc = F.col(f"__nocc_{j}")
+            member = F.array_contains(F.col("qws"), w)
+            hi = (maxp - F.lit(1.0)) * F.lit(4.0) + F.when(
+                nocc >= 2, F.lit(2.0)
+            ).otherwise(F.lit(0.0))
+            lo = (minp - F.lit(1.0)) * F.lit(4.0)
+            return member, lo, hi
+
+        def ev(p: Part):
+            if isinstance(p, Word):
+                return leaf(p.text)
+            if isinstance(p, And):
+                if isinstance(p.right, Not) or isinstance(p.left, Not):
+                    if isinstance(p.right, Not):
+                        other, nt = p.left, p.right.part
+                    else:
+                        other, nt = p.right, p.left.part
+                    m_o, lo_o, hi_o = ev(other)
+                    m_n, lo_n, hi_n = ev(nt)
+                    # membership(nt)=False guarantees zero NOT-side hits
+                    # (leaf: no occurrences; compounds: output is always
+                    # left-derived), so the LEFT branch is certain there;
+                    # membership True means the kernel may take either
+                    # branch per hit -> hull
+                    hi = F.when(
+                        m_n, F.greatest(hi_o + F.lit(2.5), hi_o - lo_n)
+                    ).otherwise(hi_o + F.lit(2.5))
+                    lo = F.when(
+                        m_n,
+                        F.least(lo_o + F.lit(2.5), lo_o - F.lit(40.0) - hi_n),
+                    ).otherwise(lo_o + F.lit(2.5))
+                    return m_o, lo, hi
+                m_l, lo_l, hi_l = ev(p.left)
+                m_r, lo_r, hi_r = ev(p.right)
+                return m_l & m_r, lo_l, hi_l
+            if isinstance(p, Or):
+                m_l, lo_l, hi_l = ev(p.left)
+                m_r, lo_r, hi_r = ev(p.right)
+                # greatest/least skip NULLs, so gate each side on membership
+                hi = F.greatest(F.when(m_l, hi_l), F.when(m_r, hi_r))
+                lo = F.least(F.when(m_l, lo_l), F.when(m_r, lo_r))
+                return m_l | m_r, lo, hi
+            raise oracle.StrayNot()
+
+        _member, _lo, hi = ev(ast)
+
+        def kept_leaves(p: Part) -> List[str]:
+            """Leaves whose occurrences can enter a hit's occurrence set
+            (NOT subtrees excluded: J7 records closest_not, never merges)."""
+            if isinstance(p, Word):
+                return [p.text]
+            if isinstance(p, And):
+                if isinstance(p.right, Not):
+                    return kept_leaves(p.left)
+                if isinstance(p.left, Not):
+                    return kept_leaves(p.right)
+            if isinstance(p, (And, Or)):
+                return kept_leaves(p.left) + kept_leaves(p.right)
+            raise oracle.StrayNot()
+
+        n_total = None
+        max_label = None
+        for w in kept_leaves(ast):
+            c = F.coalesce(F.col(f"__nocc_{idx[w]}"), F.lit(0)).cast("double")
+            n_total = c if n_total is None else (n_total + c)
+            max_label = c if max_label is None else F.greatest(max_label, c)
+        pairs = F.least(
+            n_total - F.lit(1.0), F.lit(2.0) * (n_total - max_label)
+        )
+        pair_cap = F.lit(5.0) * F.greatest(pairs, F.lit(0.0))
+        ub = hi + pair_cap
+        # f32 round-up drift pad: per-op relative error is 2^-24 and the
+        # kernel's op count scales with the doc's occurrence total
+        return ub + F.lit(1e-3) + (
+            F.lit(1e-5) * (F.lit(1.0) + n_total)
+        ) * F.abs(ub)
+
     # ------------------------------------------------------- node max docs
 
     def node_max_docs(self, ast: Part, exp) -> List[int]:
@@ -322,13 +484,23 @@ class QueryEngine:
         distance_threshold: int,
         exp: Optional[Dict[str, Dict[str, np.float32]]] = None,
         maxes: Optional[List[int]] = None,
+        candidates: Optional[DataFrame] = None,
+        sets: Optional[DataFrame] = None,
+        candidates_are_root: bool = False,
     ) -> DataFrame:
         """Rank-identical occurrence scoring, distributed by document.
 
         Single Spark job (plus the expansion scan in fuzzy mode): the posting
         rows for all expanded terms are pruned by the root doc set, joined
         with the broadcast one-row node-max table (sentinel inputs), shuffled
-        once by doc_id and scored by the per-document reference kernel."""
+        once by doc_id and scored by the per-document reference kernel.
+
+        ``candidates``: optional (doc_id) DataFrame (or plain id list)
+        restricting which docs enter the kernel — per-doc scoring is exactly
+        separable given the sentinel maxes, which are ALWAYS computed from
+        the full qword-set aggregate, so a candidate subset's ratings are
+        bit-identical to the same docs' ratings in a full run (the top-k
+        prune in :meth:`topk` relies on this)."""
         if exp is None:
             exp = self.expansions(ast)
         exp_df = self._expansion_df(exp)
@@ -339,13 +511,29 @@ class QueryEngine:
             .join(F.broadcast(exp_df), "term")
             .select("qword", "term", "proximity", "doc_id", "positions")
         )
+        if candidates is not None:
+            if isinstance(candidates, DataFrame):
+                # no broadcast hint: Catalyst/AQE picks broadcast when the
+                # candidate set is small, shuffle-semi when it is not
+                occ = occ.join(candidates.select("doc_id"), "doc_id", "left_semi")
+            else:  # small collected id list: a pushed-down In predicate
+                occ = occ.filter(F.col("doc_id").isin([int(d) for d in candidates]))
         # prune docs that cannot produce hits (root stream doc set): join the
         # shared qword-set aggregate and filter on root-node membership — the
         # same aggregate feeds the sentinel maxes, so the whole query costs
         # O(1) posting scans regardless of word count
-        exprs = self._node_member_exprs(ast)
-        sets = self._qword_sets(exp)
-        occ = occ.join(sets, "doc_id").filter(exprs[0]).drop("qws")
+        exprs = self._node_member_exprs(ast)  # also validates stray NOTs
+        skip_root_join = (
+            candidates is not None and candidates_are_root and maxes is not None
+        )
+        if sets is None and not skip_root_join:
+            sets = self._qword_sets(exp)
+        if not skip_root_join:
+            occ = (
+                occ.join(sets.select("doc_id", "qws"), "doc_id")
+                .filter(exprs[0])
+                .select("qword", "term", "proximity", "doc_id", "positions")
+            )
 
         n_nodes = len(list(oracle.iter_nodes(ast)))
         if maxes is None:
@@ -457,11 +645,152 @@ class QueryEngine:
         occ_sorted = occ.repartition(F.col("doc_id")).sortWithinPartitions("doc_id")
         return occ_sorted.mapInPandas(score_partition, schema=HIT_SCHEMA)
 
-    def topk(self, query: str, distance_threshold: int, k: int) -> DataFrame:
-        """Parse -> score -> top-k by rating desc (O2: TakeOrderedAndProject)."""
+    def topk(
+        self,
+        query: str,
+        distance_threshold: int,
+        k: int,
+        prune: bool = True,
+        stats_out: Optional[dict] = None,
+    ) -> DataFrame:
+        """Parse -> score -> top-k by rating desc (O2: TakeOrderedAndProject).
+
+        With ``prune`` (default), the reference's lazy-evaluation property
+        (src/lib.rs:16-19 — a top-1 query costs one ``next()``, not a full
+        scoring pass) gets its distributed analogue: docs whose rating
+        UPPER BOUND (:meth:`_upper_bound_expr`, computed row-locally on the
+        shared qword-set aggregate) cannot reach a lower bound of the k-th
+        best rating are never shuffled into the scoring kernel.  Phases:
+
+        1. one aggregate job -> per-node sentinel maxes + root-set size
+           (skip pruning when the root set is barely bigger than k);
+        2. score the k root docs with the HIGHEST upper bounds -> their
+           k-th actual rating ``theta`` is a valid lower bound of the
+           global k-th;
+        3. score only docs with ``ub >= theta``; every excluded doc's hits
+           are provably ``< theta`` while >= k hits ``>= theta`` exist, so
+           the final (rating desc, doc_id, start) top-k — ties included —
+           is bit-identical to the unpruned result (pytest-pinned against
+           ``prune=False`` on the full rank-identity suite).
+
+        The prune is ADAPTIVE per engine: a corpus can defeat any row-local
+        bound (a tiny dense vocabulary gives every root doc dozens of
+        query-word occurrences, so the adjacency-pair cap keeps every
+        bound above any achievable theta).  When the established theta
+        falls at or below the root set's MEDIAN upper bound (i.e. the
+        candidate set would keep more than half the docs), this call falls
+        back to the one-job full path and marks the engine futile — later
+        ``topk()`` calls skip the prune phases entirely, so a query stream
+        over such a corpus pays the probe cost exactly once.
+
+        ``stats_out``: optional dict, filled with ``root_docs`` /
+        ``kernel_docs`` / ``theta`` / ``pruned`` (the bench artifact
+        showing the kernel-input reduction)."""
         ast = parse(query)
-        return (
-            self.hits(ast, distance_threshold)
-            .orderBy(F.desc("rating"), F.asc("doc_id"), F.asc("start"))
-            .limit(k)
+        order = [F.desc("rating"), F.asc("doc_id"), F.asc("start")]
+        exp = self.expansions(ast)
+        if not prune or k <= 0 or self._prune_futile:
+            if stats_out is not None:
+                stats_out["pruned"] = False
+                stats_out["futile"] = self._prune_futile
+            return self.hits(ast, distance_threshold, exp).orderBy(*order).limit(k)
+
+        from pyspark import StorageLevel
+
+        exprs = self._node_member_exprs(ast)
+        # the shared aggregate feeds every phase (sentinel maxes, seed
+        # selection, candidate cut) — persist it so the prune pays ONE
+        # scan+shuffle, not one per phase; the pruned path ends with an
+        # eager k-row collect (top-k is terminal), so the cache can be
+        # dropped before returning
+        sets = self._qword_sets(exp, with_stats=True).persist(
+            StorageLevel.MEMORY_AND_DISK
         )
+        ub = self._upper_bound_expr(ast, exp)
+        try:
+            agg_row = sets.agg(
+                *[
+                    F.max(F.when(e, F.col("doc_id"))).alias(f"m{i}")
+                    for i, e in enumerate(exprs)
+                ],
+                F.sum(F.when(exprs[0], 1).otherwise(0)).alias("n_root"),
+                F.percentile_approx(F.when(exprs[0], ub), F.lit(0.5)).alias(
+                    "ub_p50"
+                ),
+            ).collect()[0]
+            maxes = [
+                agg_row[i] if agg_row[i] is not None else -1
+                for i in range(len(exprs))
+            ]
+            n_root = int(agg_row["n_root"] or 0)
+            ub_p50 = agg_row["ub_p50"]
+            if stats_out is not None:
+                stats_out["root_docs"] = n_root
+                stats_out["kernel_docs"] = n_root
+                stats_out["theta"] = None
+                stats_out["pruned"] = False
+
+            def full():
+                # lazy: the unpersist below just means the caller's action
+                # recomputes the aggregate once — the pre-prune behavior
+                return (
+                    self.hits(ast, distance_threshold, exp, maxes=maxes)
+                    .orderBy(*order)
+                    .limit(k)
+                )
+
+            if n_root <= 4 * k:  # pruning cannot pay for its extra phase
+                return full()
+
+            sets_ub = sets.filter(exprs[0]).select("doc_id", ub.alias("__ub"))
+            seed_ids = [
+                int(r.doc_id)
+                for r in sets_ub.orderBy(F.desc("__ub"), F.asc("doc_id"))
+                .limit(k)
+                .collect()
+            ]
+            seed_ratings = sorted(
+                (
+                    np.float32(r.rating)
+                    for r in self.hits(
+                        ast,
+                        distance_threshold,
+                        exp,
+                        maxes=maxes,
+                        candidates=seed_ids,
+                        candidates_are_root=True,
+                    )
+                    .select("rating")
+                    .collect()
+                ),
+                reverse=True,
+            )
+            if len(seed_ratings) < k:
+                return full()  # too few hits to establish a bound
+            theta = float(seed_ratings[k - 1])
+            if ub_p50 is not None and theta <= float(ub_p50):
+                # >= half the root docs would survive: the bound cannot
+                # discriminate on this corpus — remember and stop probing
+                self._prune_futile = True
+                return full()
+            cand = sets_ub.filter(F.col("__ub") >= theta)
+            rows = (
+                self.hits(
+                    ast,
+                    distance_threshold,
+                    exp,
+                    maxes=maxes,
+                    candidates=cand,
+                    candidates_are_root=True,
+                )
+                .orderBy(*order)
+                .limit(k)
+                .collect()
+            )
+            if stats_out is not None:
+                stats_out["kernel_docs"] = cand.count()  # cached: cheap
+                stats_out["theta"] = theta
+                stats_out["pruned"] = True
+            return self.spark.createDataFrame(rows, HIT_SCHEMA)
+        finally:
+            sets.unpersist()

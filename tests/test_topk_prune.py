@@ -1,0 +1,135 @@
+"""topk() upper-bound prune: bit-identical results, fewer docs in the kernel.
+
+The prune (plans/compiler.py topk/_upper_bound_expr) must be invisible in
+results: every case compares prune=True against prune=False.  Comparison is
+tie-safe — (rating desc, doc_id, start) can tie at the k boundary, where
+LIMIT legitimately picks either twin in either path — so we assert (a) the
+rating multisets match exactly (f32), (b) all rows strictly above the
+boundary rating match as full-row sets, (c) every returned row exists in the
+full unpruned hit set."""
+
+import random
+
+import numpy as np
+import pytest
+
+from elipdotter_spark.core.parser import parse
+from elipdotter_spark.core.similarity import EXACT, HAMMING, JARO
+
+from fixtures import AN1_CORPUS, LOREM_CORPUS, SV_CORPUS
+from test_scoring_decomposition import random_corpus
+from test_spark_engine import make_engine
+
+
+def rows_key(rows):
+    return [
+        (
+            r.doc_id,
+            r.start,
+            float(np.float32(r.rating)),
+            r.word_id,
+            r.merged,
+            tuple(sorted((m.start, m.word_id) for m in r.matched)),
+        )
+        for r in rows
+    ]
+
+
+def assert_topk_equivalent(engine, qstr, dist, k):
+    want = rows_key(engine.topk(qstr, dist, k, prune=False).collect())
+    stats = {}
+    got = rows_key(engine.topk(qstr, dist, k, stats_out=stats).collect())
+    ctx = (qstr, k, stats)
+    assert len(got) == len(want), ctx
+    # exact f32 rating multiset (covers the golden +2.5 AND-NOT bonus etc.)
+    assert sorted(r[2] for r in got) == sorted(r[2] for r in want), ctx
+    # above the boundary rating the row sets must be identical
+    if got:
+        thr = min(r[2] for r in got)
+        assert {r for r in got if r[2] > thr} == {
+            r for r in want if r[2] > thr
+        }, ctx
+    # and nothing fabricated: rows all exist in the full unpruned hit set
+    full = set(rows_key(engine.hits(parse(qstr), dist).collect()))
+    assert set(got) <= full, ctx
+    return stats
+
+
+CASES = [
+    (LOREM_CORPUS, "feugiat luctus sem", HAMMING, 0.85, 2500, 100),
+    (LOREM_CORPUS, "volutpat -hac", HAMMING, 0.85, 2500, 100),
+    (LOREM_CORPUS, "-hac volutpat", HAMMING, 0.85, 2500, 100),
+    (AN1_CORPUS, "organization -stop", EXACT, 1.0, 100, 1000),
+    (SV_CORPUS, "vi -planet", JARO, 0.9, 100, 100_000),
+    (LOREM_CORPUS, "lorem", EXACT, 1.0, 100, 100),
+    (LOREM_CORPUS, "(feugiat or lorem) (sem -hac)", HAMMING, 0.85, 2500, 1000),
+]
+
+
+@pytest.mark.spark
+@pytest.mark.parametrize("corpus,qstr,algo,threshold,limit,dist", CASES)
+def test_topk_prune_bit_identical_fixtures(
+    spark, corpus, qstr, algo, threshold, limit, dist
+):
+    engine = make_engine(spark, corpus, threshold, algo, limit)
+    for k in (1, 2, 5):
+        assert_topk_equivalent(engine, qstr, dist, k)
+
+
+@pytest.mark.spark
+@pytest.mark.parametrize(
+    "algo,threshold,limit", [(EXACT, 1.0, 2500), (HAMMING, 0.6, 4)]
+)
+def test_topk_prune_random_corpora(spark, algo, threshold, limit):
+    rng = random.Random(1234)
+    corpus = random_corpus(rng, 40, 60)
+    engine = make_engine(spark, corpus, threshold, algo, limit)
+    for qstr in [
+        "alpha beta",
+        "alpha or zeta",
+        "gamma -delta",
+        "(alpha or beta) -gamma",
+        "eps zeta or theta -alpha",
+        "alpha",
+    ]:
+        for k in (1, 4):
+            assert_topk_equivalent(engine, qstr, rng.choice([0, 5, 50, 10**6]), k)
+
+
+@pytest.mark.spark
+def test_topk_prune_skips_hopeless_docs(spark):
+    """The artifact the prune exists for: a long tail of low-bound docs
+    never reaches the scoring kernel.  50 docs hold one far-apart
+    (alpha, beta) pair each — their rating upper bound is ~5 (one
+    adjacency-pair cap, no session-merge possible with single
+    occurrences) — while 5 dense docs rate ~16; with k=3 the tail is
+    provably out of reach and must be skipped."""
+    texts = [(i, "alpha " + "filler " * 30 + "beta") for i in range(50)]
+    texts += [(100 + i, "alpha beta alpha beta") for i in range(5)]
+    engine = make_engine(spark, [(f"d{i}", t) for i, t in texts], 1.0, EXACT, 2500)
+    stats = assert_topk_equivalent(engine, "alpha beta", 100, 3)
+    assert stats["root_docs"] == 55
+    assert stats["theta"] is not None
+    assert stats["kernel_docs"] <= 10, stats  # tail of 50 never scored
+    # and the winners are the dense docs
+    # make_engine assigns dense ids by position: the 5 dense docs are 50..54
+    rows = engine.topk("alpha beta", 100, 3).collect()
+    assert all(r.doc_id >= 50 for r in rows), [r.doc_id for r in rows]
+
+
+@pytest.mark.spark
+def test_topk_prune_single_word_zero_pair_cap(spark):
+    """A single-leaf query earns no adjacency bonus (all occurrences share
+    one word id), so its bound must not inflate with occurrence count —
+    docs with MANY spread-out occurrences of the word still prune against
+    a doc with one tight merged pair."""
+    texts = [(i, ("alpha " + "x " * 40) * 3) for i in range(30)]  # 3 spread occs
+    texts += [(100, "alpha alpha")]  # session merge: +2.0
+    engine = make_engine(spark, [(f"d{i}", t) for i, t in texts], 1.0, EXACT, 2500)
+    # dist 20: "alpha alpha" tokenizes to starts (0, 11) — the reference's
+    # final-token quirk records the END offset for the last token
+    stats = assert_topk_equivalent(engine, "alpha", 20, 1)
+    assert stats["root_docs"] == 31
+    rows = engine.topk("alpha", 20, 1).collect()
+    # positional ids: the merged-pair doc is the 31st (id 30)
+    assert rows[0].doc_id == 30 and abs(rows[0].rating - 2.0) < 1e-6
