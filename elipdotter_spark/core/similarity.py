@@ -26,6 +26,32 @@ HAMMING = "hamming"
 JARO = "jaro"
 
 
+def jaro_components(a: str, b: str):
+    """(matches, transpositions) of strsim 0.11 ``generic_jaro``'s match
+    loop — exposed so cross-engine gates can verify the state machine's
+    integer outputs independently of the floating fold."""
+    a_len, b_len = len(a), len(b)
+    search_range = max(a_len, b_len) // 2 - 1
+    b_consumed = [False] * b_len
+    matches = 0
+    transpositions = 0
+    b_match_index = 0
+    for i, a_elem in enumerate(a):
+        min_bound = i - search_range if i > search_range else 0
+        max_bound = min(b_len - 1, i + search_range)
+        if min_bound > max_bound:
+            continue
+        for j in range(min_bound, max_bound + 1):
+            if a_elem == b[j] and not b_consumed[j]:
+                b_consumed[j] = True
+                matches += 1
+                if j < b_match_index:
+                    transpositions += 1
+                b_match_index = j
+                break
+    return matches, transpositions
+
+
 def jaro(a: str, b: str) -> float:
     """strsim 0.11 ``generic_jaro`` (transpositions counted via match-index
     regressions, not halved — equivalent to classic Jaro on real inputs)."""
@@ -36,26 +62,11 @@ def jaro(a: str, b: str) -> float:
         return 0.0
     if a_len == 1 and b_len == 1:
         return 1.0 if a == b else 0.0
-    search_range = max(a_len, b_len) // 2 - 1
-    b_consumed = [False] * b_len
-    matches = 0.0
-    transpositions = 0.0
-    b_match_index = 0
-    for i, a_elem in enumerate(a):
-        min_bound = i - search_range if i > search_range else 0
-        max_bound = min(b_len - 1, i + search_range)
-        if min_bound > max_bound:
-            continue
-        for j in range(min_bound, max_bound + 1):
-            if a_elem == b[j] and not b_consumed[j]:
-                b_consumed[j] = True
-                matches += 1.0
-                if j < b_match_index:
-                    transpositions += 1.0
-                b_match_index = j
-                break
-    if matches == 0.0:
+    matches, transpositions = jaro_components(a, b)
+    if matches == 0:
         return 0.0
+    matches = float(matches)
+    transpositions = float(transpositions)
     return (1.0 / 3.0) * (
         matches / a_len + matches / b_len + (matches - transpositions) / matches
     )

@@ -600,6 +600,113 @@ def q_zipf_jaro_short(spark, sf_dir):
     )
 
 
+JARO_GENERAL_WORD = "w13"
+JARO_GENERAL_THRESHOLD = 0.79
+
+
+def jaro_state_machine_sql(word: str = JARO_GENERAL_WORD) -> str:
+    """CTE chain that simulates strsim 0.11 ``generic_jaro``'s match loop
+    in pure SQL for a fixed 3-distinct-char query word against the Zipf
+    dictionary (terms are <= 5 chars, so 5 unrolled steps suffice).
+
+    State per step i: consumed flags per query-word position, the running
+    ``b_match_index`` (transposition detector: a match at j < bmi counts
+    one transposition), matches, transpositions.  Window bounds follow the
+    reference exactly: ``search_range = max(len(term), 3)//2 - 1``,
+    ``[max(0, i-sr), min(2, i+sr)]``, first unconsumed match in ascending
+    j wins (/root/reference/src/proximity.rs:337-339 via strsim).  The
+    exhaustive referee (tests/test_entry_hits_oracle.py) checks this CTE's
+    (m, t) against core.similarity.jaro_components for EVERY dictionary
+    term.  Output CTE ``js5``: (term, L, m_5, t_5)."""
+    assert len(word) == 3 and len(set(word)) == 3
+    ctes = [
+        f"""js0 AS (
+            SELECT term, len(term) AS L,
+                   CASE WHEN len(term) >= 4 THEN 1 ELSE 0 END AS sr,
+                   FALSE AS c0_0, FALSE AS c1_0, FALSE AS c2_0,
+                   0 AS bmi_0, 0 AS m_0, 0 AS t_0
+            FROM zdict WHERE term NOT LIKE '{word}%'
+        )"""
+    ]
+    for i in range(5):
+        jmin = f"(CASE WHEN {i} > sr THEN {i} - sr ELSE 0 END)"
+        jmax = f"(LEAST(2, {i} + sr))"
+        conds = " ".join(
+            f"WHEN {jmin} <= {j} AND {j} <= {jmax} "
+            f"AND substr(term, {i + 1}, 1) = '{ch}' AND NOT c{j}_{i} THEN {j}"
+            for j, ch in enumerate(word)
+        )
+        # per-step alias name: a plain `pick` would collide with the
+        # previous CTE's output column and DuckDB resolves input columns
+        # BEFORE lateral aliases — the state updates would read step i-1's
+        # pick and double-count matches
+        pk = f"pick_{i + 1}"
+        ctes.append(
+            f"""js{i + 1} AS (
+            SELECT term, L, sr,
+                   CASE WHEN {i} >= L THEN NULL {conds} ELSE NULL END AS {pk},
+                   (c0_{i} OR COALESCE({pk}, -1) = 0) AS c0_{i + 1},
+                   (c1_{i} OR COALESCE({pk}, -1) = 1) AS c1_{i + 1},
+                   (c2_{i} OR COALESCE({pk}, -1) = 2) AS c2_{i + 1},
+                   (m_{i} + CASE WHEN {pk} IS NOT NULL THEN 1 ELSE 0 END) AS m_{i + 1},
+                   (t_{i} + CASE WHEN {pk} IS NOT NULL AND {pk} < bmi_{i}
+                            THEN 1 ELSE 0 END) AS t_{i + 1},
+                   COALESCE({pk}, bmi_{i}) AS bmi_{i + 1}
+            FROM js{i}
+        )"""
+        )
+    return ",\n".join(ctes)
+
+
+def q_zipf_jaro_general(spark, sf_dir):
+    """F1 general-branch cross-engine: Jaro fuzzy expansion for the
+    MULTI-char query word 'w13' over the Zipf dictionary via the actual
+    engine path — this time exercising the full match-window /
+    transposition state machine (zipf_jaro_short only pins the <3-byte
+    similarity-only branch).
+
+    At threshold 0.79 the accepted set spans four exact rational rating
+    levels {29/36, 13/15, 8/9, 11/12}, INCLUDING the t=1 transposition
+    family (terms like 'w310': the '1' matches behind the already-consumed
+    '3', regressing b_match_index).  Every dictionary rating sits >= 0.012
+    from the threshold (pytest-pinned margin), so f32-vs-f64 set
+    membership cannot diverge.  The gate emits the state machine's integer
+    outputs (m, t) plus a double-precision rating mirror; the oracle
+    recomputes BOTH from the corpus alone by simulating the match loop in
+    SQL (jaro_state_machine_sql), then applies the same threshold —
+    nothing is trusted from the Spark side.  Prefix-branch terms
+    ('w13%', F4 precedence) are excluded identically on both sides."""
+    from .core.similarity import jaro_components
+
+    t = _zipf_tables(spark)
+    eng = QueryEngine(
+        spark, t["postings"], t["terms"],
+        proximity_threshold=JARO_GENERAL_THRESHOLD, algo="jaro",
+        word_count_limit=1000,
+    )
+    w = JARO_GENERAL_WORD
+    exp = eng.expansions(parse(w))[w]  # engine path: f32-rated, pruned scan
+    rows = []
+    for term in exp:
+        if term.startswith(w):
+            continue  # prefix branch (F4), gated by zipf_prefix_expand
+        m, tr = jaro_components(term, w)
+        rows.append((term, len(term), m, tr))
+    df = spark.createDataFrame(rows, "term string, tlen int, m int, t int")
+    return df.select(
+        "term", "tlen", "m", "t",
+        F.round(
+            (
+                F.col("m").cast("double") / F.col("tlen")
+                + F.col("m").cast("double") / F.lit(3.0)
+                + (F.col("m") - F.col("t")).cast("double") / F.col("m")
+            )
+            / F.lit(3.0),
+            6,
+        ).alias("rating"),
+    )
+
+
 def q_zipf_dd_exact(spark, sf_dir):
     """Exact dedup with planted duplicates: 40 md5 groups of size 2."""
     return dedup.exact_dup_groups(_zipf_tables(spark)["docs"])
@@ -753,6 +860,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_prefix_expand": q_zipf_prefix_expand,
         "zipf_hamming_expand": q_zipf_hamming_expand,
         "zipf_jaro_short": q_zipf_jaro_short,
+        "zipf_jaro_general": q_zipf_jaro_general,
         "zipf_dd_exact": q_zipf_dd_exact,
         "zipf_bm25_compressed": q_zipf_bm25_compressed,
         "zipf_bm25_wand": q_zipf_bm25_wand,
@@ -1292,6 +1400,24 @@ def oracle_sql() -> Dict[str, str]:
                    round((2.0 + 1.0 / len(term)) / 3.0, 6) AS rating
             FROM zdict
             WHERE len(term) <= 3
+        """,
+        "zipf_jaro_general": f"""
+            WITH {ZIPF_TOKS_SQL},
+            zdict AS (SELECT DISTINCT term FROM ztok),
+            {jaro_state_machine_sql()}
+            SELECT term, CAST(L AS INT) AS tlen,
+                   CAST(m_5 AS INT) AS m, CAST(t_5 AS INT) AS t,
+                   round(
+                     (CAST(m_5 AS DOUBLE) / L
+                      + CAST(m_5 AS DOUBLE) / 3.0
+                      + CAST(m_5 - t_5 AS DOUBLE) / m_5) / 3.0, 6
+                   ) AS rating
+            FROM js5
+            WHERE m_5 > 0
+              AND (CAST(m_5 AS DOUBLE) / L
+                   + CAST(m_5 AS DOUBLE) / 3.0
+                   + CAST(m_5 - t_5 AS DOUBLE) / m_5) / 3.0
+                  >= {JARO_GENERAL_THRESHOLD}
         """,
         "zipf_dd_exact": f"""
             WITH {ZIPF_TEXT_SQL}

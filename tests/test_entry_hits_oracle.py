@@ -65,3 +65,44 @@ def test_fuzzy_engine_matches_python_oracle_on_sf(spark):
         for r in eng.hits(ast, 500).collect()
     )
     assert got == want
+
+
+def test_jaro_state_machine_sql_matches_python_exhaustively():
+    """The zipf_jaro_general oracle simulates strsim's generic_jaro match
+    loop in SQL; referee it against core.similarity.jaro_components for
+    EVERY Zipf dictionary term (no threshold — the full state machine,
+    including zero-match and transposition rows)."""
+    import duckdb
+
+    from elipdotter_spark.core.similarity import jaro, jaro_components
+    from elipdotter_spark.entry import (
+        JARO_GENERAL_THRESHOLD,
+        JARO_GENERAL_WORD,
+        ZIPF_TOKS_SQL,
+        jaro_state_machine_sql,
+    )
+
+    w = JARO_GENERAL_WORD
+    rows = duckdb.sql(
+        f"""WITH {ZIPF_TOKS_SQL},
+        zdict AS (SELECT DISTINCT term FROM ztok),
+        {jaro_state_machine_sql(w)}
+        SELECT term, CAST(m_5 AS INT), CAST(t_5 AS INT) FROM js5"""
+    ).fetchall()
+    assert len(rows) > 3000  # the whole non-prefix dictionary
+    margin = min(
+        abs(jaro(term, w) - JARO_GENERAL_THRESHOLD) for term, _m, _t in rows
+    )
+    bad = [
+        (term, (m, t), jaro_components(term, w))
+        for term, m, t in rows
+        if (m, t) != jaro_components(term, w)
+    ]
+    assert not bad, bad[:10]
+    # the f32-safety precondition: no rating near the threshold
+    assert margin > 5e-3, margin
+    # and the accepted set genuinely exercises transpositions
+    accepted_t = {
+        t for term, m, t in rows if m and jaro(term, w) >= JARO_GENERAL_THRESHOLD
+    }
+    assert 1 in accepted_t, "no transposition row in the accepted set"
