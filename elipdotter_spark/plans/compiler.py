@@ -196,7 +196,10 @@ class QueryEngine:
         return self.spark.createDataFrame(rows, schema=schema)
 
     def _qword_sets(
-        self, exp: Dict[str, Dict[str, np.float32]], with_stats: bool = False
+        self,
+        exp: Dict[str, Dict[str, np.float32]],
+        with_stats: bool = False,
+        occ: Optional[DataFrame] = None,
     ) -> DataFrame:
         """(doc_id, qws array<string>) — per doc, the set of query words with
         at least one expanded-term occurrence.  ONE posting scan + ONE shuffle
@@ -225,26 +228,30 @@ class QueryEngine:
                         .withColumn(f"__nocc_{j}", F.lit(None).cast("long"))
                     )
             return out
-        exp_df = self._expansion_df(exp).select("qword", "term", "proximity")
         aggs = [F.collect_set("qword").alias("qws")]
         if with_stats:
-            tf_col = (
-                F.col("tf")
-                if "tf" in self.postings.columns
-                else F.size("positions").cast("long")
-            )
             for j, w in enumerate(sorted(exp)):
                 cond = F.col("qword") == w
                 aggs += [
                     F.max(F.when(cond, F.col("proximity"))).alias(f"__maxp_{j}"),
                     F.min(F.when(cond, F.col("proximity"))).alias(f"__minp_{j}"),
-                    F.sum(F.when(cond, tf_col)).alias(f"__nocc_{j}"),
+                    F.sum(F.when(cond, F.col("tf"))).alias(f"__nocc_{j}"),
                 ]
-        return (
-            self.postings.filter(F.col("term").isin(all_terms))
-            .join(F.broadcast(exp_df), "term")
-            .groupBy("doc_id")
-            .agg(*aggs)
+        base = occ if occ is not None else self._occ_base(exp)
+        return base.groupBy("doc_id").agg(*aggs)
+
+    def _occ_base(self, exp: Dict[str, Dict[str, np.float32]]) -> DataFrame:
+        """The query's posting rows: term-pruned scan joined with the
+        broadcast expansion table.  Shared shape between the qword-set
+        aggregate and the scoring kernel — the pruned topk() materializes
+        it ONCE so its phases don't rescan the store."""
+        all_terms = sorted({t for d in exp.values() for t in d})
+        exp_df = self._expansion_df(exp)
+        scan = self.postings.filter(F.col("term").isin(all_terms))
+        if "tf" not in scan.columns:
+            scan = scan.withColumn("tf", F.size("positions").cast("long"))
+        return scan.join(F.broadcast(exp_df), "term").select(
+            "qword", "term", "proximity", "doc_id", "positions", "tf"
         )
 
     def _node_member_exprs(self, ast: Part) -> List:
@@ -487,6 +494,7 @@ class QueryEngine:
         candidates: Optional[DataFrame] = None,
         sets: Optional[DataFrame] = None,
         candidates_are_root: bool = False,
+        occ: Optional[DataFrame] = None,
     ) -> DataFrame:
         """Rank-identical occurrence scoring, distributed by document.
 
@@ -503,13 +511,8 @@ class QueryEngine:
         prune in :meth:`topk` relies on this)."""
         if exp is None:
             exp = self.expansions(ast)
-        exp_df = self._expansion_df(exp)
-
-        all_terms = sorted({t for d in exp.values() for t in d})
-        occ = (
-            self.postings.filter(F.col("term").isin(all_terms))
-            .join(F.broadcast(exp_df), "term")
-            .select("qword", "term", "proximity", "doc_id", "positions")
+        occ = (occ if occ is not None else self._occ_base(exp)).select(
+            "qword", "term", "proximity", "doc_id", "positions"
         )
         if candidates is not None:
             if isinstance(candidates, DataFrame):
@@ -698,14 +701,14 @@ class QueryEngine:
         from pyspark import StorageLevel
 
         exprs = self._node_member_exprs(ast)
-        # the shared aggregate feeds every phase (sentinel maxes, seed
-        # selection, candidate cut) — persist it so the prune pays ONE
-        # scan+shuffle, not one per phase; the pruned path ends with an
-        # eager k-row collect (top-k is terminal), so the cache can be
-        # dropped before returning
-        sets = self._qword_sets(exp, with_stats=True).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        # the query's occurrence rows feed every phase (the aggregate
+        # behind sentinel maxes / seed selection / candidate cut, and both
+        # scoring kernels) — persist them so the prune pays ONE store scan,
+        # not one per phase (measured 2x at the 1M published-store stress);
+        # the pruned path ends with an eager k-row collect (top-k is
+        # terminal), so the cache can be dropped before returning
+        occ = self._occ_base(exp).persist(StorageLevel.MEMORY_AND_DISK)
+        sets = self._qword_sets(exp, with_stats=True, occ=occ)
         ub = self._upper_bound_expr(ast, exp)
         try:
             agg_row = sets.agg(
@@ -732,7 +735,7 @@ class QueryEngine:
 
             def full():
                 # lazy: the unpersist below just means the caller's action
-                # recomputes the aggregate once — the pre-prune behavior
+                # recomputes the scan once — the pre-prune behavior
                 return (
                     self.hits(ast, distance_threshold, exp, maxes=maxes)
                     .orderBy(*order)
@@ -759,6 +762,7 @@ class QueryEngine:
                         maxes=maxes,
                         candidates=seed_ids,
                         candidates_are_root=True,
+                        occ=occ,
                     )
                     .select("rating")
                     .collect()
@@ -782,6 +786,7 @@ class QueryEngine:
                     maxes=maxes,
                     candidates=cand,
                     candidates_are_root=True,
+                    occ=occ,
                 )
                 .orderBy(*order)
                 .limit(k)
@@ -793,4 +798,4 @@ class QueryEngine:
                 stats_out["pruned"] = True
             return self.spark.createDataFrame(rows, HIT_SCHEMA)
         finally:
-            sets.unpersist()
+            occ.unpersist()

@@ -84,6 +84,38 @@ def main() -> int:
         .executedPlan()
         .toString()
     )
+
+    # reference-rating scored path at 1M through the published store: an
+    # OR query over two mid-rank zipf words — the realistic shape where
+    # most root docs hold ONE occurrence of one word (rating upper bound
+    # ~0: no session merge, no adjacency pair) while the few multi-
+    # occurrence docs establish theta, so the topk() upper-bound prune
+    # keeps the tail out of the kernel.  Also timed with prune=False for
+    # the honest comparison.
+    from elipdotter_spark.plans.compiler import QueryEngine
+
+    eng = QueryEngine(spark, postings, terms, proximity_threshold=1.0, algo="exact")
+    qs = "t800 or t3000"
+    want_rows = {
+        (r.doc_id, r.start, r.rating)
+        for r in eng.topk(qs, 1000, 10, prune=False).collect()
+    }
+    eng.topk(qs, 1000, 10).collect()  # warm + adaptive probe
+    scored_pruned, scored_full = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        got = {
+            (r.doc_id, r.start, r.rating)
+            for r in eng.topk(qs, 1000, 10).collect()
+        }
+        scored_pruned.append(time.perf_counter() - t0)
+        assert got == want_rows, "pruned topk != unpruned at 1M"
+        t0 = time.perf_counter()
+        eng.topk(qs, 1000, 10, prune=False).collect()
+        scored_full.append(time.perf_counter() - t0)
+    st = {}
+    eng.topk(qs, 1000, 10, stats_out=st).collect()
+
     print(json.dumps({
         "n_docs": 1_000_000,
         "n_postings": row["n_postings"],
@@ -95,6 +127,14 @@ def main() -> int:
         "ranges_total": sum(r.rng_total for r in stats),
         "partition_filtered_scan": "PartitionFilters" in plan,
         "exact_vs_exhaustive": True,
+        "scored_hits_query": qs,
+        "scored_hits_pruned_sec_median": round(sorted(scored_pruned)[1], 3),
+        "scored_hits_full_sec_median": round(sorted(scored_full)[1], 3),
+        "scored_hits_prune": {
+            k: st.get(k)
+            for k in ("root_docs", "kernel_docs", "theta", "pruned", "futile")
+        },
+        "scored_hits_pruned_equals_full": True,
     }))
     spark.stop()
     shutil.rmtree(work, ignore_errors=True)
