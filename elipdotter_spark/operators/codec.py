@@ -539,6 +539,24 @@ WAND_SCHEMA = StructType(
 )
 
 
+def theta0_for_query_stream(prev_terms, prev_kth_score, query_terms, prev_k, k):
+    """Warm-start threshold for a query STREAM: the previous query's k-th
+    score is a valid ``theta0`` for the current query iff the current term
+    set CONTAINS the previous one (BM25 per-doc scores are monotone in
+    added terms — every doc that scored >= prev_kth still does) and the
+    current k is not larger than the previous (>= k docs must clear the
+    bound).  Returns None when reuse would be unsound — callers pass the
+    result straight to ``bm25_topk_wand(theta0=...)``.
+
+    The incremental-typing / query-refinement shape ("spark", then
+    "spark fast") is exactly this containment."""
+    if prev_kth_score is None or k > prev_k:
+        return None
+    if not set(prev_terms) <= set(query_terms):
+        return None
+    return float(prev_kth_score)
+
+
 def bm25_topk_wand(
     compressed: DataFrame,
     doclen_blocks: DataFrame,

@@ -140,3 +140,50 @@ def test_wand_global_probe_exact_and_tighter(spark, zipf_index):
     local = scanned()
     seeded = scanned(global_probe=True)
     assert seeded <= local, (seeded, local)
+
+
+@pytest.mark.spark
+def test_theta_reuse_query_stream_exact(spark, zipf_index):
+    """Query-stream warm start: a refined query (term superset) seeded with
+    the previous query's k-th score must stay exact and never scan more
+    ranges; unsound reuses (term non-superset, larger k) must be refused."""
+    _docs, postings, terms, docstats, n, avgdl = zipf_index
+    comp = codec.build_compressed(
+        postings, docstats, terms, n, avgdl, doc_span=128
+    ).cache()
+    dlb = codec.build_doclen_blocks(docstats, doc_span=128).cache()
+
+    q_prev, q = ["t1", "t800"], ["t1", "t800", "t1500"]
+    prev = codec.bm25_topk_wand(comp, dlb, terms, q_prev, 10, n, avgdl).collect()
+    th0 = codec.theta0_for_query_stream(q_prev, float(prev[-1].score), q, 10, 10)
+    assert th0 is not None
+
+    want = [
+        (r.doc_id, round(r.score, 9))
+        for r in bm25.bm25_topk(postings, docstats, terms, q, 10, n=n, avgdl=avgdl).collect()
+    ]
+    got = [
+        (r.doc_id, round(r.score, 9))
+        for r in codec.bm25_topk_wand(
+            comp, dlb, terms, q, 10, n, avgdl, theta0=th0
+        ).collect()
+    ]
+    assert got == want
+
+    def scanned(**kw):
+        rows = (
+            codec.bm25_topk_wand(comp, dlb, terms, q, 10, n, avgdl,
+                                 with_stats=True, **kw)
+            .withColumn("pid", F.spark_partition_id())
+            .select("pid", "rng_scanned")
+            .distinct()
+            .collect()
+        )
+        return sum(r.rng_scanned for r in rows)
+
+    assert scanned(theta0=th0) <= scanned()
+
+    # unsound reuses are refused
+    assert codec.theta0_for_query_stream(["t9"], 1.0, q, 10, 10) is None
+    assert codec.theta0_for_query_stream(q_prev, 1.0, q, 10, 20) is None
+    assert codec.theta0_for_query_stream(q_prev, None, q, 10, 10) is None
