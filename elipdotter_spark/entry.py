@@ -60,8 +60,16 @@ _CACHE: Dict[str, dict] = {}
 def _spark_key(spark: SparkSession) -> str:
     """Cache key tied to the session's JVM application id (a raw python
     object id could theoretically be reused after GC in a long-lived
-    driver)."""
-    return spark.sparkContext.applicationId
+    driver).  Entries belonging to OTHER application ids are evicted on
+    each new-app touch: a long-lived driver cycling SparkSessions (the
+    one place this gate-only cache is reachable repeatedly) stays at one
+    app's worth of entries instead of growing without bound — the evicted
+    DataFrames' cached blocks died with their application anyway."""
+    app_id = spark.sparkContext.applicationId
+    stale = [k for k in _CACHE if app_id not in k]
+    for k in stale:
+        del _CACHE[k]
+    return app_id
 
 # ------------------------------------------------- cross-engine Zipf corpus
 #

@@ -279,3 +279,20 @@ def test_lsh_prefix_guard_checks_all_rows(spark):
             emb, buckets, [1.0, 0.0], k=2, n_planes=3, n_tables=1,
             prefix_bits=1,
         ).collect()
+
+
+# --------------------------------------------------- entry cache bound
+
+
+@pytest.mark.spark
+def test_entry_cache_evicts_other_apps(spark):
+    """A long-lived driver cycling SparkSessions must not grow the
+    gate-table cache without bound: touching the cache under a new app id
+    evicts every other app's entries."""
+    from elipdotter_spark import entry
+
+    entry._CACHE["zipf:app-dead-1"] = {"stale": True}
+    entry._CACHE["app-dead-2:/some/sf"] = {"stale": True}
+    app = entry._spark_key(spark)
+    assert all(app in k for k in entry._CACHE)
+    assert "zipf:app-dead-1" not in entry._CACHE
