@@ -106,8 +106,9 @@ def cmd_bm25(args) -> int:
         bp = f"{args.index}/blocks"
         dp = f"{args.index}/doclen_blocks"
         if not store.blocks_stale() and os.path.isdir(bp) and os.path.isdir(dp):
-            comp = spark.read.parquet(bp)
-            dlb = spark.read.parquet(dp)
+            # resolves delta block segments (publish_delta) when present;
+            # a base-only store passes through unchanged
+            comp, dlb = store.wand_tables(terms, n, avgdl)
         else:
             print(
                 "warning: published block tables are stale or absent; "

@@ -424,6 +424,364 @@ class IndexStore:
         span = (spread * codec.DEFAULT_DOC_SPAN) // max(n, 1)
         return max(1, min(span, 2**62))
 
+    # ------------------------------------------------------ delta publish
+
+    def _swap_in(self, tmp_writer, final_path: str) -> None:
+        """Write a table under ``<final>.tmp`` then atomically swap it in —
+        required because incremental derivations READ the table they
+        replace (Spark refuses an overwrite of a path it is reading)."""
+        tmp = final_path + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        tmp_writer(tmp)
+        if os.path.exists(final_path):
+            shutil.rmtree(final_path)
+        os.rename(tmp, final_path)
+
+    def publish_delta(self) -> dict:
+        """Publish cost proportional to the DELTA, not the corpus.
+
+        A full :meth:`publish` rewrites every published artifact — at web
+        scale that is a full-corpus job per ingest (the 1M stress measures
+        ~90 s for a store a 1000-doc update barely touches).  Granularity
+        is **(term, doc range)**: a doc update dirties only the block rows
+        of the ranges holding updated docs — NOT a term's whole posting
+        list (per-term granularity degenerates on zipf corpora, where any
+        update touches the head terms and drags in half the postings;
+        measured: per-term delta cost == full publish at 1M).  Derived
+        from the segments newer than the last block publish:
+
+        - **updated docs** -> **affected ranges** (``range_expr``);
+        - refreshed narrow tables, both delta-proportionally:
+          terms = old merged with per-term df/cf adjustments computed
+          from the updated docs' last-published vs current versions ONLY;
+          docstats = old minus updated plus re-aggregated updated;
+        - a **block segment** ``blocks_delta/delta-<seq>``: re-packed
+          blocks for every (term, affected range) from the compacted
+          postings of those ranges' docs, first-char partitioned like the
+          base, with the term's CURRENT df stamped per row (``df_then`` —
+          the stats-drift anchor), plus tombstones (n=0) for (term,
+          range) pairs that existed before and are now empty;
+        - a **doclen segment** ``doclen_delta/delta-<seq>``: re-encoded
+          doc-length blocks for the affected ranges.
+
+        Readers resolve per-(term, block) latest-wins via
+        :meth:`wand_tables`, which also restores ``block_max`` soundness
+        under drifted global stats — see its docstring.  ``max_seq`` /
+        ``blocks_max_seq`` advance to the ledger head and the segment's
+        (n, avgdl) are recorded in ``block_segments``."""
+        from ..operators import bm25, codec
+
+        meta = self._meta()
+        if (
+            meta is None
+            or "blocks_max_seq" not in meta
+            or "doc_span" not in meta
+            or "block_segments" not in meta
+        ):
+            raise ValueError(
+                "publish_delta requires a prior FULL publish(with_compressed"
+                "=True) on this store (block segment stats not recorded)"
+            )
+        rows = self.ledger()
+        if any(r.get("seq") is None for r in rows):
+            raise ValueError(
+                "store has legacy (no-seq) ledger rows; run full publish()"
+            )
+        cur = self._cur_max_seq()
+        base_seq = meta["blocks_max_seq"]
+        if cur == base_seq:
+            return {"delta": None, "reason": "up_to_date"}
+        if meta.get("max_seq") != base_seq:
+            # a terms-only publish ran after the last block publish: the
+            # published terms already include newer segments, so the
+            # df-adjustment baseline (seq <= blocks_max_seq) would double
+            # count — the stamps must agree
+            raise ValueError(
+                "terms/docstats snapshot is newer than the block snapshot "
+                "(publish(with_compressed=False) ran in between); run a "
+                "FULL publish() to realign before delta publishing"
+            )
+        span = int(meta["doc_span"])
+        delta_paths = [
+            self.segment_path(r["segment_id"])
+            for r in rows
+            if r["seq"] > base_seq and os.path.exists(self.segment_path(r["segment_id"]))
+        ]
+        updated = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*delta_paths)
+            .select("doc_id")
+            .distinct()
+            .cache()
+        )
+
+        # ---- per-term df/cf adjustments from the updated docs ONLY:
+        # their last-PUBLISHED version vs their current version (narrow
+        # doc-restricted scan; every other doc's contribution is unchanged)
+        upd_rows = (
+            self.postings()
+            .join(updated, "doc_id", "left_semi")
+            .select(
+                "term",
+                "doc_id",
+                "tf",
+                F.coalesce(F.col("seq"), F.lit(-1)).alias("seq"),
+            )
+            .cache()
+        )
+        cur_ver = upd_rows.groupBy("doc_id").agg(F.max("seq").alias("seq"))
+        prev_ver = (
+            upd_rows.filter(F.col("seq") <= base_seq)
+            .groupBy("doc_id")
+            .agg(F.max("seq").alias("seq"))
+        )
+        cur_rows = upd_rows.join(cur_ver, ["doc_id", "seq"])
+        prev_rows = upd_rows.join(prev_ver, ["doc_id", "seq"])
+
+        def per_term(rows_df, dfc, cfc):
+            return rows_df.groupBy("term").agg(
+                F.countDistinct("doc_id").alias(dfc), F.sum("tf").alias(cfc)
+            )
+
+        adj = (
+            per_term(cur_rows, "df_add", "cf_add")
+            .join(per_term(prev_rows, "df_sub", "cf_sub"), "term", "full_outer")
+            .select(
+                "term",
+                (
+                    F.coalesce("df_add", F.lit(0)) - F.coalesce("df_sub", F.lit(0))
+                ).alias("ddf"),
+                (
+                    F.coalesce("cf_add", F.lit(0)) - F.coalesce("cf_sub", F.lit(0))
+                ).alias("dcf"),
+            )
+        )
+        terms_path = os.path.join(self.base, "terms")
+        ds_path = os.path.join(self.base, "docstats")
+        old_terms = self.spark.read.parquet(terms_path).select("term", "df", "cf")
+        terms_new = (
+            old_terms.join(adj, "term", "full_outer")
+            .select(
+                "term",
+                (F.coalesce("df", F.lit(0)) + F.coalesce("ddf", F.lit(0))).alias(
+                    "df"
+                ),
+                (F.coalesce("cf", F.lit(0)) + F.coalesce("dcf", F.lit(0))).alias(
+                    "cf"
+                ),
+            )
+            .filter(F.col("df") > 0)
+        )
+        self._swap_in(lambda p: write_terms(terms_new, p), terms_path)
+
+        old_ds = self.spark.read.parquet(ds_path).select("doc_id", "doc_len")
+        ds_new = old_ds.join(updated, "doc_id", "left_anti").unionByName(
+            cur_rows.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+        )
+        self._swap_in(lambda p: ds_new.write.parquet(p), ds_path)
+
+        terms_cur = self.spark.read.parquet(terms_path)
+        ds_cur = self.spark.read.parquet(ds_path)
+        n_now, avgdl_now = bm25.corpus_stats(ds_cur)
+
+        # ---- affected ranges -> compacted postings of their docs only
+        aff_ranges = (
+            updated.select(codec.range_expr(span).alias("rng")).distinct().cache()
+        )
+        p_rng = self.postings().withColumn("rng", codec.range_expr(span)).join(
+            aff_ranges, "rng", "left_semi"
+        )
+        if "seq" in p_rng.columns:  # doc-restricted latest-wins (valid: the
+            # range filter keeps every row of each included doc)
+            p_rng = p_rng.withColumn(
+                "seq", F.coalesce(F.col("seq"), F.lit(-1).cast("long"))
+            )
+            latest = p_rng.groupBy("doc_id").agg(F.max("seq").alias("seq"))
+            p_rng = p_rng.join(latest, ["doc_id", "seq"])
+        aff_post = p_rng.select("term", "doc_id", "positions", "tf")
+
+        delta_blocks = codec.build_compressed(
+            aff_post, ds_cur, terms_cur, n_now, avgdl_now, doc_span=span
+        ).join(
+            F.broadcast(terms_cur.select("term", F.col("df").alias("df_then"))),
+            "term",
+            "left",
+        )
+        # tombstones: (term, range) pairs present in the published blocks
+        # for these ranges but empty now (narrow column scan of old blocks)
+        new_pairs = aff_post.select(
+            "term", codec.range_expr(span).alias("block")
+        ).distinct()
+        old_blocks = self.spark.read.parquet(os.path.join(self.base, "blocks"))
+        frames = [old_blocks.select("term", "block")]
+        for pth in self._block_segment_dirs("blocks_delta"):
+            frames.append(
+                self.spark.read.parquet(pth).filter(F.col("n") > 0).select(
+                    "term", "block"
+                )
+            )
+        old_pairs = frames[0]
+        for f in frames[1:]:
+            old_pairs = old_pairs.unionByName(f)
+        tomb = (
+            old_pairs.join(aff_ranges, old_pairs.block == aff_ranges.rng, "left_semi")
+            .distinct()
+            .join(new_pairs, ["term", "block"], "left_anti")
+            .select(
+                "term",
+                "block",
+                F.lit(0).cast("int").alias("n"),
+                F.lit(0).cast("long").alias("first_doc"),
+                F.lit(b"").alias("doc_deltas"),
+                F.lit(b"").alias("tfs"),
+                F.lit(0.0).alias("block_max"),
+                F.lit(None).cast("long").alias("df_then"),
+            )
+        )
+        seg_name = f"delta-{cur:06d}"
+        bseg_dir = os.path.join(self.base, "blocks_delta", seg_name)
+        os.makedirs(os.path.dirname(bseg_dir), exist_ok=True)
+        self._swap_in(
+            lambda p: (
+                delta_blocks.unionByName(tomb)
+                .withColumn("bseg", F.lit(cur).cast("long"))
+                .withColumn("first", F.substring("term", 1, 1))
+                .write.partitionBy("first")
+                .parquet(p)
+            ),
+            bseg_dir,
+        )
+        ds_rng = (
+            ds_cur.withColumn("rng", codec.range_expr(span))
+            .join(aff_ranges, "rng", "left_semi")
+            .drop("rng")
+        )
+        dseg_dir = os.path.join(self.base, "doclen_delta", seg_name)
+        os.makedirs(os.path.dirname(dseg_dir), exist_ok=True)
+        self._swap_in(
+            lambda p: (
+                codec.build_doclen_blocks(ds_rng, doc_span=span)
+                .withColumn("bseg", F.lit(cur).cast("long"))
+                .write.parquet(p)
+            ),
+            dseg_dir,
+        )
+        updated.unpersist()
+        upd_rows.unpersist()
+        aff_ranges.unpersist()
+
+        meta["max_seq"] = cur
+        meta["blocks_max_seq"] = cur
+        meta["block_segments"][seg_name] = {
+            "n": n_now,
+            "avgdl": avgdl_now,
+            "seq": cur,
+        }
+        with open(os.path.join(self.base, "blocks_meta.json"), "w") as fh:
+            json.dump(meta, fh)
+        return {
+            "delta": seg_name,
+            "blocks_path": bseg_dir,
+            "doclen_path": dseg_dir,
+            "n": n_now,
+            "avgdl": avgdl_now,
+        }
+
+    def _block_segment_dirs(self, kind: str) -> List[str]:
+        d = os.path.join(self.base, kind)
+        if not os.path.isdir(d):
+            return []
+        return [
+            os.path.join(d, s) for s in sorted(os.listdir(d)) if s.startswith("delta-")
+        ]
+
+    def wand_tables(self, terms: DataFrame, n: int, avgdl: float):
+        """(blocks, doclen_blocks) ready for ``codec.bm25_topk_wand``, with
+        delta segments resolved:
+
+        - posting blocks: per-(TERM, RANGE) latest-wins over (base +
+          deltas) — a delta re-packs the complete current content of every
+          (term, range) it touches, so keeping each pair's max-``bseg``
+          row is exact; tombstones (n=0) then drop emptied pairs.  The
+          ``first`` column survives the union (deltas are written
+          first-char partitioned like the base), so qterm_blocks still
+          partition-prunes every segment.
+        - doclen blocks: per-RANGE latest-wins (each delta re-encodes the
+          full membership of every range it touches).
+        - **stats-drift bound adjustment**: a surviving block row from
+          segment s has ``block_max = idf(n_s, df_then) * T_s`` with its
+          build-time stats, while a query scores with CURRENT stats.  The
+          row's postings and those docs' lengths are unchanged since s
+          (else a later delta rebuilt the pair), so the current per-doc
+          score can exceed the recorded bound by at most
+          ``idf(n, df_now)/idf(n_s, df_then) * max(1, avgdl/avgdl_s)``
+          (the avgdl factor bounds the tf-normalization shift; the idf
+          ratio is exact because every row carries the df it was built
+          with) — block_max is scaled by exactly that, keeping WAND
+          pruning sound while the per-range scoring itself (decoded tf +
+          current doclen blocks + current idf) stays exact."""
+        spark = self.spark
+        meta = self._meta() or {}
+        segs = meta.get("block_segments") or {}
+        base_seq = int(segs.get("base", {}).get("seq", -1))
+
+        def with_seg(df: DataFrame, seq: int) -> DataFrame:
+            df = df.withColumn("bseg", F.lit(seq).cast("long"))
+            if "df_then" not in df.columns:  # pre-round-4 base layout
+                df = df.withColumn("df_then", F.lit(None).cast("long"))
+            return df
+
+        blocks = with_seg(
+            spark.read.parquet(os.path.join(self.base, "blocks")), base_seq
+        )
+        for p in self._block_segment_dirs("blocks_delta"):
+            # delta files carry bseg + df_then physically
+            blocks = blocks.unionByName(spark.read.parquet(p))
+        latest = blocks.groupBy("term", "block").agg(F.max("bseg").alias("bseg"))
+        resolved = blocks.join(latest, ["term", "block", "bseg"]).filter(
+            F.col("n") > 0
+        )
+
+        if segs:
+            stats_rows = [
+                (int(s["seq"]), int(s["n"]), float(s["avgdl"]))
+                for s in segs.values()
+            ]
+            stats_df = spark.createDataFrame(
+                stats_rows, "bseg long, n_s long, avgdl_s double"
+            )
+            dfv = terms.select("term", F.col("df").cast("double").alias("df_now"))
+
+            def idf(nv, dfcol):
+                return F.log((nv - dfcol + 0.5) / (dfcol + 0.5) + 1.0)
+
+            df_s = F.coalesce(F.col("df_then").cast("double"), F.col("df_now"))
+            mult = F.coalesce(
+                (
+                    idf(F.lit(float(n)), F.col("df_now"))
+                    / idf(F.col("n_s").cast("double"), df_s)
+                )
+                * F.greatest(F.lit(1.0), F.lit(float(avgdl)) / F.col("avgdl_s")),
+                F.lit(1.0),
+            )
+            resolved = (
+                resolved.join(F.broadcast(dfv), "term", "left")
+                .join(F.broadcast(stats_df), "bseg", "left")
+                .withColumn("block_max", F.col("block_max") * mult)
+                .drop("df_now", "n_s", "avgdl_s")
+            )
+        resolved = resolved.drop("bseg", "df_then")
+
+        dl = spark.read.parquet(
+            os.path.join(self.base, "doclen_blocks")
+        ).withColumn("bseg", F.lit(base_seq).cast("long"))
+        for p in self._block_segment_dirs("doclen_delta"):
+            dl = dl.unionByName(spark.read.parquet(p))
+        dl_latest = dl.groupBy("block").agg(F.max("bseg").alias("bseg"))
+        dl_resolved = dl.join(dl_latest, ["block", "bseg"]).drop("bseg")
+        return resolved, dl_resolved
+
     def publish(self, with_compressed: bool = True, doc_span: int = None) -> dict:
         """Derive and write the query-side tables: the first-char-partitioned
         dictionary, doc stats, and (north-star index format) the compressed
@@ -458,9 +816,18 @@ class IndexStore:
             # same first-char physical layout as the dictionary: the block
             # table is the store's biggest artifact, and codec.qterm_blocks
             # turns a query's first-char set into a partition filter so a
-            # W-term query reads only its leading directories
+            # W-term query reads only its leading directories.  df_then
+            # stamps each row with its build-time df — the anchor for the
+            # delta-publish stats-drift bound (wand_tables)
             (
-                comp.withColumn("first", F.substring("term", 1, 1))
+                comp.join(
+                    F.broadcast(
+                        terms.select("term", F.col("df").alias("df_then"))
+                    ),
+                    "term",
+                    "left",
+                )
+                .withColumn("first", F.substring("term", 1, 1))
                 .write.mode("overwrite")
                 .partitionBy("first")
                 .parquet(os.path.join(self.base, "blocks"))
@@ -480,9 +847,21 @@ class IndexStore:
         if with_compressed:
             meta["doc_span"] = int(doc_span)
             meta["blocks_max_seq"] = max_seq
+            # full publish resets the delta-segment lineage: the base now
+            # covers everything, and its (n, avgdl) anchor the stats-drift
+            # bound adjustment of future delta segments (wand_tables)
+            meta["block_segments"] = {
+                "base": {"n": int(n), "avgdl": float(avgdl), "seq": max_seq}
+            }
+            for kind in ("blocks_delta", "doclen_delta"):
+                d = os.path.join(self.base, kind)
+                if os.path.isdir(d):
+                    shutil.rmtree(d)
         elif old is not None and "blocks_max_seq" in old:
             meta["doc_span"] = old.get("doc_span")
             meta["blocks_max_seq"] = old["blocks_max_seq"]
+            if "block_segments" in old:
+                meta["block_segments"] = old["block_segments"]
         with open(os.path.join(self.base, "blocks_meta.json"), "w") as fh:
             json.dump(meta, fh)
         return info

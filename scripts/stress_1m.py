@@ -148,6 +148,36 @@ def main() -> int:
     st = {}
     eng.topk(qs, 1000, 10, stats_out=st).collect()
 
+    # delta publish at 1M: a 1,000-doc update against the published store —
+    # publish cost must be proportional to the DELTA, not the corpus
+    upd = docs.filter(F.col("doc_id") < 1000).withColumn(
+        "text", F.concat(F.lit("updated tnew "), F.col("text"))
+    )
+    store.write_segment("seg-update", upd)
+    t0 = time.perf_counter()
+    dinfo = store.publish_delta()
+    delta_publish_s = time.perf_counter() - t0
+    terms2 = spark.read.parquet(info["terms_path"])
+    ds2 = spark.read.parquet(info["docstats_path"])
+    from elipdotter_spark.operators import bm25 as _bm25
+
+    n2, avgdl2 = _bm25.corpus_stats(ds2)
+    comp2, dlb2 = store.wand_tables(terms2, n2, avgdl2)
+    want2 = [
+        (r.doc_id, round(r.score, 9))
+        for r in _bm25.bm25_topk(
+            store.merged_postings(), ds2, terms2, q + ["tnew"], 10,
+            n=n2, avgdl=avgdl2,
+        ).collect()
+    ]
+    got2 = [
+        (r.doc_id, round(r.score, 9))
+        for r in codec.bm25_topk_wand(
+            comp2, dlb2, terms2, q + ["tnew"], 10, n2, avgdl2
+        ).collect()
+    ]
+    assert got2 == want2, "delta-published WAND != exhaustive"
+
     print(json.dumps({
         "n_docs": 1_000_000,
         "n_postings": row["n_postings"],
@@ -174,6 +204,13 @@ def main() -> int:
             for k in ("root_docs", "kernel_docs", "theta", "pruned", "futile")
         },
         "scored_hits_pruned_equals_full": True,
+        "delta_publish": {
+            "updated_docs": 1000,
+            "segment": dinfo["delta"],
+            "publish_delta_sec": round(delta_publish_s, 2),
+            "full_publish_sec": round(publish_s, 2),
+            "wand_after_delta_exact": True,
+        },
     }))
     spark.stop()
     shutil.rmtree(work, ignore_errors=True)
