@@ -37,6 +37,42 @@ def cmd_build(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    """Ingest a parquet of documents into an EXISTING store as one new
+    segment (latest-wins on re-ingested doc ids), then refresh the
+    published index incrementally — publish_delta() rewrites only the
+    (term, range) blocks the update touches (8.9x faster than a full
+    publish for a 1000-doc update at the 1M stress); stores without
+    recorded block stats fall back to a full publish."""
+    import time as _time
+
+    from elipdotter_spark.sources.catalog import IndexStore
+
+    spark = get_spark()
+    docs = spark.read.parquet(args.input)
+    store = IndexStore(spark, args.index)
+    seg_id = args.segment_id or f"ingest-{int(_time.time() * 1000)}"
+    row = store.write_segment(seg_id, docs)
+    try:
+        info = store.publish_delta()
+        mode = "delta"
+    except ValueError:
+        info = store.publish()
+        mode = "full"
+    print(
+        json.dumps(
+            {
+                "segment": row["segment_id"],
+                "seq": row["seq"],
+                "n_docs": row["n_docs"],
+                "publish_mode": mode,
+                "delta": info.get("delta") if mode == "delta" else None,
+            }
+        )
+    )
+    return 0
+
+
 def _load(spark, index_dir):
     """(store, postings, terms, docstats, stale).
 
@@ -196,6 +232,13 @@ def main(argv=None) -> int:
     m.add_argument("--wand", action="store_true",
                    help="single-job block-max WAND over the compressed format")
     m.set_defaults(fn=cmd_bm25)
+
+    i = sub.add_parser("ingest")
+    i.add_argument("--input", required=True)
+    i.add_argument("--index", required=True)
+    i.add_argument("--segment-id", default=None,
+                   help="ledger segment id (default: ingest-<epoch-ms>)")
+    i.set_defaults(fn=cmd_ingest)
 
     d = sub.add_parser("dedup")
     d.add_argument("--input", required=True)

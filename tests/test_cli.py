@@ -73,3 +73,46 @@ def test_cli_dedup_summary(cli, sf_dir, capsys):
     assert summary["n_kept"] == 500 - (
         summary["n_candidate_docs_in_clusters"] - summary["n_clusters"]
     )
+
+
+@pytest.mark.spark
+def test_cli_ingest_delta_publish(cli, tmp_path, sf_dir, capsys):
+    """ingest: one new segment + incremental publish; queries reflect the
+    update and --wand (reading resolved delta segments) stays exact."""
+    idx = str(tmp_path / "idx")
+    assert cli.main([
+        "build", "--input", f"{sf_dir}/documents.parquet",
+        "--output", idx, "--segments", "2",
+    ]) == 0
+    capsys.readouterr()
+
+    upd = str(tmp_path / "upd")
+    cli.get_spark().createDataFrame(
+        [(217, "freshterm only now"), (9000, "freshterm table value")],
+        "doc_id long, text string",
+    ).write.parquet(upd)
+    assert cli.main(["ingest", "--input", upd, "--index", idx]) == 0
+    out = _json_lines(capsys)[-1]
+    assert out["publish_mode"] == "delta" and out["delta"] is not None
+    assert out["n_docs"] == 2
+
+    # updated doc 217 lost its old terms; the new term is queryable
+    assert cli.main([
+        "query", "--index", idx, "--query", "freshterm", "--k", "5",
+        "--algo", "exact",
+    ]) == 0
+    rows = _json_lines(capsys)
+    assert {r["doc_id"] for r in rows} == {217, 9000}
+
+    assert cli.main([
+        "bm25", "--index", idx, "--terms", "freshterm,table", "--k", "5",
+    ]) == 0
+    exhaustive = _json_lines(capsys)
+    assert cli.main([
+        "bm25", "--index", idx, "--terms", "freshterm,table", "--k", "5",
+        "--wand",
+    ]) == 0
+    wand = _json_lines(capsys)
+    assert [r["doc_id"] for r in wand] == [r["doc_id"] for r in exhaustive]
+    for a, b in zip(wand, exhaustive):
+        assert abs(a["score"] - b["score"]) < 1e-9
