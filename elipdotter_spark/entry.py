@@ -765,6 +765,46 @@ def q_zipf_bm25_wand(spark, sf_dir):
     return topk.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def q_zipf_delta_wand(spark, sf_dir):
+    """Delta publish cross-engine: base Zipf store -> full publish -> docs
+    0..39 updated with literal content -> publish_delta -> WAND over the
+    RESOLVED segments (per-(term, block) latest-wins, tombstones,
+    stats-drift-adjusted bounds) must equal the exhaustive DuckDB BM25
+    top-20 computed on the POST-update corpus with CURRENT stats.  The
+    update shrinks the updated docs to 3 tokens (n fixed, avgdl drops,
+    every old term of those docs goes stale, w1's df/cf shift, w999
+    gains 40 docs) — the full delta surface in one gate."""
+    import os as _os
+    import tempfile
+
+    from .sources.catalog import IndexStore
+
+    key = f"zipf_delta_store:{_spark_key(spark)}"
+    if key not in _CACHE:
+        work = tempfile.mkdtemp(prefix="zipf_delta_gate_")
+        store = IndexStore(spark, work)
+        store.write_segment("seg-base", _zipf_tables(spark)["docs"])
+        store.publish(doc_span=16)
+        upd = spark.createDataFrame(
+            [(i, "w1 w1 w999") for i in range(40)], "doc_id long, text string"
+        )
+        store.write_segment("seg-upd", upd)
+        info = store.publish_delta()
+        assert info["delta"] is not None
+        _CACHE[key] = {"store": store}
+    store = _CACHE[key]["store"]
+    terms = spark.read.parquet(_os.path.join(store.base, "terms"))
+    ds = spark.read.parquet(_os.path.join(store.base, "docstats"))
+    n, avgdl = bm25.corpus_stats(ds)
+    comp, dlb = store.wand_tables(terms, n, avgdl)
+    from .operators import codec
+
+    topk = codec.bm25_topk_wand(
+        comp, dlb, terms, ["w1", "w999", "w3"], 20, n, avgdl
+    )
+    return topk.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def q_mm_decode_meta(spark, sf_dir):
     """REAL multimodal decode (stdlib BMP/WAV header parsers): payloads are
     actual encoded bytes whose parameters are arithmetic in doc_id, so the
@@ -872,6 +912,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_dd_exact": q_zipf_dd_exact,
         "zipf_bm25_compressed": q_zipf_bm25_compressed,
         "zipf_bm25_wand": q_zipf_bm25_wand,
+        "zipf_delta_wand": q_zipf_delta_wand,
     }
 
 
@@ -1482,6 +1523,37 @@ def oracle_sql() -> Dict[str, str]:
                 WHERE term IN ('w1', 'w800', 'w3000')
                 GROUP BY ztf.doc_id
                 ORDER BY score DESC, doc_id ASC LIMIT 10
+            )
+        """,
+        "zipf_delta_wand": f"""
+            WITH {ZIPF_TOKS_SQL},
+            ztok2 AS (
+                SELECT doc_id, term FROM ztok WHERE doc_id >= 40
+                UNION ALL
+                SELECT doc_id, term
+                FROM (SELECT unnest(range(40)) AS doc_id)
+                CROSS JOIN (SELECT unnest(['w1', 'w1', 'w999']) AS term)
+            ),
+            ztf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                    FROM ztok2 GROUP BY doc_id, term),
+            zdl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+                    FROM ztok2 GROUP BY doc_id),
+            zstats AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM zdl),
+            zdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM ztf GROUP BY term)
+            SELECT doc_id, round(score, 6) AS score FROM (
+                SELECT ztf.doc_id,
+                       sum(
+                         ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                         * tf * (1.2 + 1.0)
+                         / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                       ) AS score
+                FROM ztf
+                JOIN zdf USING (term)
+                JOIN zdl USING (doc_id)
+                CROSS JOIN zstats
+                WHERE term IN ('w1', 'w999', 'w3')
+                GROUP BY ztf.doc_id
+                ORDER BY score DESC, doc_id ASC LIMIT 20
             )
         """,
         # ft_query_hits: intentionally no SQL oracle (f32 scoring pipeline)
