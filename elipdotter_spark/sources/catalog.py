@@ -539,6 +539,28 @@ class IndexStore:
         cur_rows = upd_rows.join(cur_ver, ["doc_id", "seq"])
         prev_rows = upd_rows.join(prev_ver, ["doc_id", "seq"])
 
+        # a compact() after the last block publish rewrites every doc at a
+        # NEW seq and deletes the old segments — the published baseline
+        # (rows at seq <= blocks_max_seq) is gone, so the df adjustment
+        # would double-count every doc the snapshot already includes.
+        # Detect: any updated doc that IS in the published docstats but has
+        # no surviving prev-version rows lost its lineage -> full publish.
+        published_docs = self.spark.read.parquet(
+            os.path.join(self.base, "docstats")
+        ).select("doc_id")
+        lineage_lost = (
+            updated.join(published_docs, "doc_id", "left_semi")
+            .join(prev_ver.select("doc_id"), "doc_id", "left_anti")
+            .limit(1)
+            .count()
+        )
+        if lineage_lost:
+            raise ValueError(
+                "segment lineage below the block snapshot was compacted "
+                "away (compact() ran after the last block publish): the "
+                "delta baseline is unrecoverable — run a FULL publish()"
+            )
+
         def per_term(rows_df, dfc, cfc):
             return rows_df.groupBy("term").agg(
                 F.countDistinct("doc_id").alias(dfc), F.sum("tf").alias(cfc)

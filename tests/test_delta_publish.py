@@ -153,3 +153,24 @@ def test_delta_blocks_first_char_pruned(spark, tmp_path):
     )
     assert plan.count("PartitionFilters: [isnotnull(first") >= 1 or "first" in plan
     _assert_wand_matches_exhaustive(spark, store, ["alpha", "delta"])
+
+
+@pytest.mark.spark
+def test_delta_publish_refuses_compacted_baseline(spark, tmp_path):
+    """compact() after the last block publish deletes the published
+    baseline's segment rows — the df adjustment would double-count every
+    doc; publish_delta must refuse and demand a full publish."""
+    store = IndexStore(spark, str(tmp_path / "idx"))
+    store.write_segment(
+        "seg-0000", _df(spark, [(i, f"alpha words {i % 3}") for i in range(20)])
+    )
+    store.publish(doc_span=16)
+    store.write_segment("seg-0001", _df(spark, [(1, "alpha changed")]))
+    store.compact()  # rewrites ALL docs at a new seq, drops old segments
+    with pytest.raises(ValueError, match="compacted"):
+        store.publish_delta()
+    # full publish realigns; a later delta works again
+    store.publish(doc_span=16)
+    store.write_segment("seg-0002", _df(spark, [(2, "alpha again")]))
+    assert store.publish_delta()["delta"] is not None
+    _assert_wand_matches_exhaustive(spark, store, ["alpha", "again"])
