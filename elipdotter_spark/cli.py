@@ -59,6 +59,14 @@ def cmd_ingest(args) -> int:
     except ValueError:
         info = store.publish()
         mode = "full"
+    # LSM-style lineage compaction: per-delta publish stays cheap but every
+    # query unions base + K delta segments, so unattended ingest loops must
+    # bound K (threshold from the BENCH.md latency-vs-K curve)
+    compacted = None
+    if mode == "delta":
+        compacted = store.maybe_publish_full(
+            max_delta_segments=args.max_delta_segments
+        )
     print(
         json.dumps(
             {
@@ -67,6 +75,7 @@ def cmd_ingest(args) -> int:
                 "n_docs": row["n_docs"],
                 "publish_mode": mode,
                 "delta": info.get("delta") if mode == "delta" else None,
+                "compacted_lineage": compacted is not None,
             }
         )
     )
@@ -99,8 +108,10 @@ def _load(spark, index_dir):
         terms = index_build.build_terms(postings).cache()
         docstats = index_build.docstats_from_postings(postings).cache()
     else:
-        terms = spark.read.parquet(f"{index_dir}/terms").cache()
-        docstats = spark.read.parquet(f"{index_dir}/docstats").cache()
+        # resolved readers: base + (terms/docstats)-delta segments,
+        # latest-wins — a delta-published store's base dirs alone are stale
+        terms = store.published_terms().cache()
+        docstats = store.published_docstats().cache()
     return store, postings, terms, docstats, stale
 
 
@@ -130,7 +141,10 @@ def cmd_bm25(args) -> int:
 
     spark = get_spark()
     store, postings, terms, docstats, _stale = _load(spark, args.index)
-    n, avgdl = bm25.corpus_stats(docstats)
+    if not _stale:
+        n, avgdl = store.corpus_stats()  # meta counters: zero Spark jobs
+    else:
+        n, avgdl = bm25.corpus_stats(docstats)
     qterms = args.terms.split(",")
     if args.wand:
         # one-job distributed block-max WAND over the compressed format —
@@ -238,6 +252,9 @@ def main(argv=None) -> int:
     i.add_argument("--index", required=True)
     i.add_argument("--segment-id", default=None,
                    help="ledger segment id (default: ingest-<epoch-ms>)")
+    i.add_argument("--max-delta-segments", type=int, default=8,
+                   help="full-publish the delta lineage past this many "
+                        "stacked delta segments (read-amplification bound)")
     i.set_defaults(fn=cmd_ingest)
 
     d = sub.add_parser("dedup")

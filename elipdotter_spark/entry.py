@@ -68,8 +68,18 @@ def _spark_key(spark: SparkSession) -> str:
     app_id = spark.sparkContext.applicationId
     stale = [k for k in _CACHE if app_id not in k]
     for k in stale:
-        del _CACHE[k]
+        _cleanup_entry(_CACHE.pop(k))
     return app_id
+
+
+def _cleanup_entry(entry: dict) -> None:
+    """Remove any scratch directories an evicted cache entry owns (the
+    zipf_delta gate builds its store under mkdtemp; without this, every
+    driver app cycle leaked a full store in /tmp)."""
+    import shutil as _shutil
+
+    for d in entry.get("_scratch_dirs", ()) if isinstance(entry, dict) else ():
+        _shutil.rmtree(d, ignore_errors=True)
 
 # ------------------------------------------------- cross-engine Zipf corpus
 #
@@ -774,14 +784,17 @@ def q_zipf_delta_wand(spark, sf_dir):
     update shrinks the updated docs to 3 tokens (n fixed, avgdl drops,
     every old term of those docs goes stale, w1's df/cf shift, w999
     gains 40 docs) — the full delta surface in one gate."""
-    import os as _os
     import tempfile
 
     from .sources.catalog import IndexStore
 
     key = f"zipf_delta_store:{_spark_key(spark)}"
     if key not in _CACHE:
+        import atexit
+        import shutil as _shutil
+
         work = tempfile.mkdtemp(prefix="zipf_delta_gate_")
+        atexit.register(_shutil.rmtree, work, ignore_errors=True)
         store = IndexStore(spark, work)
         store.write_segment("seg-base", _zipf_tables(spark)["docs"])
         store.publish(doc_span=16)
@@ -791,11 +804,13 @@ def q_zipf_delta_wand(spark, sf_dir):
         store.write_segment("seg-upd", upd)
         info = store.publish_delta()
         assert info["delta"] is not None
-        _CACHE[key] = {"store": store}
+        _CACHE[key] = {"store": store, "_scratch_dirs": [work]}
     store = _CACHE[key]["store"]
-    terms = spark.read.parquet(_os.path.join(store.base, "terms"))
-    ds = spark.read.parquet(_os.path.join(store.base, "docstats"))
-    n, avgdl = bm25.corpus_stats(ds)
+    # the round-5 resolved readers: terms/docstats come from base + delta
+    # segments (latest-wins), stats from the meta's incremental counters —
+    # the gate now exercises the full delta read path, not just the blocks
+    terms = store.published_terms()
+    n, avgdl = store.corpus_stats()
     comp, dlb = store.wand_tables(terms, n, avgdl)
     from .operators import codec
 

@@ -539,7 +539,8 @@ WAND_SCHEMA = StructType(
 )
 
 
-def theta0_for_query_stream(prev_terms, prev_kth_score, query_terms, prev_k, k):
+def theta0_for_query_stream(prev_terms, prev_kth_score, query_terms, prev_k, k,
+                            prev_n_results=None):
     """Warm-start threshold for a query STREAM: the previous query's k-th
     score is a valid ``theta0`` for the current query iff the current term
     set CONTAINS the previous one (BM25 per-doc scores are monotone in
@@ -548,9 +549,17 @@ def theta0_for_query_stream(prev_terms, prev_kth_score, query_terms, prev_k, k):
     bound).  Returns None when reuse would be unsound — callers pass the
     result straight to ``bm25_topk_wand(theta0=...)``.
 
+    PRECONDITION: ``prev_kth_score`` must be the true ``prev_k``-th best
+    score.  If the previous query returned FEWER than ``prev_k`` rows, its
+    last row's score is NOT that bound (fewer than k docs clear it, and a
+    seeded WAND could prune true top-k docs) — pass ``prev_n_results`` and
+    the helper refuses reuse instead of trusting the caller to remember.
+
     The incremental-typing / query-refinement shape ("spark", then
     "spark fast") is exactly this containment."""
     if prev_kth_score is None or k > prev_k:
+        return None
+    if prev_n_results is not None and prev_n_results < prev_k:
         return None
     if not set(prev_terms) <= set(query_terms):
         return None

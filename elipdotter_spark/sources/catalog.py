@@ -2,20 +2,48 @@
 
 North-rule requirements implemented here:
 - the index is built in **segments** (hash-of-doc partitions of the corpus),
-  each written atomically (tmp dir + rename) and recorded in a **ledger**
-  with lineage + build metrics: postings count, bytes, postings/sec,
-  skew ratio (hottest term df / mean df), wall ms;
+  each written atomically (tmp dir + write-ahead ledger commit) and recorded
+  in a **ledger** with lineage + build metrics: postings count, bytes,
+  postings/sec, skew ratio (hottest term df / mean df), wall ms;
 - a build killed between segments **resumes** from the ledger — completed
   segments are skipped, and the final index is identical to an uninterrupted
   build (tests/test_catalog.py kills and resumes);
 - ``publish()`` derives the dictionary (terms) and docstats side-tables from
-  the union of segments.
+  the union of segments; ``publish_delta()`` refreshes every published
+  artifact with cost proportional to the DELTA, committing atomically
+  through the single ``blocks_meta.json`` write.
+
+Commit protocol (round 5):
+- **Segments** use a WRITE-AHEAD ledger commit: the O_EXCL ledger row lands
+  BEFORE the tmp->final rename.  Of two writers racing one segment id,
+  the loser fails at the row and never touches the winner's data (the
+  round-4 ordering had a TOCTOU window where a racer could classify the
+  winner's just-renamed dir as a crash orphan and delete it).  A crash
+  between row and rename is repaired by :meth:`_recover_segments` (the
+  row records the seq, which names the tmp dir).
+- **Publish coverage is a seq SET, not a max.**  ``write_segment`` claims
+  its seq BEFORE the (possibly minutes-long) Spark build, so a slow writer
+  can commit a LOWER seq after a faster writer's higher seq was committed
+  and published.  A max-based stamp would mark that late segment covered
+  forever — silent data loss.  ``blocks_meta.json`` therefore records the
+  exact set of covered seqs per artifact family; staleness is set
+  inequality, and ``publish_delta`` picks up exactly the uncovered
+  segments (holes included).
+- **``publish_delta`` is crash-atomic.**  All delta artifacts — posting
+  blocks, doclen blocks, and (new in round 5) the NARROW terms/docstats
+  delta segments — are written as unreferenced immutable directories;
+  readers resolve only segments named in the meta, so a crash before the
+  final atomic meta write leaves the published index bit-identical to the
+  pre-publish state and a retry recomputes from that unchanged baseline
+  (the round-4 read-modify-write terms rewrite could double-apply its
+  df/cf adjustment on retry, silently unsounding WAND bounds).
 
 On a production cluster the same layout maps 1:1 to an Iceberg table
 (segments -> snapshots/partitions, ledger -> a metrics table written in the
-same transaction); this container has no Iceberg runtime, so the store uses
-plain parquet directories with atomic renames — the checkpoint/resume
-semantics are the point, not the table format.
+same transaction, the meta commit -> snapshot swap, seq claims + covered
+sets -> optimistic snapshot commit); this container has no Iceberg runtime,
+so the store uses plain parquet directories with atomic renames — the
+checkpoint/resume/commit semantics are the point, not the table format.
 """
 
 from __future__ import annotations
@@ -24,7 +52,7 @@ import json
 import os
 import shutil
 import time
-from typing import List, Optional
+from typing import List, Optional, Set
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -35,6 +63,9 @@ LEDGER_SCHEMA = (
     "bytes long, postings_per_sec double, skew_ratio double, wall_ms long, "
     "seq long, doc_digest long"
 )
+
+TERMS_SCHEMA = "term string, df long, cf long, first string"
+DOCSTATS_SCHEMA = "doc_id long, doc_len long"
 
 
 def content_digest(docs: DataFrame) -> tuple:
@@ -139,7 +170,9 @@ class IndexStore:
         the next number.  A claim is never deleted: a claimant that crashes
         before committing its ledger row just burns one integer (seqs only
         need to be monotonic, not dense), and :meth:`_next_seq` counts
-        outstanding claims so later writers start above them.  On Iceberg
+        outstanding claims so later writers start above them.  A claim that
+        commits AFTER a publish covered higher seqs is caught by the
+        set-based coverage stamps (:meth:`published_stale`).  On Iceberg
         this whole mechanism is subsumed by optimistic snapshot commit."""
         n = self._next_seq()
         d = os.path.join(self.base, "ledger")
@@ -156,23 +189,65 @@ class IndexStore:
     def completed_segments(self) -> List[str]:
         return [r["segment_id"] for r in self.ledger() if r["status"] == "done"]
 
+    def _committed_seqs(self) -> Set[int]:
+        """Seqs of all committed (done) ledger rows; legacy no-seq rows are
+        excluded on BOTH sides of every coverage comparison, so they cancel
+        (a legacy-only store reads as fresh exactly as the old max-based
+        stamps said)."""
+        return {
+            r["seq"]
+            for r in self.ledger()
+            if r["status"] == "done" and r.get("seq") is not None
+        }
+
     # ------------------------------------------------------------ segments
 
     def segment_path(self, segment_id: str) -> str:
         return os.path.join(self.base, "segments", segment_id)
 
+    def _recover_segments(self) -> None:
+        """Complete write-ahead commits interrupted between the ledger row
+        and the tmp->final rename: the row's recorded seq names the tmp dir
+        (``<final>.tmp-<seq>``), so recovery is one rename.  A row whose
+        final AND tmp are both missing is tolerated silently only because
+        compact() deletes superseded segment dirs before their ledger rows
+        (a crash in between leaves such a row, shadowed by the compacted
+        segment).  Racing recoverers are safe: rename is atomic and the
+        loser's failure is swallowed only when the final now exists."""
+        for r in self.ledger():
+            if r.get("status") != "done" or r.get("seq") is None:
+                continue
+            final = self.segment_path(r["segment_id"])
+            if os.path.exists(final):
+                continue
+            tmp = f"{final}.tmp-{r['seq']}"
+            if os.path.exists(tmp):
+                try:
+                    os.rename(tmp, final)
+                except OSError:
+                    if not os.path.exists(final):
+                        raise
+
     def write_segment(self, segment_id: str, docs: DataFrame) -> dict:
         """Build + atomically commit one segment, record ledger metrics.
 
-        Each segment is stamped with a monotonic ``seq`` (ledger insertion
-        order): re-ingesting a document in a later segment *updates* it —
+        Each segment is stamped with a monotonic ``seq`` (claim order):
+        re-ingesting a document in a later segment *updates* it —
         :meth:`compacted_postings` keeps only the doc's latest version (the
         reference's S7 delete + re-digest, src/index.rs:1100-1104 +
-        insert)."""
+        insert).
+
+        Commit order is WRITE-AHEAD: the O_EXCL ledger row is the commit
+        point and lands BEFORE the tmp->final rename.  Two writers racing
+        one segment id resolve at the row — the loser cleans up its tmp and
+        raises without ever touching the winner's data (the rename-first
+        ordering had a window where the loser could classify the winner's
+        just-renamed dir as a crash orphan and delete it, leaving the
+        ledger describing the wrong parquet).  A crash between row and
+        rename is repaired by :meth:`_recover_segments` on the next read."""
         if os.path.exists(self._ledger_path(segment_id)):
             # a COMMITTED segment must never be silently clobbered by
-            # segment-id reuse — only true crash orphans (rename happened,
-            # ledger write didn't) may be replaced below
+            # segment-id reuse
             raise ValueError(
                 f"segment {segment_id!r} is already committed (ledger row"
                 " exists); refusing to overwrite — ingest under a new"
@@ -186,7 +261,7 @@ class IndexStore:
         final = self.segment_path(segment_id)
         # tmp dir is per-claim (seq is writer-unique), so two concurrent
         # writers racing on the same segment id never clobber each other's
-        # in-flight files; the loser is rejected at ledger-commit below
+        # in-flight files; the loser is rejected at the ledger commit below
         tmp = f"{final}.tmp-{seq}"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
@@ -203,25 +278,12 @@ class IndexStore:
         ).collect()[0]
         wall = time.perf_counter() - t0
 
-        if os.path.exists(final):
-            if os.path.exists(self._ledger_path(segment_id)):
-                # a concurrent writer committed this id while we were
-                # building — abort without touching its data
-                shutil.rmtree(tmp)
-                raise ValueError(
-                    f"segment {segment_id!r} was committed concurrently;"
-                    " refusing to overwrite"
-                )
-            # crash orphan (rename happened, ledger write didn't — the
-            # committed case was rejected at function entry and just above)
-            shutil.rmtree(final)
-        os.rename(tmp, final)  # atomic commit
         row = {
             "segment_id": segment_id,
             "status": "done",
             "n_docs": n_docs,
             "n_postings": n_postings,
-            "bytes": _dir_bytes(final),
+            "bytes": _dir_bytes(tmp),
             "postings_per_sec": round(n_postings / wall, 2) if wall > 0 else 0.0,
             "skew_ratio": round(float(stats.mx) / float(stats.mean), 4)
             if stats.mean
@@ -230,7 +292,18 @@ class IndexStore:
             "seq": seq,
             "doc_digest": doc_digest,
         }
-        self._commit_ledger_row(segment_id, row)
+        # WRITE-AHEAD commit: the row first — of two racers exactly one
+        # lands it, and the loser aborts here without touching `final`
+        try:
+            self._commit_ledger_row(segment_id, row)
+        except ValueError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        if os.path.exists(final):
+            # data orphaned by a pre-write-ahead-era crash (rename happened,
+            # ledger write didn't) — our committed row now governs this id
+            shutil.rmtree(final)
+        os.rename(tmp, final)
         return row
 
     def _commit_ledger_row(self, segment_id: str, row: dict) -> None:
@@ -279,13 +352,14 @@ class IndexStore:
                 raise RuntimeError(f"injected failure after {built} segments")
         return rows
 
-    # ------------------------------------------------------------ publish
+    # ------------------------------------------------------------ reading
 
-    def postings(self) -> DataFrame:
+    def _postings_for_rows(self, rows: List[dict]) -> DataFrame:
         segs = [
-            self.segment_path(s)
-            for s in self.completed_segments()
-            if os.path.exists(self.segment_path(s))
+            self.segment_path(r["segment_id"])
+            for r in rows
+            if r.get("status") == "done"
+            and os.path.exists(self.segment_path(r["segment_id"]))
         ]
         if not segs:
             raise FileNotFoundError("no completed segments")
@@ -295,11 +369,22 @@ class IndexStore:
         # latest-wins and resurrecting stale doc versions
         return self.spark.read.option("mergeSchema", "true").parquet(*segs)
 
+    def postings(self) -> DataFrame:
+        self._recover_segments()
+        return self._postings_for_rows(self.ledger())
+
     def merged_postings(self) -> DataFrame:
         """Segments hold disjoint docs, so cross-segment merge is a no-op
         union; for overlapping segments (re-ingest), latest-wins applies
         (:meth:`compacted_postings`)."""
         return self.compacted_postings()
+
+    def _compacted(self, p: DataFrame) -> DataFrame:
+        if "seq" not in p.columns:  # pre-seq store: segments are disjoint
+            return p
+        p = p.withColumn("seq", F.coalesce(F.col("seq"), F.lit(-1).cast("long")))
+        latest = p.groupBy("doc_id").agg(F.max("seq").alias("seq"))
+        return p.join(latest, ["doc_id", "seq"]).drop("seq")
 
     def compacted_postings(self) -> DataFrame:
         """Latest-wins postings: when a doc appears in several segments
@@ -312,21 +397,15 @@ class IndexStore:
         old segments as seq NULL -> coalesced to -1, so their docs survive
         and any re-ingested version beats them (a NULL seq would otherwise
         be dropped by the non-null-safe join)."""
-        p = self.postings()
-        if "seq" not in p.columns:  # pre-seq store: segments are disjoint
-            return p
-        p = p.withColumn("seq", F.coalesce(F.col("seq"), F.lit(-1).cast("long")))
-        latest = p.groupBy("doc_id").agg(F.max("seq").alias("seq"))
-        return p.join(latest, ["doc_id", "seq"]).drop("seq")
+        return self._compacted(self.postings())
 
     def compact(self) -> dict:
         """Physically rewrite the store to one compacted segment (drops
         superseded doc versions).
 
-        Commit order preserves the store's tmp+rename invariant: the
-        compacted segment is committed under a FRESH name (with a seq above
-        every existing one) and its ledger row written BEFORE the old
-        segments are deleted — a crash anywhere in between leaves a store
+        Same write-ahead commit as :meth:`write_segment`: the compacted
+        segment's ledger row lands, then the rename, and only then are the
+        old segments deleted — a crash anywhere in between leaves a store
         that still answers every query correctly (latest-wins makes the
         compacted segment shadow the old ones), just temporarily larger."""
         old_segments = self.completed_segments()
@@ -339,32 +418,32 @@ class IndexStore:
         compacted = self.compacted_postings().withColumn(
             "seq", F.lit(new_seq).cast("long")
         )
-        tmp = self.segment_path(seg_id) + ".tmp"
+        final = self.segment_path(seg_id)
+        tmp = f"{final}.tmp-{new_seq}"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         compacted.write.mode("overwrite").parquet(tmp)
         seg = self.spark.read.parquet(tmp)
         n_postings = seg.count()
         n_docs = seg.select("doc_id").distinct().count()
-        final = self.segment_path(seg_id)
-        if os.path.exists(final):
-            # orphan from a crash between a previous rename and its ledger
-            # write (never referenced by the ledger) — safe to replace
-            shutil.rmtree(final)
-        os.rename(tmp, final)  # commit the new segment first
         row = {
             "segment_id": seg_id,
             "status": "done",
             "n_docs": n_docs,
             "n_postings": n_postings,
-            "bytes": _dir_bytes(final),
+            "bytes": _dir_bytes(tmp),
             "postings_per_sec": 0.0,
             "skew_ratio": 0.0,
             "wall_ms": 0,
             "seq": new_seq,
         }
-        self._commit_ledger_row(seg_id, row)
-        # only now retire the superseded segments (safe at any crash point)
+        self._commit_ledger_row(seg_id, row)  # write-ahead: row, then rename
+        if os.path.exists(final):
+            shutil.rmtree(final)  # orphan from a pre-write-ahead-era crash
+        os.rename(tmp, final)
+        # only now retire the superseded segments (safe at any crash point:
+        # dir-before-row, so a half-retired segment is shadowed, never
+        # phantom — see _recover_segments)
         for s in old_segments:
             path = self.segment_path(s)
             if os.path.exists(path):
@@ -424,58 +503,198 @@ class IndexStore:
         span = (spread * codec.DEFAULT_DOC_SPAN) // max(n, 1)
         return max(1, min(span, 2**62))
 
+    # ------------------------------------------------- meta + staleness
+
+    def _meta(self) -> Optional[dict]:
+        mp = os.path.join(self.base, "blocks_meta.json")
+        if not os.path.exists(mp):
+            return None
+        with open(mp) as fh:
+            return json.load(fh)
+
+    def _write_meta(self, meta: dict) -> None:
+        """Atomic meta replace — the SINGLE commit point for every publish:
+        all other publish artifacts are unreferenced until this rename, so
+        a crash at any earlier step leaves the published index untouched."""
+        mp = os.path.join(self.base, "blocks_meta.json")
+        tmp = mp + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, mp)
+
+    def _covered(self, meta: Optional[dict], key: str, stamp_key: str) -> Optional[Set[int]]:
+        """The seq set an artifact family covers.  v2 metas record it
+        explicitly; legacy (round-4 max-stamped) metas fall back to "every
+        committed seq <= the stamp" — exactly the (race-blind) semantics
+        they were written under."""
+        if meta is None:
+            return None
+        if key in meta:
+            return set(meta[key])
+        if stamp_key in meta:
+            return {s for s in self._committed_seqs() if s <= meta[stamp_key]}
+        return None
+
+    def published_stale(self) -> bool:
+        """True when the published terms/docstats do not cover EXACTLY the
+        committed segment set — i.e. query-side readers must derive live
+        tables instead of trusting the snapshot.  Set-based, not max-based:
+        a slow writer that commits a LOWER seq after a publish covered
+        higher ones makes the store stale (the old max comparison reported
+        fresh forever — silent loss of that segment's docs)."""
+        cov = self._covered(self._meta(), "covered_seqs", "max_seq")
+        if cov is None:
+            return True  # never published (or pre-stamp era): assume stale
+        return self._committed_seqs() != cov
+
+    def blocks_stale(self) -> bool:
+        """True when the published compressed block tables do not cover the
+        committed segment set (tracked separately from terms/docstats:
+        publish(with_compressed=False) refreshes those but not blocks)."""
+        cov = self._covered(self._meta(), "blocks_covered_seqs", "blocks_max_seq")
+        if cov is None:
+            return True
+        return self._committed_seqs() != cov
+
+    def _covered_pred(self, covered: Set[int], all_seqs: Set[int]):
+        """Pushdown-friendly membership predicate for ``seq in covered``:
+        the common case (covered = contiguous ledger prefix) compiles to a
+        range compare; the late-commit-hole case to an isin (a single In
+        node — NOT an OR chain, which StackOverflows past ~500 clauses)."""
+        mx = max(covered)
+        if covered >= {s for s in all_seqs if s <= mx}:
+            return F.col("seq") <= F.lit(mx)
+        return F.col("seq").isin([int(s) for s in covered])
+
+    # ------------------------------------------- published narrow tables
+
+    def _narrow_delta_names(self, meta: Optional[dict]) -> List[str]:
+        return list((meta or {}).get("terms_delta_names", []))
+
+    def _blocks_delta_names(self, meta: Optional[dict]) -> List[str]:
+        meta = meta or {}
+        if "blocks_delta_names" in meta:
+            return list(meta["blocks_delta_names"])
+        # legacy round-4 stores: delta dirs on disk, not named in meta
+        return [os.path.basename(p) for p in self._block_segment_dirs("blocks_delta")]
+
+    def published_terms(self) -> DataFrame:
+        """The published dictionary with terms-delta segments resolved:
+        per-term latest-wins over (base + deltas), tombstones (df <= 0)
+        dropped.  The explicit read schema pins the ``first`` partition
+        column to string (an all-digit corpus would otherwise infer int and
+        break the cross-segment union), and the resolve groups by
+        (term, first) so a caller's first-char filter pushes through the
+        aggregate into every segment's partition pruning.  A store without
+        deltas returns the base scan untouched — zero overhead."""
+        meta = self._meta()
+        base = self.spark.read.schema(TERMS_SCHEMA).parquet(
+            os.path.join(self.base, "terms")
+        )
+        names = self._narrow_delta_names(meta)
+        if not names:
+            return base
+        u = base.withColumn("tseg", F.lit(0))
+        for i, nm in enumerate(names):
+            u = u.unionByName(
+                self.spark.read.schema(TERMS_SCHEMA)
+                .parquet(os.path.join(self.base, "terms_delta", nm))
+                .withColumn("tseg", F.lit(i + 1))
+            )
+        latest = u.groupBy("term", "first").agg(F.max("tseg").alias("tseg"))
+        return (
+            u.join(latest, ["term", "first", "tseg"])
+            .filter(F.col("df") > 0)
+            .drop("tseg")
+        )
+
+    def published_docstats(self) -> DataFrame:
+        """Published docstats with docstats-delta segments resolved
+        (per-doc latest-wins).  No tombstone case: every updated doc has at
+        least one posting in its newest version (an empty re-ingest writes
+        no posting rows and is therefore invisible to latest-wins — the
+        store's documented no-op, same as the postings path)."""
+        meta = self._meta()
+        base = self.spark.read.schema(DOCSTATS_SCHEMA).parquet(
+            os.path.join(self.base, "docstats")
+        )
+        names = self._narrow_delta_names(meta)
+        if not names:
+            return base
+        u = base.withColumn("dseg", F.lit(0))
+        for i, nm in enumerate(names):
+            u = u.unionByName(
+                self.spark.read.schema(DOCSTATS_SCHEMA)
+                .parquet(os.path.join(self.base, "docstats_delta", nm))
+                .withColumn("dseg", F.lit(i + 1))
+            )
+        latest = u.groupBy("doc_id").agg(F.max("dseg").alias("dseg"))
+        return u.join(latest, ["doc_id", "dseg"]).drop("dseg")
+
+    def corpus_stats(self) -> tuple:
+        """(n, avgdl) from the meta's incrementally-maintained counters —
+        zero Spark jobs on the query path.  publish() seeds them with one
+        exact aggregate; publish_delta() adjusts them from the updated docs
+        only (exact: long sums).  Falls back to aggregating the resolved
+        docstats for legacy metas."""
+        cs = (self._meta() or {}).get("corpus_stats")
+        if cs:
+            return int(cs["n"]), float(cs["sum_dl"]) / int(cs["n"])
+        row = self.published_docstats().agg(
+            F.count("*").alias("n"), F.sum("doc_len").alias("s")
+        ).collect()[0]
+        return int(row.n), float(row.s) / int(row.n)
+
     # ------------------------------------------------------ delta publish
 
-    def _swap_in(self, tmp_writer, final_path: str) -> None:
-        """Write a table under ``<final>.tmp`` then atomically swap it in —
-        required because incremental derivations READ the table they
-        replace (Spark refuses an overwrite of a path it is reading)."""
-        tmp = final_path + ".tmp"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        tmp_writer(tmp)
-        if os.path.exists(final_path):
-            shutil.rmtree(final_path)
-        os.rename(tmp, final_path)
-
     def publish_delta(self) -> dict:
-        """Publish cost proportional to the DELTA, not the corpus.
+        """Publish cost proportional to the DELTA, not the corpus — and
+        crash-atomic: the final meta write is the only commit point.
 
         A full :meth:`publish` rewrites every published artifact — at web
         scale that is a full-corpus job per ingest (the 1M stress measures
         ~90 s for a store a 1000-doc update barely touches).  Granularity
-        is **(term, doc range)**: a doc update dirties only the block rows
-        of the ranges holding updated docs — NOT a term's whole posting
-        list (per-term granularity degenerates on zipf corpora, where any
-        update touches the head terms and drags in half the postings;
-        measured: per-term delta cost == full publish at 1M).  Derived
-        from the segments newer than the last block publish:
+        is **(term, doc range)** for the blocks: a doc update dirties only
+        the block rows of the ranges holding updated docs — NOT a term's
+        whole posting list (per-term granularity degenerates on zipf
+        corpora, where any update touches the head terms and drags in half
+        the postings; measured: per-term delta cost == full publish at 1M).
+        The NARROW tables are delta segments too (round 5): per-term /
+        per-doc latest-wins rows holding the new ABSOLUTE values (df=0 rows
+        are term tombstones), so nothing is read-modify-written in place.
+
+        Derived from the ledger segments whose seq is NOT in the covered
+        set (set-based — a slow writer's late-committed low seq is picked
+        up here; the old ``seq > max`` filter lost it forever):
 
         - **updated docs** -> **affected ranges** (``range_expr``);
-        - refreshed narrow tables, both delta-proportionally:
-          terms = old merged with per-term df/cf adjustments computed
-          from the updated docs' last-published vs current versions ONLY;
-          docstats = old minus updated plus re-aggregated updated;
-        - a **block segment** ``blocks_delta/delta-<seq>``: re-packed
-          blocks for every (term, affected range) from the compacted
-          postings of those ranges' docs, first-char partitioned like the
-          base, with the term's CURRENT df stamped per row (``df_then`` —
-          the stats-drift anchor), plus tombstones (n=0) for (term,
-          range) pairs that existed before and are now empty;
-        - a **doclen segment** ``doclen_delta/delta-<seq>``: re-encoded
-          doc-length blocks for the affected ranges.
+        - ``terms_delta/<name>``: per-term new (df, cf) for terms whose
+          counts changed, computed from the updated docs' last-COVERED vs
+          current versions only; ``docstats_delta/<name>``: the updated
+          docs' new doc_len rows;
+        - ``blocks_delta/<name>``: re-packed blocks for every (term,
+          affected range) from the latest-wins postings of those ranges'
+          docs, first-char partitioned like the base, with the term's
+          CURRENT df stamped per row (``df_then`` — the stats-drift
+          anchor), plus tombstones (n=0) for (term, range) pairs that
+          existed before and are now empty;
+        - ``doclen_delta/<name>``: re-encoded doc-length blocks for the
+          affected ranges.
 
-        Readers resolve per-(term, block) latest-wins via
-        :meth:`wand_tables`, which also restores ``block_max`` soundness
-        under drifted global stats — see its docstring.  ``max_seq`` /
-        ``blocks_max_seq`` advance to the ledger head and the segment's
-        (n, avgdl) are recorded in ``block_segments``."""
+        All four directories are written UNREFERENCED; readers
+        (:meth:`published_terms` / :meth:`published_docstats` /
+        :meth:`wand_tables`) resolve only segments named in the meta, so a
+        crash before the atomic meta write leaves the published index
+        bit-identical and a retry recomputes the same artifacts from the
+        unchanged baseline — the df/cf double-apply of the round-4
+        read-modify-write rewrite is structurally impossible.  Corpus
+        stats (n, sum_dl) are adjusted incrementally in the same commit."""
         from ..operators import bm25, codec
 
+        self._recover_segments()
         meta = self._meta()
         if (
             meta is None
-            or "blocks_max_seq" not in meta
             or "doc_span" not in meta
             or "block_segments" not in meta
         ):
@@ -483,45 +702,73 @@ class IndexStore:
                 "publish_delta requires a prior FULL publish(with_compressed"
                 "=True) on this store (block segment stats not recorded)"
             )
-        rows = self.ledger()
+        if "blocks_delta_names" not in meta and self._block_segment_dirs(
+            "blocks_delta"
+        ):
+            raise ValueError(
+                "store has pre-round-5 delta segments (max-stamped lineage);"
+                " run a FULL publish() once to upgrade to set-based coverage"
+            )
+        rows = [r for r in self.ledger() if r["status"] == "done"]
         if any(r.get("seq") is None for r in rows):
             raise ValueError(
                 "store has legacy (no-seq) ledger rows; run full publish()"
             )
-        cur = self._cur_max_seq()
-        base_seq = meta["blocks_max_seq"]
-        if cur == base_seq:
-            return {"delta": None, "reason": "up_to_date"}
-        if meta.get("max_seq") != base_seq:
-            # a terms-only publish ran after the last block publish: the
-            # published terms already include newer segments, so the
-            # df-adjustment baseline (seq <= blocks_max_seq) would double
-            # count — the stamps must agree
+        all_seqs = {r["seq"] for r in rows}
+        cov_t = self._covered(meta, "covered_seqs", "max_seq")
+        cov_b = self._covered(meta, "blocks_covered_seqs", "blocks_max_seq")
+        if cov_t is None or cov_b is None:
             raise ValueError(
-                "terms/docstats snapshot is newer than the block snapshot "
+                "publish_delta requires a prior FULL publish() (no coverage"
+                " recorded)"
+            )
+        if cov_t != cov_b:
+            # a terms-only publish ran after the last block publish: the
+            # published terms already cover newer segments than the blocks,
+            # so the df-adjustment baseline would double count
+            raise ValueError(
+                "terms/docstats coverage is ahead of the block coverage "
                 "(publish(with_compressed=False) ran in between); run a "
                 "FULL publish() to realign before delta publishing"
             )
+        covered = cov_b
+        new_rows = [r for r in rows if r["seq"] not in covered]
+        if not new_rows:
+            if covered == all_seqs:
+                return {"delta": None, "reason": "up_to_date"}
+            # covered seqs no longer in the ledger: compact() rewrote and
+            # deleted the published baseline's lineage
+            raise ValueError(
+                "published coverage references segments the ledger no "
+                "longer has (compact() ran after the last block publish): "
+                "the delta baseline is compacted away — run a FULL publish()"
+            )
         span = int(meta["doc_span"])
-        delta_paths = [
+        bnames = self._blocks_delta_names(meta)
+        ord_ = len(bnames) + 1
+        seg_name = f"delta-{ord_:06d}"
+
+        new_paths = [
             self.segment_path(r["segment_id"])
-            for r in rows
-            if r["seq"] > base_seq and os.path.exists(self.segment_path(r["segment_id"]))
+            for r in new_rows
+            if os.path.exists(self.segment_path(r["segment_id"]))
         ]
         updated = (
             self.spark.read.option("mergeSchema", "true")
-            .parquet(*delta_paths)
+            .parquet(*new_paths)
             .select("doc_id")
             .distinct()
             .cache()
         )
 
-        # ---- per-term df/cf adjustments from the updated docs ONLY:
-        # their last-PUBLISHED version vs their current version (narrow
-        # doc-restricted scan; every other doc's contribution is unchanged)
+        # ---- per-term df/cf changes from the updated docs ONLY: their
+        # last-COVERED version vs their current version (narrow
+        # doc-restricted scan; every other doc's contribution is unchanged).
+        # `snap` is pinned to the ledger rows read above — a segment
+        # committed mid-publish stays uncovered and lands in the next delta.
+        snap = self._postings_for_rows(rows)
         upd_rows = (
-            self.postings()
-            .join(updated, "doc_id", "left_semi")
+            snap.join(updated, "doc_id", "left_semi")
             .select(
                 "term",
                 "doc_id",
@@ -532,24 +779,22 @@ class IndexStore:
         )
         cur_ver = upd_rows.groupBy("doc_id").agg(F.max("seq").alias("seq"))
         prev_ver = (
-            upd_rows.filter(F.col("seq") <= base_seq)
+            upd_rows.filter(self._covered_pred(covered, all_seqs))
             .groupBy("doc_id")
             .agg(F.max("seq").alias("seq"))
         )
-        cur_rows = upd_rows.join(cur_ver, ["doc_id", "seq"])
-        prev_rows = upd_rows.join(prev_ver, ["doc_id", "seq"])
+        cur_rows = upd_rows.join(cur_ver, ["doc_id", "seq"]).cache()
+        prev_rows = upd_rows.join(prev_ver, ["doc_id", "seq"]).cache()
 
-        # a compact() after the last block publish rewrites every doc at a
-        # NEW seq and deletes the old segments — the published baseline
-        # (rows at seq <= blocks_max_seq) is gone, so the df adjustment
-        # would double-count every doc the snapshot already includes.
-        # Detect: any updated doc that IS in the published docstats but has
-        # no surviving prev-version rows lost its lineage -> full publish.
-        published_docs = self.spark.read.parquet(
-            os.path.join(self.base, "docstats")
-        ).select("doc_id")
+        # compact() after the last block publish rewrites every doc at a
+        # NEW seq and deletes the old segments — the covered baseline rows
+        # are gone, so the df adjustment would double-count every doc the
+        # snapshot already includes.  The ledger-level check above catches
+        # v2 metas; this doc-level probe also catches legacy fallbacks
+        # (whose covered set is reconstructed from the post-compact ledger).
+        old_ds = self.published_docstats()
         lineage_lost = (
-            updated.join(published_docs, "doc_id", "left_semi")
+            updated.join(old_ds.select("doc_id"), "doc_id", "left_semi")
             .join(prev_ver.select("doc_id"), "doc_id", "left_anti")
             .limit(1)
             .count()
@@ -579,48 +824,70 @@ class IndexStore:
                 ).alias("dcf"),
             )
         )
-        terms_path = os.path.join(self.base, "terms")
-        ds_path = os.path.join(self.base, "docstats")
-        old_terms = self.spark.read.parquet(terms_path).select("term", "df", "cf")
-        terms_new = (
-            old_terms.join(adj, "term", "full_outer")
-            .select(
-                "term",
-                (F.coalesce("df", F.lit(0)) + F.coalesce("ddf", F.lit(0))).alias(
-                    "df"
-                ),
-                (F.coalesce("cf", F.lit(0)) + F.coalesce("dcf", F.lit(0))).alias(
-                    "cf"
-                ),
-            )
-            .filter(F.col("df") > 0)
+        old_terms = self.published_terms().select("term", "df", "cf")
+        # ABSOLUTE new values for the changed terms only (df<=0 rows are
+        # tombstones the reader drops) — recomputing on retry reproduces
+        # identical rows because the baseline is meta-pinned
+        terms_changed = adj.join(old_terms, "term", "left").select(
+            "term",
+            (F.coalesce("df", F.lit(0)) + F.col("ddf")).alias("df"),
+            (F.coalesce("cf", F.lit(0)) + F.col("dcf")).alias("cf"),
         )
-        self._swap_in(lambda p: write_terms(terms_new, p), terms_path)
-
-        old_ds = self.spark.read.parquet(ds_path).select("doc_id", "doc_len")
-        ds_new = old_ds.join(updated, "doc_id", "left_anti").unionByName(
-            cur_rows.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+        self._write_artifact(
+            "terms_delta",
+            os.path.join(self.base, "terms_delta", seg_name),
+            lambda p: write_terms(terms_changed, p),
         )
-        self._swap_in(lambda p: ds_new.write.parquet(p), ds_path)
 
-        terms_cur = self.spark.read.parquet(terms_path)
-        ds_cur = self.spark.read.parquet(ds_path)
-        n_now, avgdl_now = bm25.corpus_stats(ds_cur)
+        ds_changed = cur_rows.groupBy("doc_id").agg(
+            F.sum("tf").alias("doc_len")
+        ).cache()
+        self._write_artifact(
+            "docstats_delta",
+            os.path.join(self.base, "docstats_delta", seg_name),
+            lambda p: ds_changed.write.mode("overwrite").parquet(p),
+        )
 
-        # ---- affected ranges -> compacted postings of their docs only
+        # ---- incremental corpus stats (exact long sums; delta-sized jobs)
+        cs = meta.get("corpus_stats")
+        ctot = ds_changed.agg(
+            F.count("*").alias("nd"), F.sum("doc_len").alias("dl")
+        ).collect()[0]
+        ptot = prev_rows.agg(
+            F.countDistinct("doc_id").alias("nd"), F.sum("tf").alias("dl")
+        ).collect()[0]
+        if cs:
+            n_now = int(cs["n"]) + int(ctot.nd) - int(ptot.nd or 0)
+            sumdl_now = int(cs["sum_dl"]) + int(ctot.dl) - int(ptot.dl or 0)
+        else:  # legacy meta: one full aggregate to seed the counters
+            row = old_ds.join(updated, "doc_id", "left_anti").unionByName(
+                ds_changed
+            ).agg(F.count("*").alias("n"), F.sum("doc_len").alias("s")).collect()[0]
+            n_now, sumdl_now = int(row.n), int(row.s)
+        avgdl_now = sumdl_now / n_now
+
+        # current narrow tables as LAZY plans (nothing swapped on disk)
+        terms_cur = old_terms.join(
+            adj.select("term"), "term", "left_anti"
+        ).unionByName(terms_changed.filter(F.col("df") > 0))
+        ds_cur = old_ds.join(updated, "doc_id", "left_anti").unionByName(
+            ds_changed
+        )
+
+        # ---- affected ranges -> latest-wins postings of their docs only
         aff_ranges = (
             updated.select(codec.range_expr(span).alias("rng")).distinct().cache()
         )
-        p_rng = self.postings().withColumn("rng", codec.range_expr(span)).join(
+        p_rng = snap.withColumn("rng", codec.range_expr(span)).join(
             aff_ranges, "rng", "left_semi"
         )
-        if "seq" in p_rng.columns:  # doc-restricted latest-wins (valid: the
-            # range filter keeps every row of each included doc)
-            p_rng = p_rng.withColumn(
-                "seq", F.coalesce(F.col("seq"), F.lit(-1).cast("long"))
-            )
-            latest = p_rng.groupBy("doc_id").agg(F.max("seq").alias("seq"))
-            p_rng = p_rng.join(latest, ["doc_id", "seq"])
+        # doc-restricted latest-wins (valid: the range filter keeps every
+        # row of each included doc)
+        p_rng = p_rng.withColumn(
+            "seq", F.coalesce(F.col("seq"), F.lit(-1).cast("long"))
+        )
+        latest = p_rng.groupBy("doc_id").agg(F.max("seq").alias("seq"))
+        p_rng = p_rng.join(latest, ["doc_id", "seq"])
         aff_post = p_rng.select("term", "doc_id", "positions", "tf")
 
         delta_blocks = codec.build_compressed(
@@ -637,11 +904,13 @@ class IndexStore:
         ).distinct()
         old_blocks = self.spark.read.parquet(os.path.join(self.base, "blocks"))
         frames = [old_blocks.select("term", "block")]
-        for pth in self._block_segment_dirs("blocks_delta"):
+        for nm in bnames:
             frames.append(
-                self.spark.read.parquet(pth).filter(F.col("n") > 0).select(
-                    "term", "block"
+                self.spark.read.parquet(
+                    os.path.join(self.base, "blocks_delta", nm)
                 )
+                .filter(F.col("n") > 0)
+                .select("term", "block")
             )
         old_pairs = frames[0]
         for f in frames[1:]:
@@ -661,54 +930,87 @@ class IndexStore:
                 F.lit(None).cast("long").alias("df_then"),
             )
         )
-        seg_name = f"delta-{cur:06d}"
-        bseg_dir = os.path.join(self.base, "blocks_delta", seg_name)
-        os.makedirs(os.path.dirname(bseg_dir), exist_ok=True)
-        self._swap_in(
+        self._write_artifact(
+            "blocks_delta",
+            os.path.join(self.base, "blocks_delta", seg_name),
             lambda p: (
                 delta_blocks.unionByName(tomb)
-                .withColumn("bseg", F.lit(cur).cast("long"))
+                .withColumn("bseg", F.lit(ord_).cast("long"))
                 .withColumn("first", F.substring("term", 1, 1))
-                .write.partitionBy("first")
+                .write.mode("overwrite")
+                .partitionBy("first")
                 .parquet(p)
             ),
-            bseg_dir,
         )
         ds_rng = (
             ds_cur.withColumn("rng", codec.range_expr(span))
             .join(aff_ranges, "rng", "left_semi")
             .drop("rng")
         )
-        dseg_dir = os.path.join(self.base, "doclen_delta", seg_name)
-        os.makedirs(os.path.dirname(dseg_dir), exist_ok=True)
-        self._swap_in(
+        self._write_artifact(
+            "doclen_delta",
+            os.path.join(self.base, "doclen_delta", seg_name),
             lambda p: (
                 codec.build_doclen_blocks(ds_rng, doc_span=span)
-                .withColumn("bseg", F.lit(cur).cast("long"))
-                .write.parquet(p)
+                .withColumn("bseg", F.lit(ord_).cast("long"))
+                .write.mode("overwrite")
+                .parquet(p)
             ),
-            dseg_dir,
         )
-        updated.unpersist()
-        upd_rows.unpersist()
-        aff_ranges.unpersist()
+        for df in (updated, upd_rows, cur_rows, prev_rows, ds_changed, aff_ranges):
+            df.unpersist()
 
-        meta["max_seq"] = cur
-        meta["blocks_max_seq"] = cur
+        # ---- THE commit: one atomic meta replace references everything
+        new_covered = sorted(covered | {r["seq"] for r in new_rows})
+        meta["covered_seqs"] = new_covered
+        meta["blocks_covered_seqs"] = new_covered
+        meta["max_seq"] = max(all_seqs)
+        meta["blocks_max_seq"] = max(all_seqs)
+        meta["corpus_stats"] = {"n": n_now, "sum_dl": sumdl_now}
         meta["block_segments"][seg_name] = {
             "n": n_now,
             "avgdl": avgdl_now,
-            "seq": cur,
+            "bseg": ord_,
         }
-        with open(os.path.join(self.base, "blocks_meta.json"), "w") as fh:
-            json.dump(meta, fh)
+        meta["blocks_delta_names"] = bnames + [seg_name]
+        meta["terms_delta_names"] = self._narrow_delta_names(meta) + [seg_name]
+        self._write_meta(meta)
         return {
             "delta": seg_name,
-            "blocks_path": bseg_dir,
-            "doclen_path": dseg_dir,
+            "blocks_path": os.path.join(self.base, "blocks_delta", seg_name),
+            "doclen_path": os.path.join(self.base, "doclen_delta", seg_name),
             "n": n_now,
             "avgdl": avgdl_now,
         }
+
+    def _write_artifact(self, kind: str, path: str, write_fn) -> None:
+        """Indirection for the delta publish's UNREFERENCED artifact writes
+        (readers resolve only meta-named segments, so these are invisible
+        until the meta commit).  Exists so the crash-injection test can
+        kill the publish after each side-effect step and prove the retry
+        reproduces an uninterrupted run bit-for-bit."""
+        write_fn(path)
+
+    def delta_segment_count(self) -> int:
+        """How many delta publishes the current base carries — the
+        compaction-policy signal for :meth:`maybe_publish_full`."""
+        return len(self._blocks_delta_names(self._meta()))
+
+    def maybe_publish_full(self, max_delta_segments: int = 8) -> Optional[dict]:
+        """Delta-lineage compaction policy: run a FULL publish when the
+        stacked delta-segment count passes the threshold, else None.
+
+        Every query through :meth:`wand_tables` /
+        :meth:`published_terms` unions base + K delta segments and
+        re-resolves latest-wins, so read cost grows with K while each
+        delta publish stays cheap — the classic LSM trade.  The default
+        threshold comes from the measured latency-vs-K curve in BENCH.md
+        (flat into the first handful of segments, then climbing);
+        ``cmd_ingest`` calls this after every delta publish so unattended
+        ingest loops keep read amplification bounded."""
+        if self.delta_segment_count() >= max_delta_segments:
+            return self.publish(with_compressed=True)
+        return None
 
     def _block_segment_dirs(self, kind: str) -> List[str]:
         d = os.path.join(self.base, kind)
@@ -728,7 +1030,8 @@ class IndexStore:
           row is exact; tombstones (n=0) then drop emptied pairs.  The
           ``first`` column survives the union (deltas are written
           first-char partitioned like the base), so qterm_blocks still
-          partition-prunes every segment.
+          partition-prunes every segment.  Only segments NAMED IN THE META
+          are read — a crashed publish's orphan directory is invisible.
         - doclen blocks: per-RANGE latest-wins (each delta re-encodes the
           full membership of every range it touches).
         - **stats-drift bound adjustment**: a surviving block row from
@@ -746,7 +1049,9 @@ class IndexStore:
         spark = self.spark
         meta = self._meta() or {}
         segs = meta.get("block_segments") or {}
-        base_seq = int(segs.get("base", {}).get("seq", -1))
+        names = self._blocks_delta_names(meta)
+        base_entry = segs.get("base", {})
+        base_b = int(base_entry.get("bseg", base_entry.get("seq", -1)))
 
         def with_seg(df: DataFrame, seq: int) -> DataFrame:
             df = df.withColumn("bseg", F.lit(seq).cast("long"))
@@ -755,11 +1060,13 @@ class IndexStore:
             return df
 
         blocks = with_seg(
-            spark.read.parquet(os.path.join(self.base, "blocks")), base_seq
+            spark.read.parquet(os.path.join(self.base, "blocks")), base_b
         )
-        for p in self._block_segment_dirs("blocks_delta"):
+        for nm in names:
             # delta files carry bseg + df_then physically
-            blocks = blocks.unionByName(spark.read.parquet(p))
+            blocks = blocks.unionByName(
+                spark.read.parquet(os.path.join(self.base, "blocks_delta", nm))
+            )
         latest = blocks.groupBy("term", "block").agg(F.max("bseg").alias("bseg"))
         resolved = blocks.join(latest, ["term", "block", "bseg"]).filter(
             F.col("n") > 0
@@ -767,7 +1074,11 @@ class IndexStore:
 
         if segs:
             stats_rows = [
-                (int(s["seq"]), int(s["n"]), float(s["avgdl"]))
+                (
+                    int(s.get("bseg", s.get("seq", -1))),
+                    int(s["n"]),
+                    float(s["avgdl"]),
+                )
                 for s in segs.values()
             ]
             stats_df = spark.createDataFrame(
@@ -797,8 +1108,14 @@ class IndexStore:
 
         dl = spark.read.parquet(
             os.path.join(self.base, "doclen_blocks")
-        ).withColumn("bseg", F.lit(base_seq).cast("long"))
-        for p in self._block_segment_dirs("doclen_delta"):
+        ).withColumn("bseg", F.lit(base_b).cast("long"))
+        if "blocks_delta_names" in meta:
+            dl_paths = [
+                os.path.join(self.base, "doclen_delta", nm) for nm in names
+            ]
+        else:
+            dl_paths = self._block_segment_dirs("doclen_delta")
+        for p in dl_paths:
             dl = dl.unionByName(spark.read.parquet(p))
         dl_latest = dl.groupBy("block").agg(F.max("bseg").alias("bseg"))
         dl_resolved = dl.join(dl_latest, ["block", "bseg"]).drop("bseg")
@@ -810,29 +1127,52 @@ class IndexStore:
         posting blocks + doc-length side blocks that the WAND query paths
         scan — built once with the index, not per query.
 
-        ``blocks_meta.json`` records the doc_span used and the max ledger
-        seq at publish time, so readers (cli --wand) can detect stale block
-        snapshots after later ingests."""
-        postings = self.merged_postings()
+        The covered seq SET is snapshotted BEFORE the postings are read, so
+        a segment committed mid-publish can only land in the artifacts
+        WITHOUT being claimed covered (store stays stale, next delta picks
+        it up — the conservative direction); claiming coverage the
+        artifacts don't have would be silent loss.  Full publish is not
+        crash-atomic (it rewrites the base dirs in place), but it is
+        crash-SAFE: the meta commit comes last, so a crash mid-publish
+        leaves the old meta, the store reads as stale, and every reader
+        falls back to live derivation until the publish is retried.  A full
+        publish also resets the delta lineage (all four delta families
+        deleted, ``*_delta_names`` emptied) — it IS the delta compaction."""
+        self._recover_segments()
+        rows = [r for r in self.ledger() if r["status"] == "done"]
+        cov = sorted({r["seq"] for r in rows if r.get("seq") is not None})
+        postings = self._compacted(self._postings_for_rows(rows))
         terms = index_build.build_terms(postings)
         docstats = index_build.docstats_from_postings(postings)
         write_terms(terms, os.path.join(self.base, "terms"))
         docstats.write.mode("overwrite").parquet(os.path.join(self.base, "docstats"))
-        seqs = [r.get("seq") for r in self.ledger()]
-        max_seq = max((s for s in seqs if s is not None), default=-1)
+        max_seq = max(cov, default=-1)
         info = {
-            "segments": len(self.completed_segments()),
+            "segments": len(rows),
             "terms_path": os.path.join(self.base, "terms"),
             "docstats_path": os.path.join(self.base, "docstats"),
             "max_seq": max_seq,
         }
+        ds = self.spark.read.schema(DOCSTATS_SCHEMA).parquet(
+            os.path.join(self.base, "docstats")
+        )
+        srow = ds.agg(
+            F.count("*").alias("n"), F.sum("doc_len").alias("s")
+        ).collect()[0]
+        n, sum_dl = int(srow.n), int(srow.s)
+        avgdl = sum_dl / n
+        meta = {
+            "max_seq": max_seq,
+            "covered_seqs": cov,
+            "terms_delta_names": [],
+            "corpus_stats": {"n": n, "sum_dl": sum_dl},
+        }
+        old = self._meta()
         if with_compressed:
-            from ..operators import bm25, codec
-
-            ds = self.spark.read.parquet(os.path.join(self.base, "docstats"))
-            n, avgdl = bm25.corpus_stats(ds)
             if doc_span is None:
                 doc_span = self._auto_doc_span(ds, n)
+            from ..operators import codec
+
             comp = codec.build_compressed(postings, ds, terms, n, avgdl,
                                           doc_span=doc_span)
             # same first-char physical layout as the dictionary: the block
@@ -859,63 +1199,43 @@ class IndexStore:
             info["blocks_path"] = os.path.join(self.base, "blocks")
             info["doclen_blocks_path"] = os.path.join(self.base, "doclen_blocks")
             info["doc_span"] = int(doc_span)
-        # freshness is stamped PER ARTIFACT FAMILY: terms/docstats are
-        # rewritten by every publish (max_seq), the block tables only when
-        # with_compressed (blocks_max_seq).  A single shared stamp would let
-        # publish(with_compressed=False) mark OLD blocks as fresh and --wand
-        # silently serve a pre-ingest snapshot.
-        meta = {"max_seq": max_seq}
-        old = self._meta()
-        if with_compressed:
             meta["doc_span"] = int(doc_span)
             meta["blocks_max_seq"] = max_seq
+            meta["blocks_covered_seqs"] = cov
+            meta["blocks_delta_names"] = []
             # full publish resets the delta-segment lineage: the base now
             # covers everything, and its (n, avgdl) anchor the stats-drift
             # bound adjustment of future delta segments (wand_tables)
             meta["block_segments"] = {
-                "base": {"n": int(n), "avgdl": float(avgdl), "seq": max_seq}
+                "base": {"n": n, "avgdl": avgdl, "bseg": 0, "seq": max_seq}
             }
-            for kind in ("blocks_delta", "doclen_delta"):
-                d = os.path.join(self.base, kind)
-                if os.path.isdir(d):
-                    shutil.rmtree(d)
         elif old is not None and "blocks_max_seq" in old:
+            # terms/docstats-only publish: carry the block family's stamps
+            # unchanged (they still describe the OLD block snapshot)
             meta["doc_span"] = old.get("doc_span")
             meta["blocks_max_seq"] = old["blocks_max_seq"]
+            if "blocks_covered_seqs" in old:
+                meta["blocks_covered_seqs"] = old["blocks_covered_seqs"]
             if "block_segments" in old:
                 meta["block_segments"] = old["block_segments"]
-        with open(os.path.join(self.base, "blocks_meta.json"), "w") as fh:
-            json.dump(meta, fh)
+            if "blocks_delta_names" in old:
+                meta["blocks_delta_names"] = old["blocks_delta_names"]
+        self._write_meta(meta)  # the commit point
+        # retired delta dirs are unreferenced as of the commit; deleting
+        # them after is pure GC (a crash in between leaves harmless orphans
+        # the next delta publish overwrites)
+        gc_kinds = ["terms_delta", "docstats_delta"]
+        if with_compressed:
+            gc_kinds += ["blocks_delta", "doclen_delta"]
+        for kind in gc_kinds:
+            d = os.path.join(self.base, kind)
+            if os.path.isdir(d):
+                shutil.rmtree(d)
         return info
-
-    def _meta(self) -> Optional[dict]:
-        mp = os.path.join(self.base, "blocks_meta.json")
-        if not os.path.exists(mp):
-            return None
-        with open(mp) as fh:
-            return json.load(fh)
 
     def _cur_max_seq(self) -> int:
         seqs = [r.get("seq") for r in self.ledger()]
         return max((s for s in seqs if s is not None), default=-1)
-
-    def published_stale(self) -> bool:
-        """True when the published terms/docstats predate the newest ledger
-        segment — i.e. query-side readers must derive live tables instead
-        of trusting the snapshot."""
-        meta = self._meta()
-        if meta is None:
-            return True  # never published (or pre-stamp era): assume stale
-        return meta.get("max_seq") != self._cur_max_seq()
-
-    def blocks_stale(self) -> bool:
-        """True when the published compressed block tables predate the
-        newest ledger segment (tracked separately from terms/docstats:
-        publish(with_compressed=False) refreshes those but not blocks)."""
-        meta = self._meta()
-        if meta is None or "blocks_max_seq" not in meta:
-            return True
-        return meta["blocks_max_seq"] != self._cur_max_seq()
 
 
 def write_terms(terms: DataFrame, path: str) -> None:

@@ -92,7 +92,8 @@ def main() -> int:
     q_prev = ["t1", "t800"]
     prev_top = codec.bm25_topk_wand(comp, dlb, terms, q_prev, 10, n, avgdl).collect()
     th0 = codec.theta0_for_query_stream(
-        q_prev, float(prev_top[-1].score) if len(prev_top) >= 10 else None, q, 10, 10
+        q_prev, float(prev_top[-1].score) if prev_top else None, q, 10, 10,
+        prev_n_results=len(prev_top),
     )
 
     def wand_ranges(**kw):

@@ -18,9 +18,13 @@ def _df(spark, rows):
 
 def _assert_wand_matches_exhaustive(spark, store, qterms, k=10):
     postings = store.merged_postings()
-    terms = spark.read.parquet(os.path.join(store.base, "terms"))
-    docstats = spark.read.parquet(os.path.join(store.base, "docstats"))
-    n, avgdl = bm25.corpus_stats(docstats)
+    # round 5: the narrow tables are delta segments too — read resolved
+    terms = store.published_terms()
+    docstats = store.published_docstats()
+    n, avgdl = store.corpus_stats()
+    # the meta's incremental counters must agree with a fresh aggregate
+    n_agg, avgdl_agg = bm25.corpus_stats(docstats)
+    assert (n, round(avgdl, 9)) == (n_agg, round(avgdl_agg, 9))
     want = [
         (r.doc_id, round(r.score, 9))
         for r in bm25.bm25_topk(
@@ -63,9 +67,11 @@ def test_delta_publish_exact_across_rounds(spark, tmp_path):
     info = store.publish_delta()
     assert info["delta"] == "delta-000001"
     assert not store.blocks_stale() and not store.published_stale()
-    # the vanished term is gone from terms AND contributes nothing
-    terms = spark.read.parquet(os.path.join(store.base, "terms"))
-    assert terms.filter(F.col("term") == "unicorn").count() == 0
+    # the vanished term is tombstoned (df=0 delta row) — resolved reader
+    # drops it, while the BASE terms dir is untouched (delta-proportional)
+    assert store.published_terms().filter(F.col("term") == "unicorn").count() == 0
+    base_terms = spark.read.parquet(os.path.join(store.base, "terms"))
+    assert base_terms.filter(F.col("term") == "unicorn").count() == 1
     n1, _ = _assert_wand_matches_exhaustive(
         spark, store, ["common", "unicorn", "number3"]
     )
@@ -81,14 +87,29 @@ def test_delta_publish_exact_across_rounds(spark, tmp_path):
     assert info2["delta"] == "delta-000002"
     _assert_wand_matches_exhaustive(spark, store, ["common", "mutated", "number5"])
 
+    # round 3: a THIRD stacked delta (re-mutating a round-2 doc) — the
+    # resolved readers must stay exact across >= 3 segments of lineage
+    store.write_segment(
+        "seg-upd3a",
+        _df(spark, [(5, "common twisted thrice"), (301, "another common one")]),
+    )
+    info3 = store.publish_delta()
+    assert info3["delta"] == "delta-000003"
+    assert store.delta_segment_count() == 3
+    assert store.published_terms().filter(F.col("term") == "mutated").count() == 0
+    _assert_wand_matches_exhaustive(spark, store, ["common", "twisted", "number5"])
+
     # idempotent when up to date
     assert store.publish_delta() == {"delta": None, "reason": "up_to_date"}
 
-    # a later FULL publish resets the delta lineage
-    store.write_segment("seg-upd3", _df(spark, [(6, "common final words")]))
+    # a later FULL publish resets the delta lineage (all four families)
+    store.write_segment("seg-upd4", _df(spark, [(6, "common final words")]))
     store.publish(doc_span=16)
     assert store._block_segment_dirs("blocks_delta") == []
+    assert not os.path.isdir(os.path.join(store.base, "terms_delta"))
     assert list(store._meta()["block_segments"]) == ["base"]
+    assert store._meta()["blocks_delta_names"] == []
+    assert store.delta_segment_count() == 0
     _assert_wand_matches_exhaustive(spark, store, ["common", "final"])
 
 

@@ -155,7 +155,9 @@ def test_theta_reuse_query_stream_exact(spark, zipf_index):
 
     q_prev, q = ["t1", "t800"], ["t1", "t800", "t1500"]
     prev = codec.bm25_topk_wand(comp, dlb, terms, q_prev, 10, n, avgdl).collect()
-    th0 = codec.theta0_for_query_stream(q_prev, float(prev[-1].score), q, 10, 10)
+    th0 = codec.theta0_for_query_stream(
+        q_prev, float(prev[-1].score), q, 10, 10, prev_n_results=len(prev)
+    )
     assert th0 is not None
 
     want = [
@@ -187,3 +189,9 @@ def test_theta_reuse_query_stream_exact(spark, zipf_index):
     assert codec.theta0_for_query_stream(["t9"], 1.0, q, 10, 10) is None
     assert codec.theta0_for_query_stream(q_prev, 1.0, q, 10, 20) is None
     assert codec.theta0_for_query_stream(q_prev, None, q, 10, 10) is None
+    # ADVICE r4: a previous query that returned FEWER than prev_k rows
+    # means its last score is NOT the prev_k-th bound — reuse refused
+    assert (
+        codec.theta0_for_query_stream(q_prev, 1.0, q, 10, 10, prev_n_results=7)
+        is None
+    )
