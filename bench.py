@@ -131,6 +131,15 @@ def run_queries(spark, docs, postings, terms, docstats):
                 "p95": round(samples[min(len(samples) - 1, int(len(samples) * 0.95))], 4),
                 "n": reps,
             }
+            if reps >= 7:
+                # round-4 lesson: at n=5 a single sandbox-quota hiccup IS
+                # the p95 (the 3.58 s q_scored_hits ghost) — with n>=7 we
+                # also report the p95 over samples minus the single worst
+                # run, so round-over-round comparisons track the
+                # distribution, not one outlier
+                percentiles[name]["p95_trimmed"] = round(
+                    samples[:-1][min(len(samples) - 2, int((len(samples) - 1) * 0.95))], 4
+                )
 
     # medians of 5: the round-2 driver run flagged "regressions" on the
     # boolean queries that were single-sample sandbox noise — measure like
@@ -168,15 +177,18 @@ def run_queries(spark, docs, postings, terms, docstats):
         ).collect(),
         reps=5,
     )
+    # scored queries at reps=9: their pipelines are the longest (most
+    # vulnerable to a one-off quota dip) and round 4's p95 ghost came from
+    # exactly one outlier in n=5
     timed(
         "q_scored_hits",
         lambda: engine.topk("table value -vector", 1000, 10).collect(),
-        reps=5,
+        reps=9,
     )
     timed(
         "q_fuzzy_hits",
         lambda: fuzzy.topk("tabl valu", 1000, 10).collect(),
-        reps=5,
+        reps=9,
     )
     # prune artifact (judge-facing): how many docs the upper-bound prune
     # kept out of the reference-rating scoring kernel on each topk query.

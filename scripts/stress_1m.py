@@ -158,11 +158,15 @@ def main() -> int:
     t0 = time.perf_counter()
     dinfo = store.publish_delta()
     delta_publish_s = time.perf_counter() - t0
-    terms2 = spark.read.parquet(info["terms_path"])
-    ds2 = spark.read.parquet(info["docstats_path"])
+    # round 5: the narrow tables are delta segments too — read resolved
+    # (the base dirs alone are stale after a delta publish)
+    terms2 = store.published_terms()
+    ds2 = store.published_docstats()
     from elipdotter_spark.operators import bm25 as _bm25
 
-    n2, avgdl2 = _bm25.corpus_stats(ds2)
+    n2, avgdl2 = store.corpus_stats()
+    n2a, avgdl2a = _bm25.corpus_stats(ds2)
+    assert (n2, round(avgdl2, 9)) == (n2a, round(avgdl2a, 9)), "meta counters drifted"
     comp2, dlb2 = store.wand_tables(terms2, n2, avgdl2)
     want2 = [
         (r.doc_id, round(r.score, 9))
