@@ -280,6 +280,41 @@ def run_queries(spark, docs, postings, terms, docstats):
         k: st.get(k) for k in ("root_docs", "kernel_docs", "theta", "pruned", "futile")
     }
     zterms.unpersist()
+
+    # segregated-spread probe (round 5): every tail doc holds BOTH words
+    # TWICE but in sections ~2,800 bytes apart (the long-web-page shape).
+    # The round-4 flat pair cap put the tail's ub at ~17 > theta ~16 —
+    # futile; the position-spread bound (interval-gap pair cap + span-
+    # refuted session bonus) drops it to ~2.5, so only the dense head
+    # reaches the kernel.
+    sfiller = "filler " * 400
+    srows = [(i, f"alpha word alpha {sfiller} beta word beta") for i in range(30_000)]
+    srows += [(100_000 + i, "alpha beta alpha beta") for i in range(50)]
+    sdocs = spark.createDataFrame(srows, "doc_id long, text string").repartition(8)
+    sroot = _tf.mkdtemp(prefix="bench_zspread_")
+    atexit_dirs.append(sroot)
+    _ib.build_postings(sdocs).write.mode("overwrite").parquet(sroot + "/postings")
+    spost = spark.read.parquet(sroot + "/postings")
+    sterms = _ib.build_terms(spost).cache()
+    sterms.count()
+    seng = QueryEngine(spark, spost, sterms, proximity_threshold=1.0, algo="exact")
+    seng.topk("alpha beta", 1000, 10).collect()  # warm + adaptive probe
+    timed(
+        "q_scored_hits_spread",
+        lambda: seng.topk("alpha beta", 1000, 10).collect(),
+        reps=3,
+    )
+    timed(
+        "q_scored_hits_spread_noprune",
+        lambda: seng.topk("alpha beta", 1000, 10, prune=False).collect(),
+        reps=3,
+    )
+    st = {}
+    seng.topk("alpha beta", 1000, 10, stats_out=st).collect()
+    prune["q_scored_hits_spread"] = {
+        k: st.get(k) for k in ("root_docs", "kernel_docs", "theta", "pruned", "futile")
+    }
+    sterms.unpersist()
     return timings, percentiles, prune
 
 

@@ -252,9 +252,10 @@ def main(argv=None) -> int:
     i.add_argument("--index", required=True)
     i.add_argument("--segment-id", default=None,
                    help="ledger segment id (default: ingest-<epoch-ms>)")
-    i.add_argument("--max-delta-segments", type=int, default=8,
+    i.add_argument("--max-delta-segments", type=int, default=4,
                    help="full-publish the delta lineage past this many "
-                        "stacked delta segments (read-amplification bound)")
+                        "stacked delta segments (read-amplification bound; "
+                        "default from the BENCH.md latency-vs-K curve)")
     i.set_defaults(fn=cmd_ingest)
 
     d = sub.add_parser("dedup")

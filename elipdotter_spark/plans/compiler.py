@@ -208,12 +208,16 @@ class QueryEngine:
         :meth:`_node_member_exprs`), so a W-word query costs one scan instead
         of 2W per-leaf scans + distincts.
 
-        ``with_stats`` adds, per query word ``j`` (sorted order), the three
+        ``with_stats`` adds, per query word ``j`` (sorted order), the
         scalars the rating upper bound (:meth:`_upper_bound_expr`) needs —
         ``__maxp_j``/``__minp_j`` (extreme expansion proximities present in
-        the doc) and ``__nocc_j`` (the doc's occurrence count over the word's
-        expansions) — in the SAME aggregate, so the prune costs no extra
-        scan or shuffle."""
+        the doc), ``__nocc_j`` (the doc's occurrence count over the word's
+        expansions), and ``__minst_j``/``__maxst_j`` (extreme byte START
+        positions over those occurrences: the round-5 position-spread
+        refinement bounds the adjacency-pair bonus by the words' interval
+        gap and refutes the session bonus for two-occurrence words spread
+        past the distance threshold) — in the SAME aggregate, so the prune
+        costs no extra scan or shuffle."""
         all_terms = sorted({t for d in exp.values() for t in d})
         if not all_terms:
             out = self.spark.range(0).select(
@@ -226,6 +230,8 @@ class QueryEngine:
                         out.withColumn(f"__maxp_{j}", F.lit(None).cast("float"))
                         .withColumn(f"__minp_{j}", F.lit(None).cast("float"))
                         .withColumn(f"__nocc_{j}", F.lit(None).cast("long"))
+                        .withColumn(f"__minst_{j}", F.lit(None).cast("long"))
+                        .withColumn(f"__maxst_{j}", F.lit(None).cast("long"))
                     )
             return out
         aggs = [F.collect_set("qword").alias("qws")]
@@ -236,6 +242,12 @@ class QueryEngine:
                     F.max(F.when(cond, F.col("proximity"))).alias(f"__maxp_{j}"),
                     F.min(F.when(cond, F.col("proximity"))).alias(f"__minp_{j}"),
                     F.sum(F.when(cond, F.col("tf"))).alias(f"__nocc_{j}"),
+                    F.min(F.when(cond, F.array_min("positions"))).alias(
+                        f"__minst_{j}"
+                    ),
+                    F.max(F.when(cond, F.array_max("positions"))).alias(
+                        f"__maxst_{j}"
+                    ),
                 ]
         base = occ if occ is not None else self._occ_base(exp)
         return base.groupBy("doc_id").agg(*aggs)
@@ -326,7 +338,12 @@ class QueryEngine:
 
     # --------------------------------------------------- rating upper bound
 
-    def _upper_bound_expr(self, ast: Part, exp: Dict[str, Dict[str, np.float32]]):
+    def _upper_bound_expr(
+        self,
+        ast: Part,
+        exp: Dict[str, Dict[str, np.float32]],
+        distance_threshold: Optional[int] = None,
+    ):
         """Per-doc upper bound (a Column over the ``with_stats`` qword-set
         row) on the rating of ANY hit the reference pipeline can emit for
         the doc — the distributed analogue of the reference's lazy top-k
@@ -348,16 +365,37 @@ class QueryEngine:
           interval (so ``hi = hi_kept - lo_not``: a *negative* fuzzy NOT
           rating raises the kept hit);
         - final fold (A5): each adjacent DIFFERENT-word pair adds
-          <= 0.5/0.1 = 5.0, and a hit's occurrence set only accumulates
-          kept-side leaf occurrences (J7 records closest_not without
-          merging).  With per-leaf occurrence counts c_i (word ids are
-          per-leaf, so a repeated query word still means distinct labels),
-          the maximum number of different-label adjacencies in ANY
-          arrangement is ``min(N-1, 2*(N - max c_i))`` (every boundary
-          touches a non-majority item, each item has <= 2 boundaries) —
-          and that bound is monotone under taking subsets, so it covers
-          every individual hit's occurrence set.  A single-leaf query
-          therefore gets a pair cap of exactly 0.
+          ``0.5/(0.001*dist + 0.1)`` (<= 5.0 at dist 0), and a hit's
+          occurrence set only accumulates kept-side leaf occurrences (J7
+          records closest_not without merging).  With per-leaf occurrence
+          counts c_i (word ids are per-leaf, so a repeated query word
+          still means distinct labels), the maximum number of
+          different-label adjacencies in ANY arrangement is
+          ``min(N-1, 2*(N - max c_i))`` (every boundary touches a
+          non-majority item, each item has <= 2 boundaries) — and that
+          bound is monotone under taking subsets, so it covers every
+          individual hit's occurrence set.  A single-leaf query therefore
+          gets a pair cap of exactly 0.
+
+        Round-5 position-spread refinements (from the per-qword byte-start
+        extremes ``__minst/__maxst`` in the same aggregate):
+
+        - **per-pair bonus cap**: every different-word adjacency (w_a,
+          w_b) has ``dist >= gap(w_a, w_b)`` — the gap between the two
+          words' position INTERVALS (0 when they overlap, and 0 by
+          definition for two labels of the same repeated query text) —
+          so each pair adds ``<= 0.5/(0.001*g_min + 0.1)`` with g_min the
+          minimum gap over all kept-leaf word pairs present in the doc.
+          Interleaved words degenerate to the old 5.0 (overlapping
+          intervals); SEGREGATED words (query words in different sections
+          of a long page — the realistic web shape this rescues) shrink
+          the cap by orders of magnitude.
+        - **session-bonus refutation**: the +2.0 (W1) needs two
+          occurrences of the word within ``distance_threshold``; with
+          exactly two occurrences their positions ARE the recorded
+          extremes, so ``nocc == 2 and (maxst - minst) > threshold``
+          proves no merge happens (> 2 occurrences keep the bonus — the
+          middle positions are unknown).
 
         The bound is computed in float64 over exact-f32 inputs (seeds are
         Sterbenz-exact), then padded for the kernel's f32 round-up drift
@@ -376,8 +414,14 @@ class QueryEngine:
             minp = F.col(f"__minp_{j}").cast("double")
             nocc = F.col(f"__nocc_{j}")
             member = F.array_contains(F.col("qws"), w)
+            merge_possible = nocc >= 2
+            if distance_threshold is not None:
+                span = F.col(f"__maxst_{j}") - F.col(f"__minst_{j}")
+                merge_possible = merge_possible & (
+                    (nocc != 2) | (span <= F.lit(int(distance_threshold)))
+                )
             hi = (maxp - F.lit(1.0)) * F.lit(4.0) + F.when(
-                nocc >= 2, F.lit(2.0)
+                merge_possible, F.lit(2.0)
             ).otherwise(F.lit(0.0))
             lo = (minp - F.lit(1.0)) * F.lit(4.0)
             return member, lo, hi
@@ -434,16 +478,50 @@ class QueryEngine:
                 return kept_leaves(p.left) + kept_leaves(p.right)
             raise oracle.StrayNot()
 
+        kept = kept_leaves(ast)
         n_total = None
         max_label = None
-        for w in kept_leaves(ast):
+        for w in kept:
             c = F.coalesce(F.col(f"__nocc_{idx[w]}"), F.lit(0)).cast("double")
             n_total = c if n_total is None else (n_total + c)
             max_label = c if max_label is None else F.greatest(max_label, c)
         pairs = F.least(
             n_total - F.lit(1.0), F.lit(2.0) * (n_total - max_label)
         )
-        pair_cap = F.lit(5.0) * F.greatest(pairs, F.lit(0.0))
+        # minimum achievable adjacency distance over kept-leaf word pairs
+        # PRESENT in the doc (absent words contribute NULL, which least()
+        # skips; a repeated query text overlaps itself -> gap 0)
+        pair_gaps = []
+        for a in range(len(kept)):
+            for b in range(a + 1, len(kept)):
+                wa, wb = kept[a], kept[b]
+                if wa == wb:
+                    pair_gaps.append(F.lit(0.0))
+                    continue
+                ia, ib = idx[wa], idx[wb]
+                both = (
+                    F.coalesce(F.col(f"__nocc_{ia}"), F.lit(0)) > 0
+                ) & (F.coalesce(F.col(f"__nocc_{ib}"), F.lit(0)) > 0)
+                gap = F.greatest(
+                    F.lit(0.0),
+                    (F.col(f"__minst_{ia}") - F.col(f"__maxst_{ib}")).cast(
+                        "double"
+                    ),
+                    (F.col(f"__minst_{ib}") - F.col(f"__maxst_{ia}")).cast(
+                        "double"
+                    ),
+                )
+                pair_gaps.append(F.when(both, gap))
+        if not pair_gaps:
+            g_min = F.lit(0.0)
+        elif len(pair_gaps) == 1:
+            g_min = pair_gaps[0]
+        else:
+            g_min = F.least(*pair_gaps)
+        per_pair = F.lit(0.5) / (
+            F.lit(0.001) * F.coalesce(g_min, F.lit(0.0)) + F.lit(0.1)
+        )
+        pair_cap = per_pair * F.greatest(pairs, F.lit(0.0))
         ub = hi + pair_cap
         # f32 round-up drift pad: per-op relative error is 2^-24 and the
         # kernel's op count scales with the doc's occurrence total
@@ -709,7 +787,7 @@ class QueryEngine:
         # terminal), so the cache can be dropped before returning
         occ = self._occ_base(exp).persist(StorageLevel.MEMORY_AND_DISK)
         sets = self._qword_sets(exp, with_stats=True, occ=occ)
-        ub = self._upper_bound_expr(ast, exp)
+        ub = self._upper_bound_expr(ast, exp, distance_threshold)
         try:
             agg_row = sets.agg(
                 *[

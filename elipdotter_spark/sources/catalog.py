@@ -996,16 +996,18 @@ class IndexStore:
         compaction-policy signal for :meth:`maybe_publish_full`."""
         return len(self._blocks_delta_names(self._meta()))
 
-    def maybe_publish_full(self, max_delta_segments: int = 8) -> Optional[dict]:
+    def maybe_publish_full(self, max_delta_segments: int = 4) -> Optional[dict]:
         """Delta-lineage compaction policy: run a FULL publish when the
         stacked delta-segment count passes the threshold, else None.
 
         Every query through :meth:`wand_tables` /
         :meth:`published_terms` unions base + K delta segments and
-        re-resolves latest-wins, so read cost grows with K while each
-        delta publish stays cheap — the classic LSM trade.  The default
-        threshold comes from the measured latency-vs-K curve in BENCH.md
-        (flat into the first handful of segments, then climbing);
+        re-resolves latest-wins, so warm WAND latency grows with K
+        (~+0.25 s/segment at the 1M curve: 1.06 s at K=0, 2.23 s at K=4,
+        3.22 s at K=8) while each delta publish stays 3-6x cheaper than
+        the 74 s full publish — the classic LSM trade.  Default 4 holds
+        read latency near 2x base while keeping per-update publish cost
+        ~4x under full (scripts/delta_curve_1m.py; curve in BENCH.md);
         ``cmd_ingest`` calls this after every delta publish so unattended
         ingest loops keep read amplification bounded."""
         if self.delta_segment_count() >= max_delta_segments:

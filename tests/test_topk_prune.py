@@ -133,3 +133,49 @@ def test_topk_prune_single_word_zero_pair_cap(spark):
     rows = engine.topk("alpha", 20, 1).collect()
     # positional ids: the merged-pair doc is the 31st (id 30)
     assert rows[0].doc_id == 30 and abs(rows[0].rating - 2.0) < 1e-6
+
+
+@pytest.mark.spark
+def test_topk_prune_spread_corpus_flips_futile(spark):
+    """Round-5 position-spread refinement (VERDICT r4 #4): docs whose query
+    words each occur TWICE but in SEGREGATED sections (alpha early, beta
+    ~2,800 bytes later — the long-web-page shape) defeated the round-4
+    bound: +2.0 session (nocc>=2) + 3 pairs x 5.0 put every tail doc's ub
+    at ~17 while the dense docs' theta is ~16 — candidate set = everything,
+    futile.  With the per-qword position extremes, the words' interval gap
+    caps each pair bonus at 0.5/(0.001*gap + 0.1) ~ 0.17, so the tail's ub
+    drops to ~2.5 and only the dense docs reach the kernel; results stay
+    bit-identical."""
+    filler = "filler " * 400  # ~2,800 bytes between the sections
+    texts = [(i, f"alpha word alpha {filler} beta word beta") for i in range(300)]
+    texts += [(1000 + i, "alpha beta alpha beta") for i in range(5)]
+    engine = make_engine(spark, [(f"d{i}", t) for i, t in texts], 1.0, EXACT, 2500)
+    stats = assert_topk_equivalent(engine, "alpha beta", 1000, 3)
+    assert stats["root_docs"] == 305
+    # the round-4 futility condition would have held: theta below the old
+    # flat cap (2.0 session + 3 * 5.0 + pad ~ 17) that every tail doc got
+    assert stats["theta"] is not None and stats["theta"] < 17.0
+    assert stats["pruned"] is True, stats  # NOT futile under the new bound
+    assert stats["kernel_docs"] <= 10, stats  # 300-doc tail never scored
+    rows = engine.topk("alpha beta", 1000, 3).collect()
+    assert all(r.doc_id >= 300 for r in rows), [r.doc_id for r in rows]
+
+
+@pytest.mark.spark
+def test_topk_prune_session_bonus_refuted_by_span(spark):
+    """nocc == 2 with the two occurrences farther apart than the distance
+    threshold proves no session merge: the +2.0 must drop out of the bound
+    (three-occurrence docs keep it — middle position unknown), and results
+    stay bit-identical either way."""
+    far = "x " * 700  # ~1,400 bytes >> threshold 100
+    # tail: two alpha occurrences too far apart to merge (true rating 0)
+    texts = [(i, f"alpha {far} alpha") for i in range(40)]
+    texts += [(100, "alpha alpha")]  # tight pair: merges, rating 2.0
+    engine = make_engine(spark, [(f"d{i}", t) for i, t in texts], 1.0, EXACT, 2500)
+    stats = assert_topk_equivalent(engine, "alpha", 100, 1)
+    # without the span refutation every tail doc's ub would be >= 2.0 ~
+    # theta (the merged doc's rating), keeping all 41 docs in the kernel
+    assert stats["pruned"] is True, stats
+    assert stats["kernel_docs"] <= 5, stats
+    rows = engine.topk("alpha", 100, 1).collect()
+    assert rows[0].doc_id == 40 and abs(rows[0].rating - 2.0) < 1e-6
