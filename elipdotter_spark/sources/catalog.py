@@ -512,11 +512,35 @@ class IndexStore:
         with open(mp) as fh:
             return json.load(fh)
 
-    def _write_meta(self, meta: dict) -> None:
+    def _meta_raw(self) -> Optional[bytes]:
+        mp = os.path.join(self.base, "blocks_meta.json")
+        if not os.path.exists(mp):
+            return None
+        with open(mp, "rb") as fh:
+            return fh.read()
+
+    def _write_meta(self, meta: dict, expect_raw: Optional[bytes] = "unchecked") -> None:
         """Atomic meta replace — the SINGLE commit point for every publish:
         all other publish artifacts are unreferenced until this rename, so
-        a crash at any earlier step leaves the published index untouched."""
+        a crash at any earlier step leaves the published index untouched.
+
+        ``expect_raw`` (the meta bytes snapshotted when the publish began)
+        adds optimistic concurrency DETECTION for racing publishers: if
+        another publish committed in between, this one's derivation is
+        stale (its covered sets / segment names were computed against the
+        old meta) — refuse loudly instead of last-writer-wins silently
+        discarding the other publish.  This is detection, not a lock (a
+        true CAS needs Iceberg's optimistic snapshot commit, per the
+        module docstring); the residual window between check and replace
+        is microseconds against a minutes-long publish.  Concurrent
+        SEGMENT writers are unaffected — they never touch the meta."""
         mp = os.path.join(self.base, "blocks_meta.json")
+        if expect_raw != "unchecked" and self._meta_raw() != expect_raw:
+            raise ValueError(
+                "concurrent publish detected: blocks_meta.json changed "
+                "while this publish was computing — its coverage baseline "
+                "is stale; re-run (publishes must be serialized per store)"
+            )
         tmp = mp + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(meta, fh)
@@ -692,6 +716,7 @@ class IndexStore:
         from ..operators import bm25, codec
 
         self._recover_segments()
+        meta_raw0 = self._meta_raw()  # optimistic-concurrency baseline
         meta = self._meta()
         if (
             meta is None
@@ -974,7 +999,7 @@ class IndexStore:
         }
         meta["blocks_delta_names"] = bnames + [seg_name]
         meta["terms_delta_names"] = self._narrow_delta_names(meta) + [seg_name]
-        self._write_meta(meta)
+        self._write_meta(meta, expect_raw=meta_raw0)
         return {
             "delta": seg_name,
             "blocks_path": os.path.join(self.base, "blocks_delta", seg_name),
@@ -1141,6 +1166,7 @@ class IndexStore:
         publish also resets the delta lineage (all four delta families
         deleted, ``*_delta_names`` emptied) — it IS the delta compaction."""
         self._recover_segments()
+        meta_raw0 = self._meta_raw()  # optimistic-concurrency baseline
         rows = [r for r in self.ledger() if r["status"] == "done"]
         cov = sorted({r["seq"] for r in rows if r.get("seq") is not None})
         postings = self._compacted(self._postings_for_rows(rows))
@@ -1222,7 +1248,7 @@ class IndexStore:
                 meta["block_segments"] = old["block_segments"]
             if "blocks_delta_names" in old:
                 meta["blocks_delta_names"] = old["blocks_delta_names"]
-        self._write_meta(meta)  # the commit point
+        self._write_meta(meta, expect_raw=meta_raw0)  # the commit point
         # retired delta dirs are unreferenced as of the commit; deleting
         # them after is pure GC (a crash in between leaves harmless orphans
         # the next delta publish overwrites)

@@ -109,10 +109,10 @@ def test_publish_delta_crash_retry_idempotent(spark, tmp_path, monkeypatch):
             if _c["n"] == _k:
                 raise InjectedCrash(f"after {kind}")
 
-        def meta_write(self, meta, _k=kill_at):
+        def meta_write(self, meta, expect_raw="unchecked", _k=kill_at):
             if _k == 5:
                 raise InjectedCrash("before meta commit")
-            orig_meta(self, meta)
+            orig_meta(self, meta, expect_raw)
 
         monkeypatch.setattr(IndexStore, "_write_artifact", artifact)
         monkeypatch.setattr(IndexStore, "_write_meta", meta_write)
@@ -276,3 +276,26 @@ def test_terms_only_publish_then_delta_refused(spark, tmp_path):
     store.publish(doc_span=16)  # realign
     store.write_segment("seg-upd2", _df(spark, [(8, "common again")]))
     assert store.publish_delta()["delta"] is not None
+
+
+@pytest.mark.spark
+def test_concurrent_publish_detected(spark, tmp_path):
+    """Two publishers racing one store: the second to commit computed its
+    coverage against a meta the first already replaced — last-writer-wins
+    would silently discard the first publish.  The optimistic check at the
+    meta write refuses instead (detection; a true CAS is Iceberg's
+    optimistic snapshot commit, per the module docstring)."""
+    store = IndexStore(spark, str(tmp_path / "idx"))
+    store.write_segment("seg-base", _df(spark, BASE_ROWS))
+    store.publish(doc_span=16)
+    store.write_segment("seg-upd", _df(spark, [(3, "common interloper")]))
+
+    # simulate the interleaving: publisher A snapshots, publisher B commits
+    raw0 = store._meta_raw()
+    meta = store._meta()
+    store.publish_delta()  # B commits first
+    with pytest.raises(ValueError, match="concurrent publish"):
+        store._write_meta(meta, expect_raw=raw0)  # A's stale commit refused
+    # the store still reads coherently after the refusal
+    assert not store.published_stale()
+    assert store.published_terms().filter(F.col("term") == "interloper").count() == 1
