@@ -116,3 +116,23 @@ def test_cli_ingest_delta_publish(cli, tmp_path, sf_dir, capsys):
     assert [r["doc_id"] for r in wand] == [r["doc_id"] for r in exhaustive]
     for a, b in zip(wand, exhaustive):
         assert abs(a["score"] - b["score"]) < 1e-9
+
+    # lineage compaction: at --max-delta-segments 1 the next ingest's
+    # delta pushes the stacked count past the bound -> full publish runs,
+    # resets the lineage, and queries stay exact through the reset
+    upd2 = str(tmp_path / "upd2")
+    cli.get_spark().createDataFrame(
+        [(9001, "freshterm returns again")], "doc_id long, text string"
+    ).write.parquet(upd2)
+    assert cli.main([
+        "ingest", "--input", upd2, "--index", idx,
+        "--max-delta-segments", "1",
+    ]) == 0
+    out2 = _json_lines(capsys)[-1]
+    assert out2["publish_mode"] == "delta"
+    assert out2["compacted_lineage"] is True
+    assert cli.main([
+        "bm25", "--index", idx, "--terms", "freshterm", "--k", "5", "--wand",
+    ]) == 0
+    wand2 = _json_lines(capsys)
+    assert {r["doc_id"] for r in wand2} == {217, 9000, 9001}
