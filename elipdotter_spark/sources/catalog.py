@@ -817,7 +817,13 @@ class IndexStore:
         # snapshot already includes.  The ledger-level check above catches
         # v2 metas; this doc-level probe also catches legacy fallbacks
         # (whose covered set is reconstructed from the post-compact ledger).
-        old_ds = self.published_docstats()
+        # The resolved baselines are cached for the publish: each feeds ~3
+        # actions (narrow-delta writes + both block builds), and without
+        # the cache every action re-unions base + K segments and re-runs
+        # the latest-wins aggregate — the measured ~+1.2 s/segment publish
+        # growth of the K-curve (scalar columns only, so columnar caching
+        # is safe per the round-2 array-cache finding).
+        old_ds = self.published_docstats().cache()
         lineage_lost = (
             updated.join(old_ds.select("doc_id"), "doc_id", "left_semi")
             .join(prev_ver.select("doc_id"), "doc_id", "left_anti")
@@ -849,7 +855,7 @@ class IndexStore:
                 ).alias("dcf"),
             )
         )
-        old_terms = self.published_terms().select("term", "df", "cf")
+        old_terms = self.published_terms().select("term", "df", "cf").cache()
         # ABSOLUTE new values for the changed terms only (df<=0 rows are
         # tombstones the reader drops) — recomputing on retry reproduces
         # identical rows because the baseline is meta-pinned
@@ -923,17 +929,26 @@ class IndexStore:
             "left",
         )
         # tombstones: (term, range) pairs present in the published blocks
-        # for these ranges but empty now (narrow column scan of old blocks)
+        # for these ranges but empty now.  The affected-range set is
+        # delta-sized by construction (<= one range per updated doc), so
+        # it is collected once and applied as an ``isin`` PREDICATE on the
+        # ``block`` column — a pushed filter with parquet row-group
+        # pruning on the store's biggest artifact, where the former
+        # semi-join form scanned every (term, block) row of base + K
+        # segments per publish (one In node, not an OR chain)
+        aff_list = [int(r.rng) for r in aff_ranges.collect()]
+        blk_pred = F.col("block").isin(aff_list)
         new_pairs = aff_post.select(
             "term", codec.range_expr(span).alias("block")
         ).distinct()
         old_blocks = self.spark.read.parquet(os.path.join(self.base, "blocks"))
-        frames = [old_blocks.select("term", "block")]
+        frames = [old_blocks.filter(blk_pred).select("term", "block")]
         for nm in bnames:
             frames.append(
                 self.spark.read.parquet(
                     os.path.join(self.base, "blocks_delta", nm)
                 )
+                .filter(blk_pred)
                 .filter(F.col("n") > 0)
                 .select("term", "block")
             )
@@ -941,8 +956,7 @@ class IndexStore:
         for f in frames[1:]:
             old_pairs = old_pairs.unionByName(f)
         tomb = (
-            old_pairs.join(aff_ranges, old_pairs.block == aff_ranges.rng, "left_semi")
-            .distinct()
+            old_pairs.distinct()
             .join(new_pairs, ["term", "block"], "left_anti")
             .select(
                 "term",
@@ -982,7 +996,16 @@ class IndexStore:
                 .parquet(p)
             ),
         )
-        for df in (updated, upd_rows, cur_rows, prev_rows, ds_changed, aff_ranges):
+        for df in (
+            updated,
+            upd_rows,
+            cur_rows,
+            prev_rows,
+            ds_changed,
+            aff_ranges,
+            old_terms,
+            old_ds,
+        ):
             df.unpersist()
 
         # ---- THE commit: one atomic meta replace references everything

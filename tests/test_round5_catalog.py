@@ -299,3 +299,34 @@ def test_concurrent_publish_detected(spark, tmp_path):
     # the store still reads coherently after the refusal
     assert not store.published_stale()
     assert store.published_terms().filter(F.col("term") == "interloper").count() == 1
+
+
+@pytest.mark.spark
+def test_published_terms_first_char_pruned_across_segments(spark, tmp_path):
+    """The docstring claim, plan-asserted: published_terms resolves
+    latest-wins grouped by (term, first), so a caller's first-char filter
+    pushes through the aggregate into the partition pruning of the base
+    AND every terms-delta segment (scan I/O stays per-first-char at a
+    10^9-term dictionary even mid-lineage)."""
+    from elipdotter_spark.operators.codec import first_char_filter
+
+    store = IndexStore(spark, str(tmp_path / "idx"))
+    store.write_segment("seg-base", _df(spark, BASE_ROWS))
+    store.publish(doc_span=16)
+    store.write_segment("seg-upd", _df(spark, [(1, "common updated alpha")]))
+    store.publish_delta()
+    pt = store.published_terms()
+    plan = (
+        first_char_filter(pt, {"c"})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # two parquet scans (base + 1 delta), each partition-filtered on first
+    assert plan.count("PartitionFilters: [") >= 2, plan
+    import re
+    filters = re.findall(r"PartitionFilters: \[[^\]]*first[^\]]*\]", plan)
+    assert len(filters) >= 2, plan
+    # and the filtered resolve is still correct
+    got = {r.term for r in first_char_filter(pt, {"c"}).collect()}
+    assert "common" in got and "updated" not in got
