@@ -390,6 +390,16 @@ class QueryEngine:
           intervals); SEGREGATED words (query words in different sections
           of a long page — the realistic web shape this rescues) shrink
           the cap by orders of magnitude.
+        - **per-pair SUM bound** (rescues mixed-gap queries — one tight
+          pair plus far words — where the global g_min is 0): adjacencies
+          of the unordered label pair (a, b) number at most
+          ``min(2*c_a, 2*c_b, c_a + c_b - 1)`` in ANY arrangement (each
+          occurrence has <= 2 boundary slots; a contiguous (a, b) block
+          has c_a+c_b-1 internal boundaries and outside items only break
+          pairs), and each such adjacency adds <= that pair's own
+          interval-gap cap — so ``sum over pairs of cap_ab * m_ab`` bounds
+          the total bonus.  Both bounds are sound and subset-monotone
+          individually; the final pair cap is their ``least``.
         - **session-bonus refutation**: the +2.0 (W1) needs two
           occurrences of the word within ``distance_threshold``; with
           exactly two occurrences their positions ARE the recorded
@@ -490,28 +500,44 @@ class QueryEngine:
         )
         # minimum achievable adjacency distance over kept-leaf word pairs
         # PRESENT in the doc (absent words contribute NULL, which least()
-        # skips; a repeated query text overlaps itself -> gap 0)
+        # skips; a repeated query text overlaps itself -> gap 0), plus the
+        # per-pair SUM bound over the same pair walk
         pair_gaps = []
+        sum_bound = None
         for a in range(len(kept)):
             for b in range(a + 1, len(kept)):
                 wa, wb = kept[a], kept[b]
-                if wa == wb:
-                    pair_gaps.append(F.lit(0.0))
-                    continue
                 ia, ib = idx[wa], idx[wb]
-                both = (
-                    F.coalesce(F.col(f"__nocc_{ia}"), F.lit(0)) > 0
-                ) & (F.coalesce(F.col(f"__nocc_{ib}"), F.lit(0)) > 0)
-                gap = F.greatest(
-                    F.lit(0.0),
-                    (F.col(f"__minst_{ia}") - F.col(f"__maxst_{ib}")).cast(
-                        "double"
-                    ),
-                    (F.col(f"__minst_{ib}") - F.col(f"__maxst_{ia}")).cast(
-                        "double"
-                    ),
+                ca = F.coalesce(F.col(f"__nocc_{ia}"), F.lit(0)).cast("double")
+                cb = F.coalesce(F.col(f"__nocc_{ib}"), F.lit(0)).cast("double")
+                if wa == wb:
+                    gap = F.lit(0.0)
+                    pair_gaps.append(gap)
+                else:
+                    both = (ca > 0) & (cb > 0)
+                    gap = F.greatest(
+                        F.lit(0.0),
+                        (F.col(f"__minst_{ia}") - F.col(f"__maxst_{ib}")).cast(
+                            "double"
+                        ),
+                        (F.col(f"__minst_{ib}") - F.col(f"__maxst_{ia}")).cast(
+                            "double"
+                        ),
+                    )
+                    pair_gaps.append(F.when(both, gap))
+                cap_ab = F.lit(0.5) / (
+                    F.lit(0.001) * F.coalesce(gap, F.lit(0.0)) + F.lit(0.1)
                 )
-                pair_gaps.append(F.when(both, gap))
+                m_ab = F.greatest(
+                    F.least(
+                        F.lit(2.0) * ca,
+                        F.lit(2.0) * cb,
+                        ca + cb - F.lit(1.0),
+                    ),
+                    F.lit(0.0),
+                )
+                term = cap_ab * m_ab
+                sum_bound = term if sum_bound is None else (sum_bound + term)
         if not pair_gaps:
             g_min = F.lit(0.0)
         elif len(pair_gaps) == 1:
@@ -522,6 +548,8 @@ class QueryEngine:
             F.lit(0.001) * F.coalesce(g_min, F.lit(0.0)) + F.lit(0.1)
         )
         pair_cap = per_pair * F.greatest(pairs, F.lit(0.0))
+        if sum_bound is not None:
+            pair_cap = F.least(pair_cap, sum_bound)
         ub = hi + pair_cap
         # f32 round-up drift pad: per-op relative error is 2^-24 and the
         # kernel's op count scales with the doc's occurrence total

@@ -179,3 +179,24 @@ def test_topk_prune_session_bonus_refuted_by_span(spark):
     assert stats["kernel_docs"] <= 5, stats
     rows = engine.topk("alpha", 100, 1).collect()
     assert rows[0].doc_id == 40 and abs(rows[0].rating - 2.0) < 1e-6
+
+
+@pytest.mark.spark
+def test_topk_prune_mixed_gap_sum_bound(spark):
+    """3-word mixed-gap shape (alpha+beta tight early, gamma far): the
+    global-min-gap cap is 0 (alpha/beta overlap) so the flat bound stays
+    at 2 x 5.0 = 10 > theta ~9.26 — futile.  The per-pair SUM bound
+    (cap_ab * min(2c_a, 2c_b, c_a+c_b-1) summed) charges only ONE tight
+    adjacency at 5.0 and the far pairs at ~0.17, putting the tail at ~5.3
+    — pruned, bit-identical."""
+    filler = "filler " * 400
+    texts = [(i, f"alpha beta {filler} gamma") for i in range(300)]
+    texts += [(1000 + i, "alpha beta gamma") for i in range(5)]
+    engine = make_engine(spark, [(f"d{i}", t) for i, t in texts], 1.0, EXACT, 2500)
+    stats = assert_topk_equivalent(engine, "alpha beta gamma", 1000, 3)
+    assert stats["root_docs"] == 305
+    assert stats["theta"] is not None and 5.5 < stats["theta"] < 10.0
+    assert stats["pruned"] is True, stats
+    assert stats["kernel_docs"] <= 10, stats
+    rows = engine.topk("alpha beta gamma", 1000, 3).collect()
+    assert all(r.doc_id >= 300 for r in rows), [r.doc_id for r in rows]
