@@ -330,3 +330,109 @@ def test_published_terms_first_char_pruned_across_segments(spark, tmp_path):
     # and the filtered resolve is still correct
     got = {r.term for r in first_char_filter(pt, {"c"}).collect()}
     assert "common" in got and "updated" not in got
+
+
+@pytest.mark.spark
+def test_randomized_schedules_converge_to_full_publish(spark, tmp_path):
+    """Schedule fuzz for the whole publish machinery: random interleavings
+    of new-doc ingests, overlapping-doc updates, LATE low-seq commits
+    (claim early, commit after later publishes), delta publishes, full
+    publishes, and compactions must always leave the published narrow
+    tables EXACTLY equal to a fresh full publish of the same ledger, and
+    WAND equal to exhaustive BM25 with current stats.  Deterministic
+    seeds; compact()-invalidated delta baselines must refuse and recover
+    via full publish (never silently double-count)."""
+    import random
+
+    vocab = ["alpha", "beta", "gamma", "delta", "words", "common", "rare"]
+
+    def rand_docs(rng, ids):
+        return _df(
+            spark,
+            [
+                (i, " ".join(rng.choices(vocab, k=rng.randint(2, 8))))
+                for i in ids
+            ],
+        )
+
+    seeds = (11, 23, 37)
+    if os.environ.get("ELIP_FUZZ_SEEDS"):  # deeper hunts: "41,43,53"
+        seeds = tuple(int(s) for s in os.environ["ELIP_FUZZ_SEEDS"].split(","))
+    for seed in seeds:
+        rng = random.Random(seed)
+        base = str(tmp_path / f"s{seed}")
+        store = IndexStore(spark, base)
+        next_id = 40
+        store.write_segment("seg-base", rand_docs(rng, range(next_id)))
+        store.publish(doc_span=16)
+        seg = 0
+        pending_claim = None
+        for step in range(6):
+            op = rng.choice(["new", "update", "late", "delta", "full", "compact"])
+            seg += 1
+            if op == "new":
+                ids = range(next_id, next_id + rng.randint(1, 5))
+                next_id += 5
+                store.write_segment(f"seg-{seed}-{seg}", rand_docs(rng, ids))
+            elif op == "update":
+                ids = rng.sample(range(next_id), rng.randint(1, 4))
+                store.write_segment(f"seg-{seed}-{seg}", rand_docs(rng, ids))
+            elif op == "late":
+                if pending_claim is None:
+                    pending_claim = store._claim_seq()  # stalls...
+                else:
+                    claim, pending_claim = pending_claim, None
+                    orig = store._claim_seq
+                    store._claim_seq = lambda c=claim: c
+                    try:  # ...and commits AFTER later seqs published
+                        store.write_segment(
+                            f"seg-{seed}-{seg}-late",
+                            rand_docs(rng, rng.sample(range(next_id), 2)),
+                        )
+                    finally:
+                        store._claim_seq = orig
+            elif op == "delta":
+                try:
+                    store.publish_delta()
+                except ValueError:
+                    store.publish(doc_span=16)  # compacted/split baseline
+            elif op == "full":
+                store.publish(doc_span=16)
+            elif op == "compact":
+                store.compact()
+        # cover everything still uncovered, through the delta path
+        try:
+            store.publish_delta()
+        except ValueError:
+            store.publish(doc_span=16)
+        assert not store.published_stale() and not store.blocks_stale()
+
+        # twin: single full publish of the SAME final ledger
+        twin = IndexStore(spark, base)  # same dirs; derive fresh tables
+        full_postings = twin.merged_postings()
+        from elipdotter_spark.operators import index_build
+
+        want_terms = sorted(
+            (r.term, r.df, r.cf)
+            for r in index_build.build_terms(full_postings).collect()
+        )
+        want_ds = sorted(
+            (r.doc_id, r.doc_len)
+            for r in index_build.docstats_from_postings(full_postings).collect()
+        )
+        got_terms = sorted(
+            (r.term, r.df, r.cf) for r in store.published_terms().collect()
+        )
+        got_ds = sorted(
+            (r.doc_id, r.doc_len)
+            for r in store.published_docstats().collect()
+        )
+        assert got_terms == want_terms, f"seed {seed}: terms diverged"
+        assert got_ds == want_ds, f"seed {seed}: docstats diverged"
+        n, avgdl = store.corpus_stats()
+        assert n == len(want_ds)
+        assert abs(avgdl - sum(d for _, d in want_ds) / n) < 1e-9
+        _assert_wand = __import__(
+            "test_delta_publish"
+        )._assert_wand_matches_exhaustive
+        _assert_wand(spark, store, ["common", "alpha", "rare"], k=10)
