@@ -6,6 +6,9 @@ Subcommands:
   bm25   --index <index store dir> --terms t1,t2 [--k N] [--wand]
   dedup  --input <parquet dir/glob> [--output <parquet>] [--threshold J]
          [--max-ring R]   # near-dup clustering -> canonical corpus
+  clean  --input <parquet dir/glob> [--output <parquet>] [--lang L]
+         [--min-tokens N] [--min-stopword-ratio R] [--threshold J]
+         [--max-ring R]   # langid -> quality -> exact+near dedup
 
 On a cluster the SparkSession comes from spark-submit's conf; standalone runs
 fall back to local[*].  The build is the resumable segmented build — re-run
@@ -180,6 +183,50 @@ def cmd_bm25(args) -> int:
     return 0
 
 
+def cmd_clean(args) -> int:
+    """One-command training-data corpus cleaner: language filter ->
+    quality filter -> exact dedup -> near-dup canonicalization
+    (dedup.clean_corpus; every stage individually cross-engine gated and
+    the composition gated by txt_clean_corpus).  Prints a one-line JSON
+    summary with per-stage survivor counts; --output writes the cleaned
+    corpus as parquet."""
+    from elipdotter_spark.operators import dedup
+
+    spark = get_spark()
+    docs = (
+        spark.read.parquet(args.input)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .cache()
+    )
+    n_docs = docs.count()
+    stats = {}
+    cleaned = dedup.clean_corpus(
+        docs,
+        lang=args.lang,
+        min_tokens=args.min_tokens,
+        min_stopword_ratio=args.min_stopword_ratio,
+        jaccard=args.threshold,
+        max_ring=args.max_ring if args.max_ring > 0 else None,
+        stats=stats,
+    )
+    if args.output:
+        cleaned.write.mode("overwrite").parquet(args.output)
+    n_kept = stats["after_near_dedup"]
+    print(json.dumps({
+        "n_docs": n_docs,
+        "after_lang_quality": stats["after_lang_quality"],
+        "after_exact_dedup": stats["after_exact_dedup"],
+        "n_kept": n_kept,
+        "n_dropped": n_docs - n_kept,
+        "lang": args.lang,
+        "min_tokens": args.min_tokens,
+        "min_stopword_ratio": args.min_stopword_ratio,
+        "threshold": args.threshold,
+        "output": args.output,
+    }))
+    return 0
+
+
 def cmd_dedup(args) -> int:
     """Near-duplicate pipeline: minhash bands -> (bounded) candidate pairs
     -> jaccard verify -> connected components -> canonical docs.  Prints a
@@ -257,6 +304,19 @@ def main(argv=None) -> int:
                         "stacked delta segments (read-amplification bound; "
                         "default from the BENCH.md latency-vs-K curve)")
     i.set_defaults(fn=cmd_ingest)
+
+    c = sub.add_parser("clean")
+    c.add_argument("--input", required=True)
+    c.add_argument("--output", default=None,
+                   help="write the cleaned corpus here")
+    c.add_argument("--lang", default="en")
+    c.add_argument("--min-tokens", type=int, default=20)
+    c.add_argument("--min-stopword-ratio", type=float, default=0.0)
+    c.add_argument("--threshold", type=float, default=0.8,
+                   help="jaccard acceptance for near-dup pairs")
+    c.add_argument("--max-ring", type=int, default=8,
+                   help="bounded per-bucket pair fan-out (0 = exact all-pairs)")
+    c.set_defaults(fn=cmd_clean)
 
     d = sub.add_parser("dedup")
     d.add_argument("--input", required=True)

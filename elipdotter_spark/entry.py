@@ -502,6 +502,23 @@ def q_txt_repetition(spark, sf_dir):
     return text_analysis.repetition(_tables(spark, sf_dir)["docs"], n=2)
 
 
+def q_txt_clean_corpus(spark, sf_dir):
+    """Composite training-data cleaner (the full pre-training front door,
+    CLI `clean`): language filter (stopword-profile argmax == 'en') ->
+    quality filter (n_tokens >= 20, stopword_ratio >= 0.02) -> exact
+    dedup (min doc_id per md5) -> near-dup canonicalization (MinHash
+    bands -> Jaccard >= 0.8 -> connected components -> min-id
+    representative).  The DuckDB oracle recomposes every stage — each
+    individually gated (txt_langid / txt_quality / dd_exact /
+    dd_jaccard_pairs / dd_components) — into one chained CTE, so the gate
+    proves the COMPOSITION, not just the parts."""
+    docs = _tables(spark, sf_dir)["docs"]
+    return dedup.clean_corpus(
+        docs, lang="en", min_tokens=20, min_stopword_ratio=0.02,
+        jaccard=0.8, max_ring=None,
+    ).select("doc_id")
+
+
 # ------------------------------------------------------------- multimodal
 
 
@@ -914,6 +931,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_token_count": q_txt_token_count,
         "txt_fingerprint": q_txt_fingerprint,
         "txt_repetition": q_txt_repetition,
+        "txt_clean_corpus": q_txt_clean_corpus,
         "mm_meta": q_mm_meta,
         "mm_decode_meta": q_mm_decode_meta,
         "mm_decode_errors": q_mm_decode_errors,
@@ -1329,6 +1347,108 @@ def oracle_sql() -> Dict[str, str]:
                    round(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 6) AS dup_ngram_frac,
                    round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_ngram_frac
             FROM c GROUP BY doc_id
+        """,
+        # the composite cleaner: every stage's SQL is lifted verbatim from
+        # its own gate's oracle (txt_langid / txt_quality / dd_exact /
+        # dd_components) and chained — the gate proves the composition
+        "txt_clean_corpus": f"""
+            WITH RECURSIVE {TOKS_SQL},
+            qual AS (
+                SELECT doc_id, count(*) AS n_tokens,
+                       sum(CASE WHEN term IN ('the','a','of','and') THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE) AS sw
+                FROM toks GROUP BY doc_id
+            ),
+            lang_scores AS (
+                SELECT doc_id, lang,
+                       sum(CASE
+                           WHEN lang='en' AND term IN ('the','a','of','and') THEN 1
+                           WHEN lang='de' AND term IN ('der','die','das','und') THEN 1
+                           WHEN lang='fr' AND term IN ('le','la','et','de') THEN 1
+                           WHEN lang='es' AND term IN ('el','la','y','de') THEN 1
+                           ELSE 0 END) / CAST(count(*) AS DOUBLE) AS score
+                FROM toks
+                CROSS JOIN (SELECT unnest(['de','en','es','fr']) AS lang)
+                GROUP BY doc_id, lang
+            ),
+            lang_en AS (
+                SELECT doc_id FROM (
+                    SELECT doc_id, lang,
+                           row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY score DESC, lang ASC) AS rn
+                    FROM lang_scores)
+                WHERE rn = 1 AND lang = 'en'
+            ),
+            keep1 AS (
+                SELECT q.doc_id FROM qual q JOIN lang_en USING (doc_id)
+                WHERE q.n_tokens >= 20 AND q.sw >= 0.02
+            ),
+            keep2 AS (
+                SELECT doc_id FROM (
+                    SELECT d.doc_id,
+                           row_number() OVER (PARTITION BY md5(d.text)
+                                              ORDER BY d.doc_id) AS rn
+                    FROM documents d JOIN keep1 USING (doc_id))
+                WHERE rn = 1
+            ),
+            dt AS (
+                SELECT DISTINCT t.doc_id, t.term
+                FROM toks t JOIN keep2 USING (doc_id)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id),
+            bands AS (
+                WITH seeded AS (
+                    SELECT doc_id, term, seed,
+                           {seeded_tok_hash} AS h
+                    FROM dt CROSS JOIN (SELECT unnest(range({N_MINHASH})) AS seed)
+                ),
+                minh AS (SELECT doc_id, seed, min(h) AS mh FROM seeded GROUP BY doc_id, seed),
+                banded AS (SELECT doc_id, CAST(seed // {ROWS_PER_BAND} AS INT) AS band, seed, mh FROM minh)
+                SELECT doc_id, band,
+                       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(list_sort(list({{'s': seed, 'm': mh}})), x -> x.m)),
+                           (acc, m) -> (acc * 131 + m) % {_HASH_P}) AS band_hash
+                FROM banded GROUP BY doc_id, band
+            ),
+            cpairs AS (
+                SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                FROM bands x JOIN bands y
+                  ON x.band = y.band AND x.band_hash = y.band_hash
+                 AND x.doc_id < y.doc_id
+            ),
+            common AS (
+                SELECT p.a, p.b, count(*) AS c
+                FROM cpairs p
+                JOIN dt ta ON ta.doc_id = p.a
+                JOIN dt tb ON tb.doc_id = p.b AND tb.term = ta.term
+                GROUP BY p.a, p.b
+            ),
+            jp AS (
+                SELECT common.a, common.b
+                FROM common
+                JOIN sizes sa ON sa.doc_id = common.a
+                JOIN sizes sb ON sb.doc_id = common.b
+                WHERE round(c / CAST(sa.n + sb.n - c AS DOUBLE), 6) >= 0.8
+            ),
+            edges AS (
+                SELECT a AS src, b AS dst FROM jp
+                UNION
+                SELECT b AS src, a AS dst FROM jp
+            ),
+            reach(doc_id, comp) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.doc_id
+            ),
+            losers AS (
+                SELECT doc_id FROM (
+                    SELECT doc_id, min(comp) AS component
+                    FROM reach GROUP BY doc_id)
+                WHERE doc_id != component
+            )
+            SELECT k.doc_id
+            FROM keep2 k LEFT JOIN losers l ON l.doc_id = k.doc_id
+            WHERE l.doc_id IS NULL
         """,
         "ev_window_stats": """
             SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -375,6 +375,18 @@ def connected_components(
         .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .distinct()
     )
+    # materialize the edge list ONCE: every round joins against it, and an
+    # un-persisted edges DF re-derives the whole upstream pair pipeline
+    # (minhash -> candidates -> jaccard -> ...) per round — measured as a
+    # stage explosion + driver OOM when the input lineage is heavy (the
+    # clean_corpus composition).  The "edges" name sits outside the
+    # "cc-<round>" namespace, so drop_rounds leaves it for the whole loop.
+    if checkpoint_dir is None:
+        edges = edges.localCheckpoint()
+    else:
+        path = os.path.join(checkpoint_dir, "edges")
+        edges.write.mode("overwrite").parquet(path)
+        edges = spark.read.parquet(path)
     labels = persist(
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
@@ -433,3 +445,71 @@ def canonical_docs(docs: DataFrame, components: DataFrame) -> DataFrame:
     doc with no near-dup pair at all.  One broadcast-friendly anti-join."""
     losers = components.filter(F.col("doc_id") != F.col("component")).select("doc_id")
     return docs.join(losers, "doc_id", "left_anti")
+
+
+def clean_corpus(
+    docs: DataFrame,
+    lang: str = "en",
+    min_tokens: int = 20,
+    min_stopword_ratio: float = 0.0,
+    jaccard: float = 0.8,
+    max_ring: int = None,
+    stats: dict = None,
+) -> DataFrame:
+    """One-call training-data corpus cleaner — the composition a 100-TB
+    pretraining pipeline runs before anything else, built entirely from
+    the individually-gated operators:
+
+    1. **language filter** (`text_analysis.lang_id`): keep docs whose
+       stopword-profile argmax equals ``lang``;
+    2. **quality filter** (`text_analysis.quality`): keep docs with
+       ``n_tokens >= min_tokens`` and
+       ``stopword_ratio >= min_stopword_ratio``;
+    3. **exact dedup**: among content-identical docs (md5 of text), keep
+       only the smallest doc_id;
+    4. **near-dup canonicalization**: MinHash-band candidates -> exact
+       Jaccard >= ``jaccard`` -> connected components -> keep each
+       cluster's min-id representative (``canonical_docs``).
+
+    Stage order matters at scale: the cheap row-local filters (1-2) shrink
+    the corpus BEFORE the shuffling stages (3-4) run.  ``max_ring`` bounds
+    hot-bucket pair fan-out for degenerate corpora (None = exact bucket
+    pairs — the cross-engine-gated shape); ``stats`` (optional dict) is
+    filled with per-stage survivor counts for pipeline observability —
+    four small count jobs, maintenance-path only, pass None on the hot
+    path.  Returns the surviving docs with their original columns."""
+    from . import text_analysis
+
+    keep = docs.join(
+        text_analysis.lang_id(docs).filter(F.col("pred_lang") == lang).select(
+            "doc_id"
+        ),
+        "doc_id",
+        "left_semi",
+    )
+    q = text_analysis.quality(keep).filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("stopword_ratio") >= min_stopword_ratio)
+    )
+    keep = keep.join(q.select("doc_id"), "doc_id", "left_semi")
+    if stats is not None:
+        stats["after_lang_quality"] = keep.count()
+
+    # exact dedup: canonical = min doc_id per content hash
+    w_min = keep.groupBy(F.md5(F.col("text").cast("binary")).alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    # cache the survivor set: the near-dup stage scans it repeatedly
+    # (minhash bands + two token-join sides + the final anti-join), and
+    # without the cache each scan replays the langid window + quality
+    # aggregates (scalar columns only — safe to columnar-cache)
+    keep = keep.join(w_min.select("doc_id"), "doc_id", "left_semi").cache()
+    if stats is not None:
+        stats["after_exact_dedup"] = keep.count()
+
+    strong = near_dup_pairs(keep, jaccard, max_ring=max_ring).select("a", "b")
+    comps = connected_components(strong)
+    cleaned = canonical_docs(keep, comps)
+    if stats is not None:
+        stats["after_near_dedup"] = cleaned.count()
+    return cleaned

@@ -218,3 +218,40 @@ def test_ivf_gate_argmin_margins(spark, sf):
     cos = (m[cand] @ q) / (np.linalg.norm(m[cand], axis=1) * np.linalg.norm(q))
     top = np.sort(cos)[::-1]
     assert len(top) > 10 and top[9] - top[10] > 1e-9
+
+
+@pytest.mark.spark
+def test_clean_corpus_stages(spark):
+    """Composite cleaner: each stage drops exactly its targets and the
+    survivors keep their original columns.  Planted: a German doc, a
+    too-short doc, a no-stopword doc, an exact duplicate pair, and a
+    near-duplicate pair; the base docs survive."""
+    base = "the quick brown fox jumps over a lazy dog of the north and "
+    rows = [
+        (1, base + "unique one extra tokens here padding words included fine"),
+        (2, base + "unique two different suffix entirely separate closing remark thanks"),
+        # near-dup of doc 1 (one token differs -> jaccard >= 0.8)
+        (3, base + "unique one extra tokens here padding words included also"),
+        # exact duplicate pair: min id (4) survives
+        (4, base + "identical content of this exact pair stays put verbatim"),
+        (5, base + "identical content of this exact pair stays put verbatim"),
+        # German: der/die/das/und profile beats en
+        (6, "der hund und die katze und das haus und der baum und die tür "
+            "und das auto und der berg und die sonne und das meer geht"),
+        # too short (< 10 tokens)
+        (7, "the tiny a doc of and"),
+        # long but zero stopwords -> fails min_stopword_ratio
+        (8, " ".join(f"w{i}" for i in range(30))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {}
+    kept = dedup.clean_corpus(
+        docs, lang="en", min_tokens=10, min_stopword_ratio=0.05,
+        jaccard=0.8, max_ring=None, stats=stats,
+    )
+    got = {r.doc_id for r in kept.collect()}
+    assert got == {1, 2, 4}, got
+    assert stats["after_lang_quality"] == 5  # dropped 6 (de), 7, 8
+    assert stats["after_exact_dedup"] == 4  # dropped 5
+    assert stats["after_near_dedup"] == 3  # dropped 3 (near-dup of 1)
+    assert set(kept.columns) == {"doc_id", "text"}  # original columns kept
