@@ -28,8 +28,15 @@ def start_ingest(
     schema: str = "doc_id long, text string",
     available_now: bool = True,
     auto_compact_superseded: float = None,
+    segment_prefix: str = "stream",
 ):
     """Stream parquet files from ``input_dir`` into index segments.
+
+    ``segment_prefix`` names the ingest EPOCH: batch ids restart at 0 for
+    every fresh checkpoint lineage, so a second epoch against the same
+    store (new source dir + new checkpoint) must use a distinct prefix or
+    its batch 0 collides with the first epoch's committed segment and the
+    content-digest guard (correctly) refuses.
 
     Each micro-batch becomes one ledger-tracked segment
     (``stream-<batch_id>``); ``availableNow`` drains the backlog and stops
@@ -48,7 +55,7 @@ def start_ingest(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        seg_id = f"stream-{batch_id:06d}"
+        seg_id = f"{segment_prefix}-{batch_id:06d}"
         committed_row = next(
             (r for r in store.ledger() if r["segment_id"] == seg_id), None
         )
@@ -92,8 +99,8 @@ def start_ingest(
                 f"segment {seg_id!r} already committed with DIFFERENT "
                 "content — batch-id collision across checkpoints "
                 "(fresh/wiped checkpoint dir against an existing store?). "
-                "Use a new store, a new checkpoint lineage suffix, or "
-                "compact() and re-ingest."
+                "Use a new store, a distinct segment_prefix per ingest "
+                "epoch, or compact() and re-ingest."
             )
         store.write_segment(seg_id, batch_df)
         if auto_compact_superseded is not None:

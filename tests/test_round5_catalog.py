@@ -436,3 +436,53 @@ def test_randomized_schedules_converge_to_full_publish(spark, tmp_path):
             "test_delta_publish"
         )._assert_wand_matches_exhaustive
         _assert_wand(spark, store, ["common", "alpha", "rare"], k=10)
+
+
+@pytest.mark.spark
+def test_streaming_ingest_then_delta_publish(spark, tmp_path):
+    """Integration of the two incremental paths: Structured-Streaming
+    micro-batches land as ledger segments, a full publish covers them, a
+    LATER streamed update batch is published via publish_delta, and WAND
+    over the resolved store equals exhaustive BM25 with current stats —
+    the end-to-end shape of a continuously-fed 100-TB index."""
+    from elipdotter_spark.streaming import incremental
+
+    store = IndexStore(spark, str(tmp_path / "idx"))
+    src = tmp_path / "src"
+    _df(spark, BASE_ROWS).write.parquet(str(src))
+    q = incremental.start_ingest(spark, str(src), store, str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+    assert store.completed_segments()  # batch landed as a segment
+    store.publish(doc_span=16)
+    assert not store.blocks_stale()
+
+    # a second streamed batch: doc updates + new docs (fresh source dir +
+    # checkpoint = a new ingest epoch)
+    src2 = tmp_path / "src2"
+    _df(spark, UPD_ROWS).write.parquet(str(src2))
+    q2 = incremental.start_ingest(
+        spark, str(src2), store, str(tmp_path / "ck2"),
+        segment_prefix="epoch2",  # distinct epoch vs the first lineage
+    )
+    q2.awaitTermination(120)
+    assert store.blocks_stale()  # the streamed segment is uncovered
+    info = store.publish_delta()
+    assert info["delta"] == "delta-000001"
+    assert not store.blocks_stale() and not store.published_stale()
+
+    # updated doc 100 lost 'unicorn'; the streamed arrivals are served
+    pt = store.published_terms()
+    assert pt.filter(F.col("term") == "unicorn").count() == 0
+    assert pt.filter(F.col("term") == "padding").count() == 1
+    postings = store.merged_postings()
+    terms = store.published_terms()
+    docstats = store.published_docstats()
+    n, avgdl = store.corpus_stats()
+    want = [
+        (r.doc_id, round(r.score, 9))
+        for r in bm25.bm25_topk(
+            postings, docstats, terms, ["common", "padding"], 10,
+            n=n, avgdl=avgdl,
+        ).collect()
+    ]
+    assert _wand_rows(spark, store, ["common", "padding"]) == want
