@@ -813,7 +813,13 @@ class QueryEngine:
         # not one per phase (measured 2x at the 1M published-store stress);
         # the pruned path ends with an eager k-row collect (top-k is
         # terminal), so the cache can be dropped before returning
+        # An extremes-only persist variant (cache [min,max] positions for
+        # the phase-1 aggregate, re-scan the store for seed + kernel) was
+        # measured round 5 at 1M on BOTH 60-token and 600-token docs:
+        # parity-to-slightly-worse (BENCH.md) — the array cache is not the
+        # pruned path's bottleneck, so the simpler one-persist shape stays
         occ = self._occ_base(exp).persist(StorageLevel.MEMORY_AND_DISK)
+        kernel_occ = occ
         sets = self._qword_sets(exp, with_stats=True, occ=occ)
         ub = self._upper_bound_expr(ast, exp, distance_threshold)
         try:
@@ -868,7 +874,7 @@ class QueryEngine:
                         maxes=maxes,
                         candidates=seed_ids,
                         candidates_are_root=True,
-                        occ=occ,
+                        occ=kernel_occ,
                     )
                     .select("rating")
                     .collect()
@@ -892,7 +898,7 @@ class QueryEngine:
                     maxes=maxes,
                     candidates=cand,
                     candidates_are_root=True,
-                    occ=occ,
+                    occ=kernel_occ,
                 )
                 .orderBy(*order)
                 .limit(k)
