@@ -221,12 +221,15 @@ def run_queries(spark, docs, postings, terms, docstats):
     # bounded chain-window variant IS the scale path for that shape (the
     # exact all-pairs variant measures 12-18s here purely from the ~10^7
     # pair explosion; that is the corpus, not the operator)
+    # reps=7 with trimmed p95 (round-5 lesson: at n=3 this query
+    # flip-flopped 4.13<->5.27 s across windows — one quota hiccup IS the
+    # median at n=3; n=7 + p95_trimmed tracks the distribution instead)
     timed(
         "q_dedup_pairs",
         lambda: dedup.candidate_pairs(
             dedup.minhash_bands(docs), max_ring=8
         ).count(),
-        reps=3,
+        reps=7,
     )
     # NOT cached: embedding is an array<float> column, and columnar-caching
     # nested arrays is ~10x slower than re-reading parquet (CLAUDE.md /

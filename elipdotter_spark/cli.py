@@ -67,8 +67,9 @@ def cmd_ingest(args) -> int:
     # bound K (threshold from the BENCH.md latency-vs-K curve)
     compacted = None
     if mode == "delta":
-        compacted = store.maybe_publish_full(
-            max_delta_segments=args.max_delta_segments
+        compacted = store.maybe_compact_lineage(
+            max_delta_segments=args.max_delta_segments,
+            mode=args.compaction,
         )
     print(
         json.dumps(
@@ -156,8 +157,10 @@ def cmd_bm25(args) -> int:
         # terms/docstats stamp, since publish(with_compressed=False)
         # refreshes those but not the blocks), else derive on the fly so
         # --wand and the default path always agree
-        bp = f"{args.index}/blocks"
-        dp = f"{args.index}/doclen_blocks"
+        # resolve the (round-6 versioned) block dirs through the meta —
+        # a plain-name probe would miss a versioned publish entirely
+        bp = store._artifact_path("blocks")
+        dp = store._artifact_path("doclen_blocks")
         if not store.blocks_stale() and os.path.isdir(bp) and os.path.isdir(dp):
             # resolves delta block segments (publish_delta) when present;
             # a base-only store passes through unchanged
@@ -211,6 +214,7 @@ def cmd_clean(args) -> int:
     )
     if args.output:
         cleaned.write.mode("overwrite").parquet(args.output)
+    docs.unpersist()  # cleaned is materialized inside clean_corpus
     n_kept = stats["after_near_dedup"]
     print(json.dumps({
         "n_docs": n_docs,
@@ -254,6 +258,8 @@ def cmd_dedup(args) -> int:
     if args.output:
         kept.write.mode("overwrite").parquet(args.output)
     n_kept = kept.count()
+    comps.unpersist()
+    docs.unpersist()
     print(json.dumps({
         "n_docs": n_docs,
         "n_candidate_docs_in_clusters": n_in_clusters,
@@ -300,9 +306,14 @@ def main(argv=None) -> int:
     i.add_argument("--segment-id", default=None,
                    help="ledger segment id (default: ingest-<epoch-ms>)")
     i.add_argument("--max-delta-segments", type=int, default=4,
-                   help="full-publish the delta lineage past this many "
+                   help="compact the delta lineage past this many "
                         "stacked delta segments (read-amplification bound; "
                         "default from the BENCH.md latency-vs-K curve)")
+    i.add_argument("--compaction", default="full", choices=["full", "merge"],
+                   help="lineage compaction mechanism: 'full' republishes "
+                        "the whole corpus (resets base+deltas); 'merge' "
+                        "pairwise-merges the delta segments only — "
+                        "O(delta) instead of O(corpus), base untouched")
     i.set_defaults(fn=cmd_ingest)
 
     c = sub.add_parser("clean")

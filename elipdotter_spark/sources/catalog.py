@@ -37,6 +37,15 @@ Commit protocol (round 5):
   pre-publish state and a retry recomputes from that unchanged baseline
   (the round-4 read-modify-write terms rewrite could double-apply its
   df/cf adjustment on retry, silently unsounding WAND bounds).
+- **Full ``publish()`` is crash-atomic too (round 6).**  Base artifacts
+  are written as VERSIONED unreferenced dirs (``terms-v<N>``,
+  ``blocks-v<N>``, ...) named in the meta's ``artifact_dirs`` and swapped
+  at the same single meta commit; superseded versions are GC'd after the
+  commit.  This matters precisely on the already-covered
+  lineage-compaction path (``maybe_publish_full``, auto-run by ``cli
+  ingest``), where the round-5 in-place rewrite could crash mid-job and
+  leave ``blocks_stale() == False`` over a half-written base directory —
+  corrupt blocks served as fresh.
 
 On a production cluster the same layout maps 1:1 to an Iceberg table
 (segments -> snapshots/partitions, ledger -> a metrics table written in the
@@ -299,12 +308,32 @@ class IndexStore:
         except ValueError:
             shutil.rmtree(tmp, ignore_errors=True)
             raise
-        if os.path.exists(final):
+        self._finalize_segment(tmp, final)
+        return row
+
+    def _finalize_segment(self, tmp: str, final: str) -> None:
+        """Post-commit tmp->final rename, tolerant of a CONCURRENT READER's
+        :meth:`_recover_segments` completing our commit first (once the
+        ledger row is visible, any reader may legally recover it).  The
+        round-5 unconditional ``rmtree(final)`` had a TOCTOU: a recoverer
+        renaming between this writer's existence check and its rmtree made
+        the writer delete its OWN just-recovered data and then fail the
+        rename — a committed ledger row with no data dir, silently skipped
+        by ``_postings_for_rows`` (permanent loss).  Disambiguation: a
+        pre-write-ahead-era orphan ``final`` is recognized by BOTH paths
+        existing (our tmp is still in place); once tmp is gone, ``final``
+        can only be our recovered data — leave it."""
+        if os.path.exists(final) and os.path.exists(tmp):
             # data orphaned by a pre-write-ahead-era crash (rename happened,
             # ledger write didn't) — our committed row now governs this id
             shutil.rmtree(final)
-        os.rename(tmp, final)
-        return row
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            # a racing _recover_segments renamed our tmp first — fine iff
+            # the committed data is in place under the final name
+            if not os.path.exists(final):
+                raise
 
     def _commit_ledger_row(self, segment_id: str, row: dict) -> None:
         """Exclusive-create ledger commit: of two writers racing the same
@@ -438,9 +467,7 @@ class IndexStore:
             "seq": new_seq,
         }
         self._commit_ledger_row(seg_id, row)  # write-ahead: row, then rename
-        if os.path.exists(final):
-            shutil.rmtree(final)  # orphan from a pre-write-ahead-era crash
-        os.rename(tmp, final)
+        self._finalize_segment(tmp, final)  # recoverer-race tolerant
         # only now retire the superseded segments (safe at any crash point:
         # dir-before-row, so a half-retired segment is shadowed, never
         # phantom — see _recover_segments)
@@ -590,6 +617,42 @@ class IndexStore:
             return F.col("seq") <= F.lit(mx)
         return F.col("seq").isin([int(s) for s in covered])
 
+    # ------------------------------------------- published base artifacts
+
+    _UNREAD = object()
+
+    def _artifact_path(self, kind: str, meta=_UNREAD) -> str:
+        """Resolve a published base-artifact directory (``terms`` /
+        ``docstats`` / ``blocks`` / ``doclen_blocks``) THROUGH THE META:
+        full publishes write versioned dirs (``terms-v000003``) named in
+        ``artifact_dirs`` and swapped at the single atomic meta commit, so
+        a crashed full publish's half-written dirs are unreferenced and
+        invisible (round 6 — the in-place rewrite served corrupt blocks as
+        "fresh" when coverage was already complete, the auto-compaction
+        path).  Legacy metas (and never-published stores) resolve to the
+        plain directory name."""
+        if meta is self._UNREAD:
+            meta = self._meta()
+        name = ((meta or {}).get("artifact_dirs") or {}).get(kind, kind)
+        return os.path.join(self.base, name)
+
+    def _gc_unreferenced_base(self, meta: dict) -> None:
+        """Delete base-artifact dirs not referenced by the committed meta:
+        superseded versions plus the pre-versioning plain dirs.  Pure GC —
+        everything deleted here is already unreferenced as of the meta
+        commit, so a crash mid-GC leaves harmless orphans the next
+        publish sweeps."""
+        import re
+
+        named = set((meta.get("artifact_dirs") or {}).values())
+        pat = re.compile(r"^(terms|docstats|blocks|doclen_blocks)(-v\d{6})?$")
+        for entry in os.listdir(self.base):
+            if entry in named or not pat.match(entry):
+                continue
+            p = os.path.join(self.base, entry)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+
     # ------------------------------------------- published narrow tables
 
     def _narrow_delta_names(self, meta: Optional[dict]) -> List[str]:
@@ -613,7 +676,7 @@ class IndexStore:
         deltas returns the base scan untouched — zero overhead."""
         meta = self._meta()
         base = self.spark.read.schema(TERMS_SCHEMA).parquet(
-            os.path.join(self.base, "terms")
+            self._artifact_path("terms", meta)
         )
         names = self._narrow_delta_names(meta)
         if not names:
@@ -640,7 +703,7 @@ class IndexStore:
         store's documented no-op, same as the postings path)."""
         meta = self._meta()
         base = self.spark.read.schema(DOCSTATS_SCHEMA).parquet(
-            os.path.join(self.base, "docstats")
+            self._artifact_path("docstats", meta)
         )
         names = self._narrow_delta_names(meta)
         if not names:
@@ -727,11 +790,16 @@ class IndexStore:
                 "publish_delta requires a prior FULL publish(with_compressed"
                 "=True) on this store (block segment stats not recorded)"
             )
-        if "blocks_delta_names" not in meta and self._block_segment_dirs(
-            "blocks_delta"
-        ):
+        if "blocks_delta_names" not in meta:
+            # A round-4 meta is unsafe to delta-publish against even when it
+            # has NO delta dirs yet: wand_tables maps such a base to
+            # bseg=base['seq'] (>= 1 on any multi-segment store) while a new
+            # delta would get bseg=1, so per-(term, block) latest-wins would
+            # prefer the STALE base rows over the delta — silently wrong WAND
+            # results.  One full publish upgrades the meta (bseg=0 base +
+            # explicit delta name lists).
             raise ValueError(
-                "store has pre-round-5 delta segments (max-stamped lineage);"
+                "store has a pre-round-5 meta (no delta-segment name lists);"
                 " run a FULL publish() once to upgrade to set-based coverage"
             )
         rows = [r for r in self.ledger() if r["status"] == "done"]
@@ -770,7 +838,18 @@ class IndexStore:
             )
         span = int(meta["doc_span"])
         bnames = self._blocks_delta_names(meta)
-        ord_ = len(bnames) + 1
+        # the new segment's bseg must exceed every SURVIVING bseg, not just
+        # the name-list length: after compact_deltas the single merged dir
+        # holds rows with bseg up to the old K, and a new delta at
+        # len+1 == 2 would LOSE per-(term, block) latest-wins to them
+        max_bseg = max(
+            (
+                int(s.get("bseg", s.get("seq", 0)))
+                for s in (meta.get("block_segments") or {}).values()
+            ),
+            default=0,
+        )
+        ord_ = max(len(bnames) + 1, max_bseg + 1)
         seg_name = f"delta-{ord_:06d}"
 
         new_paths = [
@@ -941,7 +1020,7 @@ class IndexStore:
         new_pairs = aff_post.select(
             "term", codec.range_expr(span).alias("block")
         ).distinct()
-        old_blocks = self.spark.read.parquet(os.path.join(self.base, "blocks"))
+        old_blocks = self.spark.read.parquet(self._artifact_path("blocks", meta))
         frames = [old_blocks.filter(blk_pred).select("term", "block")]
         for nm in bnames:
             frames.append(
@@ -1044,6 +1123,160 @@ class IndexStore:
         compaction-policy signal for :meth:`maybe_publish_full`."""
         return len(self._blocks_delta_names(self._meta()))
 
+    def compact_deltas(self) -> dict:
+        """LSM delta-lineage compaction: merge the K stacked delta segment
+        families into ONE delta segment each, WITHOUT touching the base —
+        cost proportional to the DELTA LINEAGE, not the corpus (the
+        round-5 alternative, :meth:`maybe_publish_full`, is an O(corpus)
+        full publish: ~76 s at the 1M curve vs ~15 s per delta, i.e. 45%
+        of a K=4 ingest loop's wall time).
+
+        The merge is read-equivalence-preserving BY CONSTRUCTION, bit for
+        bit — no recomputation from postings:
+
+        - **blocks / doclen blocks**: every delta row is the COMPLETE
+          current content of its (term, range) / range as of its segment
+          (publish_delta re-packs whole pairs), so per-key latest-wins
+          across the delta segments alone yields exactly the rows the
+          resolved read would keep anyway.  Rows retain their physical
+          ``bseg`` and ``df_then``, and the old ``block_segments`` stats
+          entries are KEPT in the meta, so the stats-drift bound
+          multiplier of every surviving row is computed against the same
+          (n_s, avgdl_s, df_then) anchor as before the merge — no
+          rescaling, no soundness argument needed.
+        - **terms / docstats deltas**: per-term / per-doc latest-wins by
+          list position, KEEPING df<=0 tombstone rows (they must continue
+          to shadow the base); the merged dir takes position 1.
+
+        Tombstones stay tombstones: a pair emptied by any delta remains an
+        n=0 row in the merged segment, still shadowing the base row.
+
+        Crash-atomic like every other publish: all four merged dirs are
+        unreferenced until the single meta commit swaps the ``*_names``
+        lists; old delta dirs are GC'd after.  Coverage sets and corpus
+        stats are unchanged (no segments enter or leave coverage).
+
+        Each family merges independently (a terms-only publish can leave
+        the narrow lineage shorter than the block lineage); families with
+        fewer than 2 segments are left alone.  Returns the merged names
+        (or ``{"merged": None}`` when nothing needed merging)."""
+        self._recover_segments()
+        meta_raw0 = self._meta_raw()
+        meta = self._meta()
+        if meta is None or "blocks_delta_names" not in meta:
+            raise ValueError(
+                "compact_deltas requires a round-5+ published store (run a"
+                " FULL publish() first)"
+            )
+        bnames = list(meta["blocks_delta_names"])
+        tnames = self._narrow_delta_names(meta)
+        if len(bnames) < 2 and len(tnames) < 2:
+            return {"merged": None, "reason": "nothing_to_merge"}
+        gen = int(meta.get("delta_merge_gen", 0)) + 1
+        seg_name = f"delta-m{gen:06d}"
+        spark = self.spark
+        out = {"merged": seg_name, "blocks": None, "narrow": None}
+
+        if len(bnames) >= 2:
+            blocks = None
+            for nm in bnames:
+                df = spark.read.parquet(
+                    os.path.join(self.base, "blocks_delta", nm)
+                )
+                blocks = df if blocks is None else blocks.unionByName(df)
+            latest = blocks.groupBy("term", "block").agg(
+                F.max("bseg").alias("bseg")
+            )
+            merged_blocks = blocks.join(latest, ["term", "block", "bseg"])
+            self._write_artifact(
+                "blocks_delta",
+                os.path.join(self.base, "blocks_delta", seg_name),
+                lambda p: (
+                    merged_blocks.write.mode("overwrite")
+                    .partitionBy("first")
+                    .parquet(p)
+                ),
+            )
+            dl = None
+            for nm in bnames:
+                df = spark.read.parquet(
+                    os.path.join(self.base, "doclen_delta", nm)
+                )
+                dl = df if dl is None else dl.unionByName(df)
+            dl_latest = dl.groupBy("block").agg(F.max("bseg").alias("bseg"))
+            merged_dl = dl.join(dl_latest, ["block", "bseg"])
+            self._write_artifact(
+                "doclen_delta",
+                os.path.join(self.base, "doclen_delta", seg_name),
+                lambda p: merged_dl.write.mode("overwrite").parquet(p),
+            )
+            out["blocks"] = len(bnames)
+
+        if len(tnames) >= 2:
+            u = None
+            for i, nm in enumerate(tnames):
+                df = (
+                    spark.read.schema(TERMS_SCHEMA)
+                    .parquet(os.path.join(self.base, "terms_delta", nm))
+                    .withColumn("tseg", F.lit(i + 1))
+                )
+                u = df if u is None else u.unionByName(df)
+            t_latest = u.groupBy("term", "first").agg(
+                F.max("tseg").alias("tseg")
+            )
+            # tombstone rows (df<=0) are KEPT: they still shadow the base
+            merged_terms = u.join(t_latest, ["term", "first", "tseg"]).drop(
+                "tseg"
+            )
+            self._write_artifact(
+                "terms_delta",
+                os.path.join(self.base, "terms_delta", seg_name),
+                lambda p: write_terms(merged_terms.drop("first"), p),
+            )
+            d = None
+            for i, nm in enumerate(tnames):
+                df = (
+                    spark.read.schema(DOCSTATS_SCHEMA)
+                    .parquet(os.path.join(self.base, "docstats_delta", nm))
+                    .withColumn("dseg", F.lit(i + 1))
+                )
+                d = df if d is None else d.unionByName(df)
+            d_latest = d.groupBy("doc_id").agg(F.max("dseg").alias("dseg"))
+            merged_ds = d.join(d_latest, ["doc_id", "dseg"]).drop("dseg")
+            self._write_artifact(
+                "docstats_delta",
+                os.path.join(self.base, "docstats_delta", seg_name),
+                lambda p: merged_ds.write.mode("overwrite").parquet(p),
+            )
+            out["narrow"] = len(tnames)
+
+        # ---- THE commit: swap the name lists; coverage/stats unchanged.
+        # Old block_segments entries are KEPT — surviving rows still carry
+        # their original bseg, and the stats join is keyed on bseg values,
+        # not segment names (a later full publish resets the dict anyway).
+        old_b, old_t = bnames, tnames
+        if out["blocks"]:
+            meta["blocks_delta_names"] = [seg_name]
+        if out["narrow"]:
+            meta["terms_delta_names"] = [seg_name]
+        meta["delta_merge_gen"] = gen
+        self._write_meta(meta, expect_raw=meta_raw0)
+        # GC the superseded per-publish dirs (unreferenced as of the
+        # commit; a crash here leaves harmless orphans)
+        if out["blocks"]:
+            for nm in old_b:
+                for kind in ("blocks_delta", "doclen_delta"):
+                    d = os.path.join(self.base, kind, nm)
+                    if os.path.isdir(d):
+                        shutil.rmtree(d)
+        if out["narrow"]:
+            for nm in old_t:
+                for kind in ("terms_delta", "docstats_delta"):
+                    d = os.path.join(self.base, kind, nm)
+                    if os.path.isdir(d):
+                        shutil.rmtree(d)
+        return out
+
     def maybe_publish_full(self, max_delta_segments: int = 4) -> Optional[dict]:
         """Delta-lineage compaction policy: run a FULL publish when the
         stacked delta-segment count passes the threshold, else None.
@@ -1061,6 +1294,28 @@ class IndexStore:
         if self.delta_segment_count() >= max_delta_segments:
             return self.publish(with_compressed=True)
         return None
+
+    def maybe_compact_lineage(
+        self, max_delta_segments: int = 4, mode: str = "full"
+    ) -> Optional[dict]:
+        """Lineage-compaction policy with a choice of mechanism once the
+        stacked delta count passes the threshold:
+
+        - ``mode="full"``: O(corpus) full publish — resets base AND delta
+          lineage (the round-5 behavior; right when the accumulated deltas
+          have touched a large fraction of the ranges anyway);
+        - ``mode="merge"``: :meth:`compact_deltas` — O(delta lineage)
+          pairwise merge, base untouched; read amplification drops to one
+          delta segment while per-compaction cost stays proportional to
+          what actually changed.  The merged segment grows monotonically
+          with the touched-range set, so long-running ingest loops should
+          still full-publish occasionally (scripts/delta_curve_1m.py
+          measures both sides)."""
+        if self.delta_segment_count() < max_delta_segments:
+            return None
+        if mode == "merge":
+            return self.compact_deltas()
+        return self.publish(with_compressed=True)
 
     def _block_segment_dirs(self, kind: str) -> List[str]:
         d = os.path.join(self.base, kind)
@@ -1110,7 +1365,7 @@ class IndexStore:
             return df
 
         blocks = with_seg(
-            spark.read.parquet(os.path.join(self.base, "blocks")), base_b
+            spark.read.parquet(self._artifact_path("blocks", meta)), base_b
         )
         for nm in names:
             # delta files carry bseg + df_then physically
@@ -1157,7 +1412,7 @@ class IndexStore:
         resolved = resolved.drop("bseg", "df_then")
 
         dl = spark.read.parquet(
-            os.path.join(self.base, "doclen_blocks")
+            self._artifact_path("doclen_blocks", meta)
         ).withColumn("bseg", F.lit(base_b).cast("long"))
         if "blocks_delta_names" in meta:
             dl_paths = [
@@ -1181,31 +1436,51 @@ class IndexStore:
         a segment committed mid-publish can only land in the artifacts
         WITHOUT being claimed covered (store stays stale, next delta picks
         it up — the conservative direction); claiming coverage the
-        artifacts don't have would be silent loss.  Full publish is not
-        crash-atomic (it rewrites the base dirs in place), but it is
-        crash-SAFE: the meta commit comes last, so a crash mid-publish
-        leaves the old meta, the store reads as stale, and every reader
-        falls back to live derivation until the publish is retried.  A full
-        publish also resets the delta lineage (all four delta families
-        deleted, ``*_delta_names`` emptied) — it IS the delta compaction."""
+        artifacts don't have would be silent loss.
+
+        CRASH-ATOMIC (round 6): every artifact is written to a fresh
+        VERSIONED directory (``terms-v<N>`` ...) that readers ignore until
+        the single atomic meta commit names it in ``artifact_dirs`` — the
+        same unreferenced-until-commit pattern as the delta segments.  The
+        round-5 in-place rewrite was only crash-SAFE when the publish
+        covered NEW segments (store read as stale, readers derived live);
+        when coverage was already complete — exactly the
+        :meth:`maybe_publish_full` lineage-compaction path ``cli ingest``
+        auto-runs — a crash mid-rewrite left ``blocks_stale() == False``
+        over a half-written base dir, serving corrupt blocks as fresh.
+        Superseded versions (and the retired delta families) are deleted
+        only AFTER the commit — pure GC, re-swept by the next publish.  A
+        full publish also resets the delta lineage (``*_delta_names``
+        emptied) — it IS the delta compaction."""
         self._recover_segments()
         meta_raw0 = self._meta_raw()  # optimistic-concurrency baseline
+        old = self._meta()
+        ver = int((old or {}).get("publish_version", 0)) + 1
+        names = {k: f"{k}-v{ver:06d}" for k in ("terms", "docstats")}
         rows = [r for r in self.ledger() if r["status"] == "done"]
         cov = sorted({r["seq"] for r in rows if r.get("seq") is not None})
         postings = self._compacted(self._postings_for_rows(rows))
         terms = index_build.build_terms(postings)
         docstats = index_build.docstats_from_postings(postings)
-        write_terms(terms, os.path.join(self.base, "terms"))
-        docstats.write.mode("overwrite").parquet(os.path.join(self.base, "docstats"))
+        self._write_artifact(
+            "terms",
+            os.path.join(self.base, names["terms"]),
+            lambda p: write_terms(terms, p),
+        )
+        self._write_artifact(
+            "docstats",
+            os.path.join(self.base, names["docstats"]),
+            lambda p: docstats.write.mode("overwrite").parquet(p),
+        )
         max_seq = max(cov, default=-1)
         info = {
             "segments": len(rows),
-            "terms_path": os.path.join(self.base, "terms"),
-            "docstats_path": os.path.join(self.base, "docstats"),
+            "terms_path": os.path.join(self.base, names["terms"]),
+            "docstats_path": os.path.join(self.base, names["docstats"]),
             "max_seq": max_seq,
         }
         ds = self.spark.read.schema(DOCSTATS_SCHEMA).parquet(
-            os.path.join(self.base, "docstats")
+            os.path.join(self.base, names["docstats"])
         )
         srow = ds.agg(
             F.count("*").alias("n"), F.sum("doc_len").alias("s")
@@ -1217,9 +1492,11 @@ class IndexStore:
             "covered_seqs": cov,
             "terms_delta_names": [],
             "corpus_stats": {"n": n, "sum_dl": sum_dl},
+            "publish_version": ver,
         }
-        old = self._meta()
         if with_compressed:
+            names["blocks"] = f"blocks-v{ver:06d}"
+            names["doclen_blocks"] = f"doclen_blocks-v{ver:06d}"
             if doc_span is None:
                 doc_span = self._auto_doc_span(ds, n)
             from ..operators import codec
@@ -1232,23 +1509,33 @@ class IndexStore:
             # W-term query reads only its leading directories.  df_then
             # stamps each row with its build-time df — the anchor for the
             # delta-publish stats-drift bound (wand_tables)
-            (
-                comp.join(
-                    F.broadcast(
-                        terms.select("term", F.col("df").alias("df_then"))
-                    ),
-                    "term",
-                    "left",
-                )
-                .withColumn("first", F.substring("term", 1, 1))
-                .write.mode("overwrite")
-                .partitionBy("first")
-                .parquet(os.path.join(self.base, "blocks"))
+            self._write_artifact(
+                "blocks",
+                os.path.join(self.base, names["blocks"]),
+                lambda p: (
+                    comp.join(
+                        F.broadcast(
+                            terms.select("term", F.col("df").alias("df_then"))
+                        ),
+                        "term",
+                        "left",
+                    )
+                    .withColumn("first", F.substring("term", 1, 1))
+                    .write.mode("overwrite")
+                    .partitionBy("first")
+                    .parquet(p)
+                ),
             )
             dlb = codec.build_doclen_blocks(ds, doc_span=doc_span)
-            dlb.write.mode("overwrite").parquet(os.path.join(self.base, "doclen_blocks"))
-            info["blocks_path"] = os.path.join(self.base, "blocks")
-            info["doclen_blocks_path"] = os.path.join(self.base, "doclen_blocks")
+            self._write_artifact(
+                "doclen_blocks",
+                os.path.join(self.base, names["doclen_blocks"]),
+                lambda p: dlb.write.mode("overwrite").parquet(p),
+            )
+            info["blocks_path"] = os.path.join(self.base, names["blocks"])
+            info["doclen_blocks_path"] = os.path.join(
+                self.base, names["doclen_blocks"]
+            )
             info["doc_span"] = int(doc_span)
             meta["doc_span"] = int(doc_span)
             meta["blocks_max_seq"] = max_seq
@@ -1262,7 +1549,8 @@ class IndexStore:
             }
         elif old is not None and "blocks_max_seq" in old:
             # terms/docstats-only publish: carry the block family's stamps
-            # unchanged (they still describe the OLD block snapshot)
+            # AND its current (possibly versioned) directories unchanged —
+            # they still describe the OLD block snapshot
             meta["doc_span"] = old.get("doc_span")
             meta["blocks_max_seq"] = old["blocks_max_seq"]
             if "blocks_covered_seqs" in old:
@@ -1271,10 +1559,13 @@ class IndexStore:
                 meta["block_segments"] = old["block_segments"]
             if "blocks_delta_names" in old:
                 meta["blocks_delta_names"] = old["blocks_delta_names"]
+            for k in ("blocks", "doclen_blocks"):
+                names[k] = ((old.get("artifact_dirs") or {}).get(k, k))
+        meta["artifact_dirs"] = names
         self._write_meta(meta, expect_raw=meta_raw0)  # the commit point
-        # retired delta dirs are unreferenced as of the commit; deleting
-        # them after is pure GC (a crash in between leaves harmless orphans
-        # the next delta publish overwrites)
+        # retired delta dirs and superseded base versions are unreferenced
+        # as of the commit; deleting them after is pure GC (a crash in
+        # between leaves harmless orphans the next publish sweeps)
         gc_kinds = ["terms_delta", "docstats_delta"]
         if with_compressed:
             gc_kinds += ["blocks_delta", "doclen_delta"]
@@ -1282,6 +1573,7 @@ class IndexStore:
             d = os.path.join(self.base, kind)
             if os.path.isdir(d):
                 shutil.rmtree(d)
+        self._gc_unreferenced_base(meta)
         return info
 
     def _cur_max_seq(self) -> int:

@@ -121,6 +121,21 @@ def main() -> int:
     big_delta_s = time.perf_counter() - t0
     assert_exact()
 
+    # round 6: LSM pairwise merge vs the O(corpus) full publish as the
+    # lineage-compaction mechanism.  compact_deltas merges the K stacked
+    # delta families into one (latest-wins materialization, base
+    # untouched) — expect cost proportional to the DELTA LINEAGE (the
+    # ~K*1000+10000 updated docs' blocks), nowhere near full_publish_sec,
+    # with warm WAND dropping back to ~the K=1 latency and exactness
+    # preserved bit-for-bit.
+    wand_before_merge = wand_median3()
+    k_before = store.delta_segment_count()
+    t0 = time.perf_counter()
+    merged = store.compact_deltas()
+    merge_s = time.perf_counter() - t0
+    wand_after_merge = wand_median3()
+    assert_exact()
+
     print(json.dumps({
         "n_docs": 1_000_000,
         "update_docs_per_round": 1000,
@@ -129,6 +144,15 @@ def main() -> int:
         "big_delta": {
             "updated_docs": 10_000,
             "publish_delta_sec": round(big_delta_s, 2),
+            "exact_vs_exhaustive": True,
+        },
+        "compact_deltas": {
+            "merged_segments": k_before,
+            "merged_name": merged["merged"],
+            "compact_sec": round(merge_s, 2),
+            "full_publish_sec_for_reference": round(full_publish_s, 2),
+            "wand_warm_sec_before": wand_before_merge,
+            "wand_warm_sec_after": wand_after_merge,
             "exact_vs_exhaustive": True,
         },
     }))

@@ -70,7 +70,7 @@ def test_delta_publish_exact_across_rounds(spark, tmp_path):
     # the vanished term is tombstoned (df=0 delta row) — resolved reader
     # drops it, while the BASE terms dir is untouched (delta-proportional)
     assert store.published_terms().filter(F.col("term") == "unicorn").count() == 0
-    base_terms = spark.read.parquet(os.path.join(store.base, "terms"))
+    base_terms = spark.read.parquet(store._artifact_path("terms"))
     assert base_terms.filter(F.col("term") == "unicorn").count() == 1
     n1, _ = _assert_wand_matches_exhaustive(
         spark, store, ["common", "unicorn", "number3"]
@@ -134,11 +134,11 @@ def test_wand_tables_base_only_passthrough(spark, tmp_path):
         "seg-0000", _df(spark, [(i, f"plain words {i % 5}") for i in range(40)])
     )
     store.publish(doc_span=16)
-    terms = spark.read.parquet(os.path.join(store.base, "terms"))
-    docstats = spark.read.parquet(os.path.join(store.base, "docstats"))
+    terms = spark.read.parquet(store._artifact_path("terms"))
+    docstats = spark.read.parquet(store._artifact_path("docstats"))
     n, avgdl = bm25.corpus_stats(docstats)
     comp, dlb = store.wand_tables(terms, n, avgdl)
-    raw = spark.read.parquet(os.path.join(store.base, "blocks"))
+    raw = spark.read.parquet(store._artifact_path("blocks"))
     got = {
         (r.term, r.block, round(r.block_max, 9)) for r in comp.collect()
     }
@@ -147,7 +147,7 @@ def test_wand_tables_base_only_passthrough(spark, tmp_path):
     }
     assert got == want
     assert dlb.count() == spark.read.parquet(
-        os.path.join(store.base, "doclen_blocks")
+        store._artifact_path("doclen_blocks")
     ).count()
 
 
@@ -162,8 +162,8 @@ def test_delta_blocks_first_char_pruned(spark, tmp_path):
     store.publish(doc_span=16)
     store.write_segment("seg-0001", _df(spark, [(2, "alpha delta changed")]))
     store.publish_delta()
-    terms = spark.read.parquet(os.path.join(store.base, "terms"))
-    docstats = spark.read.parquet(os.path.join(store.base, "docstats"))
+    terms = spark.read.parquet(store._artifact_path("terms"))
+    docstats = spark.read.parquet(store._artifact_path("docstats"))
     n, avgdl = bm25.corpus_stats(docstats)
     comp, _dlb = store.wand_tables(terms, n, avgdl)
     plan = (

@@ -75,6 +75,7 @@ class InjectedCrash(Exception):
 
 
 @pytest.mark.spark
+@pytest.mark.slow
 def test_publish_delta_crash_retry_idempotent(spark, tmp_path, monkeypatch):
     """Kill matrix: publish_delta dies after each of its four artifact
     writes and once just before the meta commit; after every kill the
@@ -333,6 +334,7 @@ def test_published_terms_first_char_pruned_across_segments(spark, tmp_path):
 
 
 @pytest.mark.spark
+@pytest.mark.slow
 def test_randomized_schedules_converge_to_full_publish(spark, tmp_path):
     """Schedule fuzz for the whole publish machinery: random interleavings
     of new-doc ingests, overlapping-doc updates, LATE low-seq commits
@@ -439,6 +441,7 @@ def test_randomized_schedules_converge_to_full_publish(spark, tmp_path):
 
 
 @pytest.mark.spark
+@pytest.mark.slow
 def test_streaming_ingest_then_delta_publish(spark, tmp_path):
     """Integration of the two incremental paths: Structured-Streaming
     micro-batches land as ledger segments, a full publish covers them, a
