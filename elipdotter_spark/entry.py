@@ -837,6 +837,60 @@ def q_zipf_delta_wand(spark, sf_dir):
     return topk.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def q_zipf_merged_wand(spark, sf_dir):
+    """LSM delta-merge cross-engine gate: base Zipf store -> full publish ->
+    TWO OVERLAPPING delta publishes (docs 0..39 -> 'w1 w1 w999', then docs
+    20..59 -> 'w3 w999 w999') -> ``compact_deltas()`` merges each delta
+    segment family into one by per-key latest-wins WITHOUT touching base ->
+    WAND through the MERGED store must equal the exhaustive DuckDB BM25
+    top-20 on the post-update corpus (docs 0..19 = first update, 20..59 =
+    second, >=60 = original) with CURRENT stats.  The overlap (20..39 is
+    rewritten by BOTH deltas) exercises cross-delta latest-wins, re-packed
+    pairs whose delta-1 rows must be shadowed by delta-2, tombstones
+    surviving the merge, and the stats-drift bounds computed against the
+    rows' original (bseg, df_then) anchors after the physical merge."""
+    import tempfile
+
+    from .sources.catalog import IndexStore
+
+    key = f"zipf_merged_store:{_spark_key(spark)}"
+    if key not in _CACHE:
+        import atexit
+        import shutil as _shutil
+
+        work = tempfile.mkdtemp(prefix="zipf_merged_gate_")
+        atexit.register(_shutil.rmtree, work, ignore_errors=True)
+        store = IndexStore(spark, work)
+        store.write_segment("seg-base", _zipf_tables(spark)["docs"])
+        store.publish(doc_span=16)
+        upd1 = spark.createDataFrame(
+            [(i, "w1 w1 w999") for i in range(40)], "doc_id long, text string"
+        )
+        store.write_segment("seg-upd1", upd1)
+        info1 = store.publish_delta()
+        assert info1["delta"] is not None
+        upd2 = spark.createDataFrame(
+            [(i, "w3 w999 w999") for i in range(20, 60)],
+            "doc_id long, text string",
+        )
+        store.write_segment("seg-upd2", upd2)
+        info2 = store.publish_delta()
+        assert info2["delta"] is not None
+        merged = store.compact_deltas()
+        assert merged["merged"] is not None
+        _CACHE[key] = {"store": store, "_scratch_dirs": [work]}
+    store = _CACHE[key]["store"]
+    terms = store.published_terms()
+    n, avgdl = store.corpus_stats()
+    comp, dlb = store.wand_tables(terms, n, avgdl)
+    from .operators import codec
+
+    topk = codec.bm25_topk_wand(
+        comp, dlb, terms, ["w1", "w999", "w3"], 20, n, avgdl
+    )
+    return topk.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def q_mm_decode_meta(spark, sf_dir):
     """REAL multimodal decode (stdlib BMP/WAV header parsers): payloads are
     actual encoded bytes whose parameters are arithmetic in doc_id, so the
@@ -946,6 +1000,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_bm25_compressed": q_zipf_bm25_compressed,
         "zipf_bm25_wand": q_zipf_bm25_wand,
         "zipf_delta_wand": q_zipf_delta_wand,
+        "zipf_merged_wand": q_zipf_merged_wand,
     }
 
 
@@ -1668,6 +1723,41 @@ def oracle_sql() -> Dict[str, str]:
                 SELECT doc_id, term
                 FROM (SELECT unnest(range(40)) AS doc_id)
                 CROSS JOIN (SELECT unnest(['w1', 'w1', 'w999']) AS term)
+            ),
+            ztf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                    FROM ztok2 GROUP BY doc_id, term),
+            zdl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+                    FROM ztok2 GROUP BY doc_id),
+            zstats AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM zdl),
+            zdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM ztf GROUP BY term)
+            SELECT doc_id, round(score, 6) AS score FROM (
+                SELECT ztf.doc_id,
+                       sum(
+                         ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                         * tf * (1.2 + 1.0)
+                         / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                       ) AS score
+                FROM ztf
+                JOIN zdf USING (term)
+                JOIN zdl USING (doc_id)
+                CROSS JOIN zstats
+                WHERE term IN ('w1', 'w999', 'w3')
+                GROUP BY ztf.doc_id
+                ORDER BY score DESC, doc_id ASC LIMIT 20
+            )
+        """,
+        "zipf_merged_wand": f"""
+            WITH {ZIPF_TOKS_SQL},
+            ztok2 AS (
+                SELECT doc_id, term FROM ztok WHERE doc_id >= 60
+                UNION ALL
+                SELECT doc_id, term
+                FROM (SELECT unnest(range(20)) AS doc_id)
+                CROSS JOIN (SELECT unnest(['w1', 'w1', 'w999']) AS term)
+                UNION ALL
+                SELECT doc_id + 20 AS doc_id, term
+                FROM (SELECT unnest(range(40)) AS doc_id)
+                CROSS JOIN (SELECT unnest(['w3', 'w999', 'w999']) AS term)
             ),
             ztf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
                     FROM ztok2 GROUP BY doc_id, term),
