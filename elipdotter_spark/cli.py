@@ -80,6 +80,13 @@ def cmd_ingest(args) -> int:
                 "publish_mode": mode,
                 "delta": info.get("delta") if mode == "delta" else None,
                 "compacted_lineage": compacted is not None,
+                # auto mode picks merge vs full from the measured
+                # delta/base byte ratio; report which it chose
+                "compaction_mechanism": (
+                    None
+                    if compacted is None
+                    else ("merge" if "merged" in compacted else "full")
+                ),
             }
         )
     )
@@ -309,11 +316,14 @@ def main(argv=None) -> int:
                    help="compact the delta lineage past this many "
                         "stacked delta segments (read-amplification bound; "
                         "default from the BENCH.md latency-vs-K curve)")
-    i.add_argument("--compaction", default="full", choices=["full", "merge"],
+    i.add_argument("--compaction", default="full",
+                   choices=["full", "merge", "auto"],
                    help="lineage compaction mechanism: 'full' republishes "
                         "the whole corpus (resets base+deltas); 'merge' "
                         "pairwise-merges the delta segments only — "
-                        "O(delta) instead of O(corpus), base untouched")
+                        "O(delta) instead of O(corpus), base untouched; "
+                        "'auto' merges while delta bytes < half the base "
+                        "and full-publishes past that (zero-job fs probe)")
     i.set_defaults(fn=cmd_ingest)
 
     c = sub.add_parser("clean")

@@ -61,7 +61,7 @@ import json
 import os
 import shutil
 import time
-from typing import List, Optional, Set
+from typing import List, Optional, Set, Tuple
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -1123,6 +1123,37 @@ class IndexStore:
         compaction-policy signal for :meth:`maybe_publish_full`."""
         return len(self._blocks_delta_names(self._meta()))
 
+    def lineage_bytes(self) -> Tuple[int, int]:
+        """``(delta_bytes, base_bytes)`` of the published BLOCK artifacts on
+        disk — the adaptive-compaction signal.  Pure filesystem metadata
+        (no Spark jobs): delta bytes sum the meta-named
+        ``blocks_delta``/``doclen_delta`` segment dirs, base bytes the
+        meta-resolved ``blocks``/``doclen_blocks`` dirs.  On-disk size is
+        the right proxy on a real cluster too (object-store LIST carries
+        sizes): the resolve-time union cost AND the next merge's cost are
+        both proportional to delta bytes, while full-publish cost is
+        proportional to base bytes."""
+
+        def du(path: str) -> int:
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+            return total
+
+        meta = self._meta()
+        delta_b = 0
+        for nm in self._blocks_delta_names(meta):
+            for kind in ("blocks_delta", "doclen_delta"):
+                delta_b += du(os.path.join(self.base, kind, nm))
+        base_b = du(self._artifact_path("blocks", meta)) + du(
+            self._artifact_path("doclen_blocks", meta)
+        )
+        return delta_b, base_b
+
     def compact_deltas(self) -> dict:
         """LSM delta-lineage compaction: merge the K stacked delta segment
         families into ONE delta segment each, WITHOUT touching the base —
@@ -1296,7 +1327,10 @@ class IndexStore:
         return None
 
     def maybe_compact_lineage(
-        self, max_delta_segments: int = 4, mode: str = "full"
+        self,
+        max_delta_segments: int = 4,
+        mode: str = "full",
+        auto_full_fraction: float = 0.5,
     ) -> Optional[dict]:
         """Lineage-compaction policy with a choice of mechanism once the
         stacked delta count passes the threshold:
@@ -1310,9 +1344,31 @@ class IndexStore:
           what actually changed.  The merged segment grows monotonically
           with the touched-range set, so long-running ingest loops should
           still full-publish occasionally (scripts/delta_curve_1m.py
-          measures both sides)."""
+          measures both sides);
+        - ``mode="auto"``: merge while the delta lineage is small, full
+          publish once ``delta_bytes >= auto_full_fraction * base_bytes``
+          (:meth:`lineage_bytes`, a zero-job filesystem probe).  Rationale
+          from the measured 1M curve (BENCH.md round 6): a merge is ~12x
+          cheaper than a full publish and resets read amplification to
+          base+1 segment, but the merged segment only ever grows — once
+          its bytes rival the base's, every resolve-time union pays ~2x
+          the base read cost FOREVER, while one full publish (whose cost
+          has not grown) resets that to 1x and empties the lineage.  The
+          default 0.5 caps resolve overhead at ~1.5x base while keeping
+          full publishes rare on localized-update workloads (they trigger
+          only after updates have touched ~a third of the corpus by
+          volume).  Caveat: on TOY stores per-file parquet overhead
+          dominates the byte probe (a 2-doc delta can out-weigh a 60-doc
+          base on disk), so auto may full-publish early — harmless there
+          (full is cheap at that size); the ratio is meaningful from
+          ~MBs upward."""
         if self.delta_segment_count() < max_delta_segments:
             return None
+        if mode == "auto":
+            delta_b, base_b = self.lineage_bytes()
+            mode = (
+                "full" if delta_b >= auto_full_fraction * base_b else "merge"
+            )
         if mode == "merge":
             return self.compact_deltas()
         return self.publish(with_compressed=True)

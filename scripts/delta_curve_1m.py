@@ -130,10 +130,12 @@ def main() -> int:
     # preserved bit-for-bit.
     wand_before_merge = wand_median3()
     k_before = store.delta_segment_count()
+    bytes_before = store.lineage_bytes()
     t0 = time.perf_counter()
     merged = store.compact_deltas()
     merge_s = time.perf_counter() - t0
     wand_after_merge = wand_median3()
+    bytes_after = store.lineage_bytes()
     assert_exact()
 
     print(json.dumps({
@@ -154,6 +156,22 @@ def main() -> int:
             "wand_warm_sec_before": wand_before_merge,
             "wand_warm_sec_after": wand_after_merge,
             "exact_vs_exhaustive": True,
+        },
+        # the `--compaction auto` signal at real size: on-disk delta/base
+        # byte ratio before and after the merge (zero-job fs probe) — the
+        # default auto_full_fraction=0.5 should read this workload
+        # (K*1000+10000 touched docs of 1M) as firmly in merge territory
+        "lineage_bytes": {
+            "before_merge": {
+                "delta": bytes_before[0],
+                "base": bytes_before[1],
+                "ratio": round(bytes_before[0] / max(1, bytes_before[1]), 4),
+            },
+            "after_merge": {
+                "delta": bytes_after[0],
+                "base": bytes_after[1],
+                "ratio": round(bytes_after[0] / max(1, bytes_after[1]), 4),
+            },
         },
     }))
     spark.stop()
