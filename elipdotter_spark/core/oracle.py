@@ -487,10 +487,30 @@ class _MergeProximate:
         return v
 
     def _drop_next(self):
-        try:
-            next(self)
-        except StopIteration:
-            pass
+        # Consume-and-discard the rest of the merge chain.  The reference
+        # recurses (src/query.rs:387-431: the dropped ``next()`` call merges
+        # its own follower and drops again); recursion depth there equals the
+        # chain length, which Rust's stack absorbs but Python's 1000-frame
+        # limit does not — a doc repeating one word ~500+ times within the
+        # session distance (spam pages) overflowed here.  This loop is the
+        # recursion unrolled: each level consumed one element and recursed
+        # while the NEXT consecutive pair stayed in-doc and within threshold;
+        # every inner merge mutates only already-discarded hits (the outer
+        # ``v.merge(peeked)`` copied peeked's occurrences before we run), so
+        # skipping those merges is unobservable — emitted hits are
+        # bit-identical to the recursive form (tests/test_core_merge.py).
+        prev = self._next_inner()
+        if prev is None:
+            return
+        while True:
+            nxt = self._peeked()
+            if (
+                nxt is None
+                or nxt.doc_id != prev.doc_id
+                or abs(prev.start - nxt.start) > self.distance_threshold
+            ):
+                return
+            prev = self._next_inner()
 
 
 def _hit_matches(a: Hit, b: Hit) -> int:
