@@ -27,6 +27,28 @@ N_BANDS = 4
 ROWS_PER_BAND = N_MINHASH // N_BANDS
 
 
+def _persistent_rdd_ids(spark) -> set:
+    """Ids of every currently-persisted RDD (includes localCheckpoint
+    blocks, which DataFrame.unpersist cannot reach)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+def _unpersist_rdd_ids(spark, ids) -> None:
+    """Release persisted RDDs by id — the only handle PySpark offers for a
+    ``localCheckpoint``'s storage (the checkpoint RDD is internal to the
+    returned Dataset; without this it stays in executor block storage
+    until JVM GC collects the Dataset, i.e. nondeterministically)."""
+    if not ids:
+        return
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    it = jmap.entrySet().iterator()
+    while it.hasNext():
+        e = it.next()
+        if int(e.getKey()) in ids:
+            e.getValue().unpersist(False)
+
+
 def poly_hash(col, seed):
     """fold (acc*131 + codepoint) % (2^31-1), acc0 = seed — JVM-side."""
     init = seed.cast("long") if hasattr(seed, "cast") else F.lit(seed).cast("long")
@@ -349,16 +371,38 @@ def connected_components(
 
     spark = pairs.sparkSession
     rnd = [0]
+    # local mode: (round, rdd-ids) per localCheckpoint, so superseded
+    # rounds' executor blocks are RELEASED as the loop advances — the
+    # checkpoint RDDs otherwise stay persisted until JVM GC happens to
+    # collect the Dataset (nondeterministic, and k rounds of doc-count-
+    # sized label tables held at once is a real cost at scale); round -1
+    # marks the edges table, which every round joins (dropped only at exit)
+    local_ckpts = []
 
-    def persist(df: DataFrame, tag: str) -> DataFrame:
+    def persist(df: DataFrame, tag: str, round_no: int = None) -> DataFrame:
         if checkpoint_dir is None:
-            return df.localCheckpoint()
+            before = _persistent_rdd_ids(spark)
+            out = df.localCheckpoint()
+            local_ckpts.append(
+                (rnd[0] if round_no is None else round_no,
+                 _persistent_rdd_ids(spark) - before)
+            )
+            return out
         path = os.path.join(checkpoint_dir, f"cc-{rnd[0]:04d}-{tag}")
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 
     def drop_rounds(upto_exclusive: int) -> None:
-        if checkpoint_dir is None or not os.path.isdir(checkpoint_dir):
+        if checkpoint_dir is None:
+            kept = []
+            for r, ids in local_ckpts:
+                if 0 <= r < upto_exclusive:
+                    _unpersist_rdd_ids(spark, ids)
+                else:
+                    kept.append((r, ids))
+            local_ckpts[:] = kept
+            return
+        if not os.path.isdir(checkpoint_dir):
             return
         for name in os.listdir(checkpoint_dir):
             if not name.startswith("cc-"):
@@ -369,6 +413,18 @@ def connected_components(
                 continue
             if n < upto_exclusive:
                 shutil.rmtree(os.path.join(checkpoint_dir, name))
+
+    def finish(labels: DataFrame) -> DataFrame:
+        # release every internal checkpoint except the one backing the
+        # returned labels; expose that last one's ids so compositions
+        # (clean_corpus) can release it too once they've materialized
+        # their own result
+        if checkpoint_dir is None and local_ckpts:
+            final_ids = local_ckpts[-1][1]
+            for _r, ids in local_ckpts[:-1]:
+                _unpersist_rdd_ids(spark, ids - final_ids)
+            labels._local_ckpt_ids = final_ids
+        return labels
 
     edges = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
@@ -382,7 +438,7 @@ def connected_components(
     # clean_corpus composition).  The "edges" name sits outside the
     # "cc-<round>" namespace, so drop_rounds leaves it for the whole loop.
     if checkpoint_dir is None:
-        edges = edges.localCheckpoint()
+        edges = persist(edges, "edges", round_no=-1)
     else:
         path = os.path.join(checkpoint_dir, "edges")
         edges.write.mode("overwrite").parquet(path)
@@ -432,7 +488,7 @@ def connected_components(
         # this round's "new" is durable: every earlier round is superseded
         drop_rounds(rnd[0])
         if changed == 0:
-            return labels
+            return finish(labels)
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds — "
         "raise max_iters (expected O(log n) with pointer jumping)"
@@ -577,7 +633,10 @@ def clean_corpus(
     cleaned = canonical_docs(keep, comps).localCheckpoint()
     if stats is not None:
         stats["after_near_dedup"] = cleaned.count()
-    toks_keep.unpersist()
-    toks.unpersist()
-    keep.unpersist()
+    toks_keep.unpersist(True)
+    toks.unpersist(True)
+    keep.unpersist(True)
+    # the component labels' final localCheckpoint is baked into `cleaned`
+    # now — release its executor blocks instead of leaving them to JVM GC
+    _unpersist_rdd_ids(docs.sparkSession, getattr(comps, "_local_ckpt_ids", None))
     return cleaned
