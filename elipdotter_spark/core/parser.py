@@ -116,9 +116,20 @@ class UnexpectedParentheses(ParseError):
     pass
 
 
+class TooDeeplyNested(ParseError):
+    """Python-runtime bound, not a reference rule: the reference's native
+    stack absorbs arbitrarily deep ``(`` nesting, but every recursive AST
+    walk downstream of the parser (plan compile, ``oracle.iter_nodes``)
+    would overflow Python's interpreter stack past ~1000 frames.  Capping
+    here turns an interpreter crash on adversarial input into a clean,
+    catchable rejection; no realistic query nests past double digits."""
+
+
 # ---------------------------------------------------------------- ops / rules
 
 AND, OR, NOT = "and", "or", "not"
+
+MAX_NESTING = 256  # see TooDeeplyNested
 
 
 def _is_whitespace(c: str) -> bool:
@@ -214,9 +225,10 @@ def _default_rules():
 class _Parser:
     """Port of ``query::parse::Parser`` (src/query.rs:751-950)."""
 
-    def __init__(self):
+    def __init__(self, depth: int = 0):
         self.sub: Optional[_Parser] = None
         self.sub_layer = 0
+        self.depth = depth
         self.left: Optional[Part] = None
         self.left_group_explicit = False
         self.string = ""
@@ -249,20 +261,31 @@ class _Parser:
         return part
 
     def next(self, rules, rest: str) -> int:
-        if self.sub is not None:
+        # walk the sub-parser chain iteratively — the reference delegates
+        # recursively (src/query.rs:793-812), which in Python costs
+        # O(nesting depth) stack frames PER INPUT CHARACTER and overflows
+        # the interpreter past ~1000 deep; this loop performs the same
+        # node-by-node bookkeeping in the same outer-to-inner order
+        node = self
+        while node.sub is not None:
             if rest.startswith("("):
-                self.sub_layer += 1
+                node.sub_layer += 1
             if rest.startswith(")"):
-                self.sub_layer -= 1
-                if self.sub_layer == 0:
-                    parenthesis = self.sub.finish()
-                    self.finish_part(self.old_op, parenthesis)
-                    self.sub = None
-                    self.left_group_explicit = True
+                node.sub_layer -= 1
+                if node.sub_layer == 0:
+                    parenthesis = node.sub.finish()
+                    node.finish_part(node.old_op, parenthesis)
+                    node.sub = None
+                    node.left_group_explicit = True
                     return 1
-            return self.sub.next(rules, rest)
+            node = node.sub
+        return node._next_leaf(rules, rest)
+
+    def _next_leaf(self, rules, rest: str) -> int:
         if rest.startswith("("):
-            self.sub = _Parser()
+            if self.depth + 1 > MAX_NESTING:
+                raise TooDeeplyNested()
+            self.sub = _Parser(self.depth + 1)
             self.sub_layer += 1
             return 1
 

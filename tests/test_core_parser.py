@@ -149,3 +149,20 @@ def test_parse_non_alphanumeral():
 def test_parse_display_roundtrip(q):
     p = parse(q)
     assert ast_eq(p, parse(str(p)))
+
+
+def test_parse_deep_nesting_iterative_and_capped():
+    # the sub-parser chain is walked iteratively (the reference recurses;
+    # per-char O(depth) Python frames overflowed at ~1000 deep), and depth
+    # past MAX_NESTING is a clean ParseError — not a RecursionError — so
+    # adversarial input can't crash the query surface or the recursive
+    # AST walks downstream
+    from elipdotter_spark.core.parser import MAX_NESTING, TooDeeplyNested
+
+    d = MAX_NESTING
+    assert ast_eq(parse("(" * d + "hello world" + ")" * d),
+                  parse("hello world"))
+    with pytest.raises(TooDeeplyNested):
+        parse("(" * (d + 1) + "x" + ")" * (d + 1))
+    with pytest.raises(TooDeeplyNested):
+        parse("(" * 5000 + "x" + ")" * 5000)
