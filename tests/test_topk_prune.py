@@ -200,3 +200,21 @@ def test_topk_prune_mixed_gap_sum_bound(spark):
     assert stats["kernel_docs"] <= 10, stats
     rows = engine.topk("alpha beta gamma", 1000, 3).collect()
     assert all(r.doc_id >= 300 for r in rows), [r.doc_id for r in rows]
+
+
+@pytest.mark.spark
+def test_topk_spam_doc_long_merge_chain(spark):
+    # ~1500 same-word repeats within the session distance in ONE doc: the
+    # whole doc is a single merge chain through the Arrow kernel.  The
+    # recursive chain drop overflowed Python's stack inside the UDF worker
+    # on this shape (spam pages); the iterative rewrite must emit exactly
+    # the chain head per doc, bit-identically pruned vs unpruned.
+    corpus = [
+        ("spam", "spam " * 1500),
+        ("mixed", ("spam ham " * 400) + "tail"),
+        ("normal", "ham and eggs with a little spam on the side"),
+    ]
+    engine = make_engine(spark, corpus, 1.0, EXACT, 2500)
+    for qstr in ("spam", "spam ham", "spam -eggs"):
+        for k in (1, 3):
+            assert_topk_equivalent(engine, qstr, 100, k)
