@@ -118,11 +118,16 @@ class UnexpectedParentheses(ParseError):
 
 class TooDeeplyNested(ParseError):
     """Python-runtime bound, not a reference rule: the reference's native
-    stack absorbs arbitrarily deep ``(`` nesting, but every recursive AST
-    walk downstream of the parser (plan compile, ``oracle.iter_nodes``)
-    would overflow Python's interpreter stack past ~1000 frames.  Capping
-    here turns an interpreter crash on adversarial input into a clean,
-    catchable rejection; no realistic query nests past double digits."""
+    stack absorbs arbitrarily deep queries, but every recursive AST walk
+    downstream of the parser (``__str__``, ``ast_eq``, plan compile,
+    ``oracle.iter_nodes``) overflows Python's interpreter stack —
+    ``str()`` dies at ~400 levels.  Depth comes from ``(`` nesting AND
+    from flat word chains (``w1 w2 ... w300`` is a ~300-deep left-deep
+    AND), so :func:`parse` caps both: parser sub-chain depth at
+    ``MAX_NESTING`` during the scan, and the finished AST's depth at
+    ``MAX_NESTING`` measured iteratively.  A crash on adversarial input
+    becomes a clean, catchable rejection; no realistic query comes close
+    to 256 words, let alone 256 nesting levels."""
 
 
 # ---------------------------------------------------------------- ops / rules
@@ -384,6 +389,25 @@ def rules_with(extra_literals=(), extra_not_prefixes=()):
     )
 
 
+def _ast_depth(part: Part) -> int:
+    """Max node depth, computed with an explicit stack (works on ASTs far
+    deeper than any recursive walk could survive)."""
+    stack = [(part, 1)]
+    mx = 1
+    while stack:
+        p, d = stack.pop()
+        if d > mx:
+            mx = d
+        for child in (
+            getattr(p, "left", None),
+            getattr(p, "right", None),
+            getattr(p, "part", None),
+        ):
+            if child is not None:
+                stack.append((child, d + 1))
+    return mx
+
+
 def parse(s: str, rules=None) -> Part:
     """Parse a query string (src/query.rs:715-741) with the default or a
     custom rule chain."""
@@ -396,7 +420,11 @@ def parse(s: str, rules=None) -> Part:
     while True:
         advance = parser.next(rules, rest)
         if advance >= len(rest):
-            return parser.finish()
+            break
         rest = rest[advance:]
         if not rest:
-            return parser.finish()
+            break
+    out = parser.finish()
+    if _ast_depth(out) > MAX_NESTING:
+        raise TooDeeplyNested()
+    return out

@@ -166,3 +166,16 @@ def test_parse_deep_nesting_iterative_and_capped():
         parse("(" * (d + 1) + "x" + ")" * (d + 1))
     with pytest.raises(TooDeeplyNested):
         parse("(" * 5000 + "x" + ")" * 5000)
+
+
+def test_parse_flat_chain_depth_capped():
+    # depth also comes from flat word chains (left-deep AND); past
+    # MAX_NESTING every downstream recursive walk (str, ast_eq,
+    # iter_nodes, compile) would overflow — parse rejects cleanly instead
+    from elipdotter_spark.core.parser import MAX_NESTING, TooDeeplyNested
+
+    ok = " ".join(f"w{i}" for i in range(MAX_NESTING))
+    p = parse(ok)
+    assert ast_eq(p, parse(str(p)))  # all walkers survive at the cap
+    with pytest.raises(TooDeeplyNested):
+        parse(" ".join(f"w{i}" for i in range(3000)))
