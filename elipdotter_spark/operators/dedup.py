@@ -489,6 +489,11 @@ def connected_components(
         drop_rounds(rnd[0])
         if changed == 0:
             return finish(labels)
+    # non-convergence: release every internal checkpoint before raising —
+    # nothing is returned, so nothing needs to survive
+    if checkpoint_dir is None:
+        for _r, ids in local_ckpts:
+            _unpersist_rdd_ids(spark, ids)
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds — "
         "raise max_iters (expected O(log n) with pointer jumping)"
