@@ -5,10 +5,14 @@ Subcommands:
   query  --index <index store dir> --query "<elipdotter query>" [--k N]
   bm25   --index <index store dir> --terms t1,t2 [--k N] [--wand]
   dedup  --input <parquet dir/glob> [--output <parquet>] [--threshold J]
-         [--max-ring R]   # near-dup clustering -> canonical corpus
+         [--max-ring R] [--cc-checkpoint-dir D]
+         # near-dup clustering -> canonical corpus
   clean  --input <parquet dir/glob> [--output <parquet>] [--lang L]
          [--min-tokens N] [--min-stopword-ratio R] [--threshold J]
-         [--max-ring R]   # langid -> quality -> exact+near dedup
+         [--max-ring R] [--cc-checkpoint-dir D]
+         # langid -> quality -> exact+near dedup; the checkpoint dir makes
+         # the iterative clustering rounds + result durable (preemptible
+         # clusters)
 
 On a cluster the SparkSession comes from spark-submit's conf; standalone runs
 fall back to local[*].  The build is the resumable segmented build — re-run
@@ -218,6 +222,7 @@ def cmd_clean(args) -> int:
         jaccard=args.threshold,
         max_ring=args.max_ring if args.max_ring > 0 else None,
         stats=stats,
+        cc_checkpoint_dir=args.cc_checkpoint_dir,
     )
     if args.output:
         cleaned.write.mode("overwrite").parquet(args.output)
@@ -258,7 +263,9 @@ def cmd_dedup(args) -> int:
         docs, args.threshold,
         max_ring=args.max_ring if args.max_ring > 0 else None,
     ).select("a", "b")
-    comps = dedup.connected_components(strong).cache()
+    comps = dedup.connected_components(
+        strong, checkpoint_dir=args.cc_checkpoint_dir
+    ).cache()
     n_in_clusters = comps.count()
     n_clusters = comps.select("component").distinct().count()
     kept = dedup.canonical_docs(docs, comps)
@@ -337,6 +344,10 @@ def main(argv=None) -> int:
                    help="jaccard acceptance for near-dup pairs")
     c.add_argument("--max-ring", type=int, default=8,
                    help="bounded per-bucket pair fan-out (0 = exact all-pairs)")
+    c.add_argument("--cc-checkpoint-dir", default=None,
+                   help="durable dir for connected-components rounds and "
+                        "the cleaned corpus (use on preemptible clusters; "
+                        "default keeps state in executor block storage)")
     c.set_defaults(fn=cmd_clean)
 
     d = sub.add_parser("dedup")
@@ -347,6 +358,10 @@ def main(argv=None) -> int:
                    help="jaccard acceptance for near-dup pairs")
     d.add_argument("--max-ring", type=int, default=8,
                    help="bounded per-bucket pair fan-out (0 = exact all-pairs)")
+    d.add_argument("--cc-checkpoint-dir", default=None,
+                   help="durable dir for connected-components rounds "
+                        "(use on preemptible clusters; default keeps "
+                        "rounds in executor block storage)")
     d.set_defaults(fn=cmd_dedup)
 
     args = p.parse_args(argv)

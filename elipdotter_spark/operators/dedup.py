@@ -516,6 +516,7 @@ def clean_corpus(
     jaccard: float = 0.8,
     max_ring: int = None,
     stats: dict = None,
+    cc_checkpoint_dir: str = None,
 ) -> DataFrame:
     """One-call training-data corpus cleaner — the composition a 100-TB
     pretraining pipeline runs before anything else, built entirely from
@@ -549,7 +550,15 @@ def clean_corpus(
     (VERDICT r5 #2).  The result is eagerly materialized
     (``localCheckpoint``, MEMORY_AND_DISK, survivors only) so every
     internal cache can be unpersisted before returning — no storage leaks
-    into the caller's session (ADVICE r5 low)."""
+    into the caller's session (ADVICE r5 low).
+
+    ``cc_checkpoint_dir``: None (default) keeps everything in executor
+    block storage — fastest, right for local mode.  On a cluster with
+    preemptible executors pass a durable directory: the connected-
+    components rounds AND the final cleaned corpus are written there as
+    parquet (``<dir>/cleaned``), so no executor loss can take the result
+    with it; the superseded CC round files are removed once the result
+    lands, and the caller owns eventual cleanup of the directory."""
     from . import index_build, text_analysis
 
     digits = 6
@@ -631,11 +640,28 @@ def clean_corpus(
         .filter(F.col("jaccard") >= jaccard)
         .select("a", "b")
     )
-    comps = connected_components(strong)
-    # eager materialization of the survivors (MEMORY_AND_DISK, spills),
-    # so the token caches can be dropped HERE instead of leaking into the
-    # caller's session; the checkpoint holds only the cleaned docs
-    cleaned = canonical_docs(keep, comps).localCheckpoint()
+    comps = connected_components(strong, checkpoint_dir=cc_checkpoint_dir)
+    if cc_checkpoint_dir is None:
+        # eager materialization of the survivors (MEMORY_AND_DISK,
+        # spills), so the token caches can be dropped HERE instead of
+        # leaking into the caller's session; the checkpoint holds only
+        # the cleaned docs
+        cleaned = canonical_docs(keep, comps).localCheckpoint()
+    else:
+        # durable mode: the result itself goes to parquet — a caller who
+        # asked for durable CC rounds has preemptible executors, and a
+        # localCheckpoint'd result would die with one.  The CC round
+        # files are superseded once the result lands; drop them so the
+        # directory holds only the cleaned corpus.
+        import os
+        import shutil
+
+        out = os.path.join(cc_checkpoint_dir, "cleaned")
+        canonical_docs(keep, comps).write.mode("overwrite").parquet(out)
+        cleaned = docs.sparkSession.read.parquet(out)
+        for name in os.listdir(cc_checkpoint_dir):
+            if name.startswith("cc-") or name == "edges":
+                shutil.rmtree(os.path.join(cc_checkpoint_dir, name))
     if stats is not None:
         stats["after_near_dedup"] = cleaned.count()
     toks_keep.unpersist(True)

@@ -300,3 +300,44 @@ def test_clean_corpus_tokenizes_once_and_unpersists(spark, monkeypatch):
     assert persisted_after <= persisted_before + 1, (
         persisted_before, persisted_after,
     )
+
+
+@pytest.mark.spark
+def test_clean_corpus_durable_mode(spark, tmp_path):
+    """cc_checkpoint_dir: same survivors as the local mode, the result is
+    durable parquet (re-readable with zero lineage back to executor
+    blocks), superseded CC round files are removed, and no persisted
+    entries leak into the session (the durable result needs none)."""
+    base = "the quick brown fox jumps over a lazy dog of the north and "
+    rows = [
+        (1, base + "unique one extra tokens here padding words included fine"),
+        (2, base + "unique two different suffix entirely separate closing remark thanks"),
+        (3, base + "unique one extra tokens here padding words included also"),
+        (4, base + "identical content of this exact pair stays put verbatim"),
+        (5, base + "identical content of this exact pair stays put verbatim"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    local = dedup.clean_corpus(
+        docs, lang="en", min_tokens=10, jaccard=0.8, max_ring=None,
+    )
+    want = {r.doc_id for r in local.collect()}
+    assert want == {1, 2, 4}, want
+
+    ckpt = str(tmp_path / "cc")
+    persisted_before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    durable = dedup.clean_corpus(
+        docs, lang="en", min_tokens=10, jaccard=0.8, max_ring=None,
+        cc_checkpoint_dir=ckpt,
+    )
+    assert {r.doc_id for r in durable.collect()} == want
+    # no executor-storage footprint at all in durable mode
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == persisted_before
+    # the dir holds ONLY the result; CC round files were superseded and
+    # dropped once the cleaned corpus landed
+    import os
+    kept_entries = [n for n in os.listdir(ckpt) if not n.startswith(".")]
+    assert kept_entries == ["cleaned"], kept_entries
+    # durable means durable: a fresh read of the parquet (no lineage to
+    # this session's blocks) reproduces the survivors
+    reread = spark.read.parquet(os.path.join(ckpt, "cleaned"))
+    assert {r.doc_id for r in reread.collect()} == want
