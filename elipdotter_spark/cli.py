@@ -13,6 +13,9 @@ Subcommands:
          # langid -> quality -> exact+near dedup; the checkpoint dir makes
          # the iterative clustering rounds + result durable (preemptible
          # clusters)
+  sweep  --index <index store dir> --gc-grace-sec N
+         # cron janitor for grace-window stores: delete retired dirs whose
+         # window expired (no SparkSession needed)
 
 On a cluster the SparkSession comes from spark-submit's conf; standalone runs
 fall back to local[*].  The build is the resumable segmented build — re-run
@@ -37,7 +40,7 @@ def cmd_build(args) -> int:
 
     spark = get_spark()
     docs = spark.read.parquet(args.input)
-    store = IndexStore(spark, args.output)
+    store = IndexStore(spark, args.output, gc_grace_sec=args.gc_grace_sec)
     rows = store.build_resumable(docs, n_segments=args.segments)
     info = store.publish()
     print(json.dumps({"built_segments": len(rows), **info}))
@@ -57,7 +60,7 @@ def cmd_ingest(args) -> int:
 
     spark = get_spark()
     docs = spark.read.parquet(args.input)
-    store = IndexStore(spark, args.index)
+    store = IndexStore(spark, args.index, gc_grace_sec=args.gc_grace_sec)
     seg_id = args.segment_id or f"ingest-{int(_time.time() * 1000)}"
     row = store.write_segment(seg_id, docs)
     try:
@@ -98,7 +101,7 @@ def cmd_ingest(args) -> int:
 
 
 def _load(spark, index_dir):
-    """(store, postings, terms, docstats, stale).
+    """(store, snap, postings, terms, docstats, stale).
 
     Postings are always live (latest-wins over all ledger segments).  The
     published terms/docstats snapshots are used only when FRESH — a store
@@ -106,13 +109,19 @@ def _load(spark, index_dir):
     with a silently stale dictionary (missing new terms entirely, wrong
     df/idf for old ones) on every query path, not just --wand.  When stale,
     the side tables are derived live from the postings (one aggregate each)
-    and a warning tells the operator to re-publish."""
+    and a warning tells the operator to re-publish.
+
+    All published reads go through ONE pinned snapshot (``snap``), so a
+    publish landing concurrently with this command cannot mix two
+    snapshots' artifacts across the staleness probe / dictionary /
+    stats / block-table reads."""
     from elipdotter_spark.operators import index_build
     from elipdotter_spark.sources.catalog import IndexStore
 
     store = IndexStore(spark, index_dir)
+    snap = store.snapshot()
     postings = store.merged_postings().cache()  # latest-wins on re-ingest
-    stale = store.published_stale()
+    stale = snap.stale
     if stale:
         print(
             "warning: published snapshot predates the newest segment (or "
@@ -125,16 +134,16 @@ def _load(spark, index_dir):
     else:
         # resolved readers: base + (terms/docstats)-delta segments,
         # latest-wins — a delta-published store's base dirs alone are stale
-        terms = store.published_terms().cache()
-        docstats = store.published_docstats().cache()
-    return store, postings, terms, docstats, stale
+        terms = snap.published_terms().cache()
+        docstats = snap.published_docstats().cache()
+    return store, snap, postings, terms, docstats, stale
 
 
 def cmd_query(args) -> int:
     from elipdotter_spark.plans.compiler import QueryEngine
 
     spark = get_spark()
-    _store, postings, terms, _ds, _stale = _load(spark, args.index)
+    _store, _snap, postings, terms, _ds, _stale = _load(spark, args.index)
     engine = QueryEngine(
         spark,
         postings,
@@ -155,9 +164,9 @@ def cmd_bm25(args) -> int:
     from elipdotter_spark.operators import bm25, codec
 
     spark = get_spark()
-    store, postings, terms, docstats, _stale = _load(spark, args.index)
+    store, snap, postings, terms, docstats, _stale = _load(spark, args.index)
     if not _stale:
-        n, avgdl = store.corpus_stats()  # meta counters: zero Spark jobs
+        n, avgdl = snap.corpus_stats()  # meta counters: zero Spark jobs
     else:
         n, avgdl = bm25.corpus_stats(docstats)
     qterms = args.terms.split(",")
@@ -170,12 +179,12 @@ def cmd_bm25(args) -> int:
         # --wand and the default path always agree
         # resolve the (round-6 versioned) block dirs through the meta —
         # a plain-name probe would miss a versioned publish entirely
-        bp = store._artifact_path("blocks")
-        dp = store._artifact_path("doclen_blocks")
-        if not store.blocks_stale() and os.path.isdir(bp) and os.path.isdir(dp):
+        bp = store._artifact_path("blocks", snap.meta)
+        dp = store._artifact_path("doclen_blocks", snap.meta)
+        if not snap.blocks_stale and os.path.isdir(bp) and os.path.isdir(dp):
             # resolves delta block segments (publish_delta) when present;
             # a base-only store passes through unchanged
-            comp, dlb = store.wand_tables(terms, n, avgdl)
+            comp, dlb = snap.wand_tables(terms, n, avgdl)
         else:
             print(
                 "warning: published block tables are stale or absent; "
@@ -243,6 +252,21 @@ def cmd_clean(args) -> int:
     return 0
 
 
+def cmd_sweep(args) -> int:
+    """Cron-style janitor for stores run with a GC grace window: delete
+    retired artifact/segment dirs whose window has expired.  Pure
+    filesystem walk — no Spark jobs, so it needs no SparkSession and is
+    safe to run from a cheap sidecar/cron while queries are in flight
+    (that is the point of the grace window)."""
+    from elipdotter_spark.sources.catalog import IndexStore
+
+    store = IndexStore(None, args.index, gc_grace_sec=args.gc_grace_sec)
+    n = store.sweep_retired()
+    print(json.dumps({"index": args.index, "swept": n,
+                      "gc_grace_sec": args.gc_grace_sec}))
+    return 0
+
+
 def cmd_dedup(args) -> int:
     """Near-duplicate pipeline: minhash bands -> (bounded) candidate pairs
     -> jaccard verify -> connected components -> canonical docs.  Prints a
@@ -294,6 +318,13 @@ def main(argv=None) -> int:
     b.add_argument("--input", required=True)
     b.add_argument("--output", required=True)
     b.add_argument("--segments", type=int, default=16)
+    b.add_argument("--gc-grace-sec", type=float, default=0.0,
+                   help="two-phase supersede-GC window: superseded "
+                        "artifact dirs are stamped .retired and deleted "
+                        "only after this many seconds (sweep subcommand "
+                        "or the next publish).  Set >= the max query "
+                        "duration on multi-reader clusters; 0 = delete "
+                        "immediately (single-process default)")
     b.set_defaults(fn=cmd_build)
 
     q = sub.add_parser("query")
@@ -331,7 +362,16 @@ def main(argv=None) -> int:
                         "O(delta) instead of O(corpus), base untouched; "
                         "'auto' merges while delta bytes < half the base "
                         "and full-publishes past that (zero-job fs probe)")
+    i.add_argument("--gc-grace-sec", type=float, default=0.0,
+                   help="two-phase supersede-GC window (see build)")
     i.set_defaults(fn=cmd_ingest)
+
+    s = sub.add_parser("sweep")
+    s.add_argument("--index", required=True)
+    s.add_argument("--gc-grace-sec", type=float, required=True,
+                   help="the store's grace window; retired dirs older "
+                        "than this are deleted")
+    s.set_defaults(fn=cmd_sweep)
 
     c = sub.add_parser("clean")
     c.add_argument("--input", required=True)

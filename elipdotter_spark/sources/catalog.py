@@ -41,7 +41,12 @@ Commit protocol (round 5):
   are written as VERSIONED unreferenced dirs (``terms-v<N>``,
   ``blocks-v<N>``, ...) named in the meta's ``artifact_dirs`` and swapped
   at the same single meta commit; superseded versions are GC'd after the
-  commit.  This matters precisely on the already-covered
+  commit.  With ``gc_grace_sec`` > 0 that GC is TWO-PHASE (stamp
+  ``.retired``, delete after the window via :meth:`sweep_retired`), so
+  readers mid-scan on the previous snapshot are not broken by a
+  concurrent publish — the snapshot-expiration discipline a multi-reader
+  cluster needs; new segment ordinals are floored past retired dirs so a
+  lingering dir is never name-reused and overwritten.  This matters precisely on the already-covered
   lineage-compaction path (``maybe_publish_full``, auto-run by ``cli
   ingest``), where the round-5 in-place rewrite could crash mid-job and
   leave ``blocks_stale() == False`` over a half-written base directory —
@@ -101,11 +106,106 @@ def _dir_bytes(path: str) -> int:
 
 
 class IndexStore:
-    def __init__(self, spark: SparkSession, base: str):
+    def __init__(self, spark: SparkSession, base: str, gc_grace_sec: float = 0.0):
         self.spark = spark
         self.base = base
+        # ``gc_grace_sec`` > 0 switches superseded-artifact GC to a
+        # two-phase retire: a reader that resolved the OLD meta (or an
+        # old ledger listing) and is mid-scan keeps its files for the
+        # grace window instead of having them rmtree'd from under it by
+        # a concurrent publish/compact (the snapshot-expiration race; on
+        # a 1000-executor cluster every full publish would otherwise kill
+        # in-flight queries on the previous snapshot).  0 (default)
+        # deletes immediately — right for single-process/local use and
+        # the historical behavior; on a cluster set it to at least the
+        # max expected query duration.
+        self.gc_grace_sec = gc_grace_sec
         os.makedirs(os.path.join(base, "segments"), exist_ok=True)
         os.makedirs(os.path.join(base, "ledger"), exist_ok=True)
+
+    # sentinel for "resolve the current meta" defaults (defined up here so
+    # every reader signature below can reference it)
+    _UNREAD = object()
+
+    # --------------------------------------------------- two-phase GC
+
+    _RETIRED = ".retired"
+
+    def _retire_dir(self, path: str) -> None:
+        """Supersede-GC a no-longer-referenced directory.  Immediate
+        rmtree when ``gc_grace_sec`` == 0; otherwise stamp the dir
+        ``.retired`` (dot-file — invisible to parquet readers) and leave
+        deletion to :meth:`sweep_retired` once the grace window passes.
+        The stamp is idempotent and records the SUPERSEDE time, not the
+        write time — a dir written long ago but retired a second ago
+        still gets the full window."""
+        if not os.path.isdir(path):
+            return
+        if self.gc_grace_sec <= 0:
+            shutil.rmtree(path)
+            return
+        stamp = os.path.join(path, self._RETIRED)
+        if not os.path.exists(stamp):
+            with open(stamp, "w") as fh:
+                json.dump({"ts": time.time()}, fh)
+
+    def _lingering_ordinal(self, prefix: str) -> int:
+        """Highest RETIRED ``<prefix><NNNNNN>`` ordinal still on disk in
+        any delta family dir.  New delta / merge segment ordinals are
+        floored past this so a grace-window store never name-reuses (and
+        thereby Spark-OVERWRITES) a retired dir an in-flight reader may
+        still be scanning: a full publish resets the delta lineage, and
+        without the floor the next ``publish_delta`` would write
+        ``delta-000001`` again.  Only STAMPED dirs count: an unstamped
+        leftover with no meta reference is a crashed publish/merge that no
+        reader ever resolved (the meta is the only way in), and the retry
+        must converge on the SAME name it was going to use — the
+        kill-matrix twin-equality contract.  With ``gc_grace_sec`` == 0
+        nothing is ever stamped, so the floor is a no-op and ordinals
+        stay dense (the historical names)."""
+        import re
+
+        pat = re.compile(re.escape(prefix) + r"(\d{6})$")
+        hi = 0
+        for fam in ("terms_delta", "docstats_delta", "blocks_delta", "doclen_delta"):
+            d = os.path.join(self.base, fam)
+            if not os.path.isdir(d):
+                continue
+            for nm in os.listdir(d):
+                m = pat.match(nm)
+                if m and os.path.exists(os.path.join(d, nm, self._RETIRED)):
+                    hi = max(hi, int(m.group(1)))
+        return hi
+
+    def sweep_retired(self) -> int:
+        """Delete retired directories whose grace window has expired;
+        returns the number deleted.  Swept namespaces are exactly the
+        ones :meth:`_retire_dir` is applied to: top-level base-artifact
+        dirs, the per-publish subdirs of the four ``*_delta`` families,
+        and ``segments/*``.  Every publish/compact calls this, so retired
+        dirs die without any external scheduler; it is also public for
+        cron-style cleanup on read-mostly stores."""
+        if self.gc_grace_sec <= 0:
+            return 0
+        cutoff = time.time() - self.gc_grace_sec
+        roots = [self.base, os.path.join(self.base, "segments")]
+        for fam in ("terms_delta", "docstats_delta", "blocks_delta", "doclen_delta"):
+            roots.append(os.path.join(self.base, fam))
+        deleted = 0
+        for root in roots:
+            if not os.path.isdir(root):
+                continue
+            for entry in os.listdir(root):
+                stamp = os.path.join(root, entry, self._RETIRED)
+                try:
+                    with open(stamp) as fh:
+                        ts = json.load(fh).get("ts", 0)
+                except (OSError, ValueError):
+                    continue
+                if ts <= cutoff:
+                    shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+                    deleted += 1
+        return deleted
 
     # ------------------------------------------------------------- ledger
 
@@ -472,10 +572,9 @@ class IndexStore:
         # dir-before-row, so a half-retired segment is shadowed, never
         # phantom — see _recover_segments)
         for s in old_segments:
-            path = self.segment_path(s)
-            if os.path.exists(path):
-                shutil.rmtree(path)
+            self._retire_dir(self.segment_path(s))
             os.remove(self._ledger_path(s))
+        self.sweep_retired()
         return row
 
     def superseded_fraction(self) -> float:
@@ -586,23 +685,27 @@ class IndexStore:
             return {s for s in self._committed_seqs() if s <= meta[stamp_key]}
         return None
 
-    def published_stale(self) -> bool:
+    def published_stale(self, meta=_UNREAD) -> bool:
         """True when the published terms/docstats do not cover EXACTLY the
         committed segment set — i.e. query-side readers must derive live
         tables instead of trusting the snapshot.  Set-based, not max-based:
         a slow writer that commits a LOWER seq after a publish covered
         higher ones makes the store stale (the old max comparison reported
         fresh forever — silent loss of that segment's docs)."""
-        cov = self._covered(self._meta(), "covered_seqs", "max_seq")
+        if meta is self._UNREAD:
+            meta = self._meta()
+        cov = self._covered(meta, "covered_seqs", "max_seq")
         if cov is None:
             return True  # never published (or pre-stamp era): assume stale
         return self._committed_seqs() != cov
 
-    def blocks_stale(self) -> bool:
+    def blocks_stale(self, meta=_UNREAD) -> bool:
         """True when the published compressed block tables do not cover the
         committed segment set (tracked separately from terms/docstats:
         publish(with_compressed=False) refreshes those but not blocks)."""
-        cov = self._covered(self._meta(), "blocks_covered_seqs", "blocks_max_seq")
+        if meta is self._UNREAD:
+            meta = self._meta()
+        cov = self._covered(meta, "blocks_covered_seqs", "blocks_max_seq")
         if cov is None:
             return True
         return self._committed_seqs() != cov
@@ -617,9 +720,22 @@ class IndexStore:
             return F.col("seq") <= F.lit(mx)
         return F.col("seq").isin([int(s) for s in covered])
 
-    # ------------------------------------------- published base artifacts
+    def snapshot(self) -> "StoreSnapshot":
+        """A consistent read view: the meta — this store's single commit
+        point — resolved ONCE, with every reader method bound to it.
 
-    _UNREAD = object()
+        Each plain ``IndexStore`` reader call re-resolves the CURRENT
+        meta, which is right for a single read but TORN across several: a
+        query that reads the dictionary, then the corpus stats, then the
+        block tables can straddle a concurrent publish and mix two
+        snapshots' artifacts (stats from the new corpus against blocks
+        from the old — inconsistent WAND bounds).  A snapshot pins all of
+        them to one committed state.  Pair with ``gc_grace_sec`` >= the
+        max query duration so the pinned artifact dirs outlive the reads
+        (a concurrent publisher retires them only after the window)."""
+        return StoreSnapshot(self)
+
+    # ------------------------------------------- published base artifacts
 
     def _artifact_path(self, kind: str, meta=_UNREAD) -> str:
         """Resolve a published base-artifact directory (``terms`` /
@@ -649,9 +765,7 @@ class IndexStore:
         for entry in os.listdir(self.base):
             if entry in named or not pat.match(entry):
                 continue
-            p = os.path.join(self.base, entry)
-            if os.path.isdir(p):
-                shutil.rmtree(p)
+            self._retire_dir(os.path.join(self.base, entry))
 
     # ------------------------------------------- published narrow tables
 
@@ -665,7 +779,7 @@ class IndexStore:
         # legacy round-4 stores: delta dirs on disk, not named in meta
         return [os.path.basename(p) for p in self._block_segment_dirs("blocks_delta")]
 
-    def published_terms(self) -> DataFrame:
+    def published_terms(self, meta=_UNREAD) -> DataFrame:
         """The published dictionary with terms-delta segments resolved:
         per-term latest-wins over (base + deltas), tombstones (df <= 0)
         dropped.  The explicit read schema pins the ``first`` partition
@@ -673,8 +787,12 @@ class IndexStore:
         break the cross-segment union), and the resolve groups by
         (term, first) so a caller's first-char filter pushes through the
         aggregate into every segment's partition pruning.  A store without
-        deltas returns the base scan untouched — zero overhead."""
-        meta = self._meta()
+        deltas returns the base scan untouched — zero overhead.
+
+        ``meta``: pass a pinned meta (see :meth:`snapshot`) to read a
+        specific committed snapshot; default resolves the current one."""
+        if meta is self._UNREAD:
+            meta = self._meta()
         base = self.spark.read.schema(TERMS_SCHEMA).parquet(
             self._artifact_path("terms", meta)
         )
@@ -695,13 +813,15 @@ class IndexStore:
             .drop("tseg")
         )
 
-    def published_docstats(self) -> DataFrame:
+    def published_docstats(self, meta=_UNREAD) -> DataFrame:
         """Published docstats with docstats-delta segments resolved
         (per-doc latest-wins).  No tombstone case: every updated doc has at
         least one posting in its newest version (an empty re-ingest writes
         no posting rows and is therefore invisible to latest-wins — the
-        store's documented no-op, same as the postings path)."""
-        meta = self._meta()
+        store's documented no-op, same as the postings path).  ``meta``:
+        optional pinned snapshot meta."""
+        if meta is self._UNREAD:
+            meta = self._meta()
         base = self.spark.read.schema(DOCSTATS_SCHEMA).parquet(
             self._artifact_path("docstats", meta)
         )
@@ -718,16 +838,19 @@ class IndexStore:
         latest = u.groupBy("doc_id").agg(F.max("dseg").alias("dseg"))
         return u.join(latest, ["doc_id", "dseg"]).drop("dseg")
 
-    def corpus_stats(self) -> tuple:
+    def corpus_stats(self, meta=_UNREAD) -> tuple:
         """(n, avgdl) from the meta's incrementally-maintained counters —
         zero Spark jobs on the query path.  publish() seeds them with one
         exact aggregate; publish_delta() adjusts them from the updated docs
         only (exact: long sums).  Falls back to aggregating the resolved
-        docstats for legacy metas."""
-        cs = (self._meta() or {}).get("corpus_stats")
+        docstats for legacy metas.  ``meta``: optional pinned snapshot
+        meta."""
+        if meta is self._UNREAD:
+            meta = self._meta()
+        cs = (meta or {}).get("corpus_stats")
         if cs:
             return int(cs["n"]), float(cs["sum_dl"]) / int(cs["n"])
-        row = self.published_docstats().agg(
+        row = self.published_docstats(meta).agg(
             F.count("*").alias("n"), F.sum("doc_len").alias("s")
         ).collect()[0]
         return int(row.n), float(row.s) / int(row.n)
@@ -849,7 +972,9 @@ class IndexStore:
             ),
             default=0,
         )
-        ord_ = max(len(bnames) + 1, max_bseg + 1)
+        ord_ = max(
+            len(bnames) + 1, max_bseg + 1, self._lingering_ordinal("delta-") + 1
+        )
         seg_name = f"delta-{ord_:06d}"
 
         new_paths = [
@@ -1102,6 +1227,7 @@ class IndexStore:
         meta["blocks_delta_names"] = bnames + [seg_name]
         meta["terms_delta_names"] = self._narrow_delta_names(meta) + [seg_name]
         self._write_meta(meta, expect_raw=meta_raw0)
+        self.sweep_retired()
         return {
             "delta": seg_name,
             "blocks_path": os.path.join(self.base, "blocks_delta", seg_name),
@@ -1203,7 +1329,10 @@ class IndexStore:
         tnames = self._narrow_delta_names(meta)
         if len(bnames) < 2 and len(tnames) < 2:
             return {"merged": None, "reason": "nothing_to_merge"}
-        gen = int(meta.get("delta_merge_gen", 0)) + 1
+        gen = max(
+            int(meta.get("delta_merge_gen", 0)) + 1,
+            self._lingering_ordinal("delta-m") + 1,
+        )
         seg_name = f"delta-m{gen:06d}"
         spark = self.spark
         out = {"merged": seg_name, "blocks": None, "narrow": None}
@@ -1297,15 +1426,12 @@ class IndexStore:
         if out["blocks"]:
             for nm in old_b:
                 for kind in ("blocks_delta", "doclen_delta"):
-                    d = os.path.join(self.base, kind, nm)
-                    if os.path.isdir(d):
-                        shutil.rmtree(d)
+                    self._retire_dir(os.path.join(self.base, kind, nm))
         if out["narrow"]:
             for nm in old_t:
                 for kind in ("terms_delta", "docstats_delta"):
-                    d = os.path.join(self.base, kind, nm)
-                    if os.path.isdir(d):
-                        shutil.rmtree(d)
+                    self._retire_dir(os.path.join(self.base, kind, nm))
+        self.sweep_retired()
         return out
 
     def maybe_publish_full(self, max_delta_segments: int = 4) -> Optional[dict]:
@@ -1381,7 +1507,7 @@ class IndexStore:
             os.path.join(d, s) for s in sorted(os.listdir(d)) if s.startswith("delta-")
         ]
 
-    def wand_tables(self, terms: DataFrame, n: int, avgdl: float):
+    def wand_tables(self, terms: DataFrame, n: int, avgdl: float, meta=_UNREAD):
         """(blocks, doclen_blocks) ready for ``codec.bm25_topk_wand``, with
         delta segments resolved:
 
@@ -1406,9 +1532,13 @@ class IndexStore:
           ratio is exact because every row carries the df it was built
           with) — block_max is scaled by exactly that, keeping WAND
           pruning sound while the per-range scoring itself (decoded tf +
-          current doclen blocks + current idf) stays exact."""
+          current doclen blocks + current idf) stays exact.
+
+        ``meta``: optional pinned snapshot meta (see :meth:`snapshot`)."""
         spark = self.spark
-        meta = self._meta() or {}
+        if meta is self._UNREAD:
+            meta = self._meta()
+        meta = meta or {}
         segs = meta.get("block_segments") or {}
         names = self._blocks_delta_names(meta)
         base_entry = segs.get("base", {})
@@ -1627,14 +1757,50 @@ class IndexStore:
             gc_kinds += ["blocks_delta", "doclen_delta"]
         for kind in gc_kinds:
             d = os.path.join(self.base, kind)
-            if os.path.isdir(d):
+            if not os.path.isdir(d):
+                continue
+            # retire per-SUBDIR, not the family dir: a later publish_delta
+            # writes new segment subdirs into the same family dir, and a
+            # family-level retirement stamp would sweep those live dirs
+            for nm in os.listdir(d):
+                self._retire_dir(os.path.join(d, nm))
+            if self.gc_grace_sec <= 0:
                 shutil.rmtree(d)
         self._gc_unreferenced_base(meta)
+        self.sweep_retired()
         return info
 
     def _cur_max_seq(self) -> int:
         seqs = [r.get("seq") for r in self.ledger()]
         return max((s for s in seqs if s is not None), default=-1)
+
+
+class StoreSnapshot:
+    """A pinned, consistent read view of a published store (see
+    :meth:`IndexStore.snapshot`).  Holds the meta resolved at construction
+    and delegates every reader to the store with that meta, so reads
+    through one snapshot can never mix two publishes' artifacts.  The
+    staleness probes are captured AT PIN TIME (``stale`` /
+    ``blocks_stale`` attributes): a segment committed after the pin is by
+    design not visible — that is what a snapshot means."""
+
+    def __init__(self, store: IndexStore):
+        self.store = store
+        self.meta = store._meta()
+        self.stale = store.published_stale(self.meta)
+        self.blocks_stale = store.blocks_stale(self.meta)
+
+    def published_terms(self) -> DataFrame:
+        return self.store.published_terms(self.meta)
+
+    def published_docstats(self) -> DataFrame:
+        return self.store.published_docstats(self.meta)
+
+    def corpus_stats(self) -> tuple:
+        return self.store.corpus_stats(self.meta)
+
+    def wand_tables(self, terms: DataFrame, n: int, avgdl: float):
+        return self.store.wand_tables(terms, n, avgdl, self.meta)
 
 
 def write_terms(terms: DataFrame, path: str) -> None:

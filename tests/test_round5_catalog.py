@@ -333,17 +333,9 @@ def test_published_terms_first_char_pruned_across_segments(spark, tmp_path):
     assert "common" in got and "updated" not in got
 
 
-@pytest.mark.spark
-@pytest.mark.slow
-def test_randomized_schedules_converge_to_full_publish(spark, tmp_path):
-    """Schedule fuzz for the whole publish machinery: random interleavings
-    of new-doc ingests, overlapping-doc updates, LATE low-seq commits
-    (claim early, commit after later publishes), delta publishes, full
-    publishes, and compactions must always leave the published narrow
-    tables EXACTLY equal to a fresh full publish of the same ledger, and
-    WAND equal to exhaustive BM25 with current stats.  Deterministic
-    seeds; compact()-invalidated delta baselines must refuse and recover
-    via full publish (never silently double-count)."""
+def _run_schedule_fuzz(spark, tmp_path, seeds, gc_grace_sec=0.0):
+    """Shared body of the schedule fuzz (see the two tests below); returns
+    the per-seed stores for extra mode-specific assertions."""
     import random
 
     vocab = ["alpha", "beta", "gamma", "delta", "words", "common", "rare"]
@@ -357,13 +349,12 @@ def test_randomized_schedules_converge_to_full_publish(spark, tmp_path):
             ],
         )
 
-    seeds = (11, 23, 37)
-    if os.environ.get("ELIP_FUZZ_SEEDS"):  # deeper hunts: "41,43,53"
-        seeds = tuple(int(s) for s in os.environ["ELIP_FUZZ_SEEDS"].split(","))
+    stores = []
     for seed in seeds:
         rng = random.Random(seed)
         base = str(tmp_path / f"s{seed}")
-        store = IndexStore(spark, base)
+        store = IndexStore(spark, base, gc_grace_sec=gc_grace_sec)
+        stores.append(store)
         next_id = 40
         store.write_segment("seg-base", rand_docs(rng, range(next_id)))
         store.publish(doc_span=16)
@@ -438,6 +429,24 @@ def test_randomized_schedules_converge_to_full_publish(spark, tmp_path):
             "test_delta_publish"
         )._assert_wand_matches_exhaustive
         _assert_wand(spark, store, ["common", "alpha", "rare"], k=10)
+    return stores
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+def test_randomized_schedules_converge_to_full_publish(spark, tmp_path):
+    """Schedule fuzz for the whole publish machinery: random interleavings
+    of new-doc ingests, overlapping-doc updates, LATE low-seq commits
+    (claim early, commit after later publishes), delta publishes, full
+    publishes, and compactions must always leave the published narrow
+    tables EXACTLY equal to a fresh full publish of the same ledger, and
+    WAND equal to exhaustive BM25 with current stats.  Deterministic
+    seeds; compact()-invalidated delta baselines must refuse and recover
+    via full publish (never silently double-count)."""
+    seeds = (11, 23, 37)
+    if os.environ.get("ELIP_FUZZ_SEEDS"):  # deeper hunts: "41,43,53"
+        seeds = tuple(int(s) for s in os.environ["ELIP_FUZZ_SEEDS"].split(","))
+    _run_schedule_fuzz(spark, tmp_path, seeds)
 
 
 @pytest.mark.spark
