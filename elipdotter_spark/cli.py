@@ -13,6 +13,10 @@ Subcommands:
          # langid -> quality -> exact+near dedup; the checkpoint dir makes
          # the iterative clustering rounds + result durable (preemptible
          # clusters)
+  stats  --index <index store dir> [--live]
+         # one-line JSON store metrics: segments/postings/bytes, publish
+         # freshness + delta lineage, corpus counters (Sparkless; --live
+         # adds the superseded-doc fraction via one aggregate)
   sweep  --index <index store dir> --gc-grace-sec N
          # cron janitor for grace-window stores: delete retired dirs whose
          # window expired (no SparkSession needed)
@@ -252,6 +256,53 @@ def cmd_clean(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    """Index size estimate / store health as one JSON line (the reference
+    exposes a heap-size hint, `Provider::size` src/index.rs:736-742 —
+    SURVEY S9; here the ledger metrics + meta counters are richer and,
+    by default, need NO SparkSession: everything below except ``--live``
+    is filesystem metadata, so this is safe to poll from monitoring).
+
+    ``--live`` adds the superseded-doc fraction (the maybe_compact
+    trigger signal), which runs one narrow distinct aggregate."""
+    from elipdotter_spark.sources.catalog import IndexStore
+
+    store = IndexStore(None, args.index)
+    done = [r for r in store.ledger() if r.get("status") == "done"]
+    meta = store._meta() or {}
+    delta_b, base_b = store.lineage_bytes()
+    cs = meta.get("corpus_stats")
+    out = {
+        "index": args.index,
+        "segments": {
+            "n_segments": len(done),
+            "n_docs_ingested": sum(r.get("n_docs", 0) for r in done),
+            "n_postings": sum(r.get("n_postings", 0) for r in done),
+            "bytes": sum(r.get("bytes", 0) for r in done),
+            "max_seq": max((r.get("seq") or 0) for r in done) if done else None,
+        },
+        "published": {
+            "stale": store.published_stale(meta),
+            "blocks_stale": store.blocks_stale(meta),
+            "publish_version": meta.get("publish_version"),
+            "delta_segments": store.delta_segment_count(),
+            "delta_bytes": delta_b,
+            "base_bytes": base_b,
+            "delta_base_ratio": round(delta_b / base_b, 4) if base_b else None,
+        },
+        "corpus": {
+            "n_docs": int(cs["n"]) if cs else None,
+            "avgdl": round(float(cs["sum_dl"]) / int(cs["n"]), 4) if cs else None,
+        },
+    }
+    if args.live:
+        spark = get_spark()
+        store = IndexStore(spark, args.index)
+        out["superseded_fraction"] = round(store.superseded_fraction(), 4)
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_sweep(args) -> int:
     """Cron-style janitor for stores run with a GC grace window: delete
     retired artifact/segment dirs whose window has expired.  Pure
@@ -365,6 +416,13 @@ def main(argv=None) -> int:
     i.add_argument("--gc-grace-sec", type=float, default=0.0,
                    help="two-phase supersede-GC window (see build)")
     i.set_defaults(fn=cmd_ingest)
+
+    t = sub.add_parser("stats")
+    t.add_argument("--index", required=True)
+    t.add_argument("--live", action="store_true",
+                   help="also compute the superseded-doc fraction "
+                        "(one Spark aggregate; default is Sparkless)")
+    t.set_defaults(fn=cmd_stats)
 
     s = sub.add_parser("sweep")
     s.add_argument("--index", required=True)

@@ -136,3 +136,23 @@ def test_cli_ingest_delta_publish(cli, tmp_path, sf_dir, capsys):
     ]) == 0
     wand2 = _json_lines(capsys)
     assert {r["doc_id"] for r in wand2} == {217, 9000, 9001}
+
+    # stats: Sparkless store metrics over the just-exercised store
+    # (the command builds its own IndexStore(None, ...) — fs-only)
+    assert cli.main(["stats", "--index", idx]) == 0
+    st = _json_lines(capsys)[-1]
+    seg, pub, corpus = st["segments"], st["published"], st["corpus"]
+    # 2 build segments + 2 ingests; 500 base docs + 2 + 1 update versions
+    assert seg["n_segments"] == 4 and seg["n_docs_ingested"] == 503
+    assert seg["n_postings"] > 0 and seg["bytes"] > 0 and seg["max_seq"] == 3
+    # the compaction full publish covered everything: fresh, empty lineage
+    assert pub["stale"] is False and pub["blocks_stale"] is False
+    assert pub["delta_segments"] == 0 and pub["delta_bytes"] == 0
+    assert pub["base_bytes"] > 0 and pub["delta_base_ratio"] == 0.0
+    # meta counters: 500 base + docs 9000/9001 new (217 was an update)
+    assert corpus["n_docs"] == 502 and corpus["avgdl"] > 0
+
+    # --live adds the superseded fraction: 1 shadowed version of doc 217
+    assert cli.main(["stats", "--index", idx, "--live"]) == 0
+    st2 = _json_lines(capsys)[-1]
+    assert st2["superseded_fraction"] == round(1 - 502 / 503, 4)
