@@ -13,6 +13,10 @@ Subcommands:
          # langid -> quality -> exact+near dedup; the checkpoint dir makes
          # the iterative clustering rounds + result durable (preemptible
          # clusters)
+  compact --index <index store dir> [--max-superseded 0.3] [--force]
+          [--no-publish]
+         # physical segment rewrite dropping shadowed doc versions, then
+         # a full publish (policy-gated on the superseded fraction)
   stats  --index <index store dir> [--live]
          # one-line JSON store metrics: segments/postings/bytes, publish
          # freshness + delta lineage, corpus counters (Sparkless; --live
@@ -303,6 +307,39 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Physical segment compaction (the maintenance rewrite that drops
+    doc versions shadowed by later re-ingests): by default applies the
+    ``maybe_compact`` policy — rewrite only when the superseded fraction
+    passes ``--max-superseded`` (Iceberg's rewrite_data_files-on-
+    delete-ratio analogue) — ``--force`` rewrites unconditionally.
+    Compaction invalidates any delta-publish baseline, so follow with a
+    full publish (``--publish``, default on) unless the store is driven
+    by a separate publisher."""
+    from elipdotter_spark.sources.catalog import IndexStore
+
+    spark = get_spark()
+    store = IndexStore(spark, args.index, gc_grace_sec=args.gc_grace_sec)
+    frac = store.superseded_fraction()
+    if args.force:
+        row = store.compact() if len(store.completed_segments()) > 1 else None
+    else:
+        row = store.maybe_compact(max_superseded=args.max_superseded)
+    published = False
+    if row is not None and args.publish:
+        store.publish()
+        published = True
+    print(json.dumps({
+        "index": args.index,
+        "superseded_fraction": round(frac, 4),
+        "compacted": row is not None,
+        "segment": row["segment_id"] if row else None,
+        "n_docs": row["n_docs"] if row else None,
+        "republished": published,
+    }))
+    return 0
+
+
 def cmd_sweep(args) -> int:
     """Cron-style janitor for stores run with a GC grace window: delete
     retired artifact/segment dirs whose window has expired.  Pure
@@ -416,6 +453,20 @@ def main(argv=None) -> int:
     i.add_argument("--gc-grace-sec", type=float, default=0.0,
                    help="two-phase supersede-GC window (see build)")
     i.set_defaults(fn=cmd_ingest)
+
+    k = sub.add_parser("compact")
+    k.add_argument("--index", required=True)
+    k.add_argument("--max-superseded", type=float, default=0.3,
+                   help="rewrite when the superseded-doc fraction passes "
+                        "this (policy threshold; see IndexStore.maybe_compact)")
+    k.add_argument("--force", action="store_true",
+                   help="rewrite unconditionally (ignores the threshold)")
+    k.add_argument("--no-publish", dest="publish", action="store_false",
+                   help="skip the post-compaction full publish (leaves the "
+                        "published snapshot stale until the next publisher run)")
+    k.add_argument("--gc-grace-sec", type=float, default=0.0,
+                   help="two-phase supersede-GC window (see build)")
+    k.set_defaults(fn=cmd_compact, publish=True)
 
     t = sub.add_parser("stats")
     t.add_argument("--index", required=True)

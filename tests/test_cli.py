@@ -156,3 +156,28 @@ def test_cli_ingest_delta_publish(cli, tmp_path, sf_dir, capsys):
     assert cli.main(["stats", "--index", idx, "--live"]) == 0
     st2 = _json_lines(capsys)[-1]
     assert st2["superseded_fraction"] == round(1 - 502 / 503, 4)
+
+    # compact: the policy declines at 0.2% superseded ...
+    assert cli.main(["compact", "--index", idx]) == 0
+    cp = _json_lines(capsys)[-1]
+    assert cp["compacted"] is False and cp["republished"] is False
+    assert cp["superseded_fraction"] == round(1 - 502 / 503, 4)
+    # ... --force rewrites to ONE live-only segment and republishes
+    assert cli.main(["compact", "--index", idx, "--force"]) == 0
+    cp2 = _json_lines(capsys)[-1]
+    assert cp2["compacted"] is True and cp2["republished"] is True
+    assert cp2["segment"].startswith("seg-compact-")
+    assert cp2["n_docs"] == 502
+    assert cli.main(["stats", "--index", idx]) == 0
+    st3 = _json_lines(capsys)[-1]
+    assert st3["segments"]["n_segments"] == 1
+    assert st3["published"]["stale"] is False
+    assert st3["corpus"]["n_docs"] == 502
+    # queries through the compacted + republished store stay exact
+    assert cli.main([
+        "bm25", "--index", idx, "--terms", "freshterm", "--k", "5", "--wand",
+    ]) == 0
+    wand3 = _json_lines(capsys)
+    assert [(r["doc_id"], round(r["score"], 9)) for r in wand3] == [
+        (r["doc_id"], round(r["score"], 9)) for r in wand2
+    ]
