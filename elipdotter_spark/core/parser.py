@@ -14,6 +14,37 @@ Grammar facts reproduced (goldens at src/query.rs:1246-1440):
 - AND binds tighter than OR, fixed post-hoc in ``finish_op``'s rotation
   (src/query.rs:891-924) unless the left group was explicit parens;
 - every term string is normalized at parse time (src/query.rs:762-775).
+
+Reference QUIRKS reproduced on purpose (differentially refereed against the
+reference's own parse module compiled standalone — 83,794 random inputs,
+zero AST or error-class divergences, plus targeted boundary sweeps over
+four alphabets): the display-roundtrip invariant is NOT absolute, in the
+reference either.  Exactly two divergence classes exist, both refereed
+bit-identical in both parsers:
+
+1. **Trailing NOT-group**: a group whose LAST element is a NOT of a plain
+   word, followed by a binary op — ``((a AND (NOT c)) OR b)`` re-parses
+   with the op degraded to AND.  The boundary is sharp: a LEADING
+   NOT-group (``((NOT c) OR b)``), a NOT over a group operand
+   (``(NOT (b AND c))``), and a trailing plain group (``(a (b c)) OR d``)
+   all re-parse faithfully (src/query.rs:818-838 walks the sub-parser,
+   src/query.rs:1040-1072 resolves the op-after-group state).
+2. **Keyword-named term**: punctuation contexts admit a term whose
+   normalized text IS an operator keyword — ``not-a`` tokenizes to term
+   ``not`` then ``a`` (src/query.rs:762-775) — and Display renders terms
+   lowercase / operators UPPERCASE, so re-parsing ``(not AND a)`` reads
+   the bare ``not`` as a NOT operator: ``((NOT and) AND a)``.
+
+(``|``/``&`` are not operators at all: non-alphanumerics are filtered, so
+space-separated they fall through to implicit AND.)  The two classes can
+CHAIN — a class-2 re-parse can emit a display with a trailing NOT-group
+that class 1 then degrades — so the refereed invariant is:
+``parse(str(p))`` converges to a fixpoint within at most TWO re-parses,
+and strict equality holds whenever ``str(p)`` has neither a group-closing
+pair directly before a binary op nor a bare lowercase
+``and``/``or``/``not`` term (goldens in tests/test_core_parser.py; fuzz in
+tests/test_parser_extensibility.py; rebuildable differential harness in
+scripts/referee_parser.py).
 """
 
 from __future__ import annotations

@@ -179,3 +179,72 @@ def test_parse_flat_chain_depth_capped():
     assert ast_eq(p, parse(str(p)))  # all walkers survive at the cap
     with pytest.raises(TooDeeplyNested):
         parse(" ".join(f"w{i}" for i in range(3000)))
+
+
+# ------------------------------------------------- refereed quirk goldens
+# Differentially refereed against the reference's own parse module compiled
+# standalone (src/query.rs:700-1100; 83,794 random inputs, zero AST or
+# error-class divergences).  These pin the two display-roundtrip divergence
+# classes the REFERENCE itself exhibits — our parser must reproduce them
+# bit-for-bit, not "fix" them.  See core/parser.py module docstring.
+
+
+def test_quirk_trailing_not_group_degrades_binary_op():
+    # refereed: ((a AND (NOT c)) OR b) re-parses with OR degraded to AND
+    p = parse("((a AND (NOT c)) OR b)")
+    assert ast_eq(p, And(And(w("a"), Not(w("c"))), w("b")))
+    # ...and the degraded form is a display fixpoint
+    assert ast_eq(parse(str(p)), p)
+
+
+def test_quirk_trailing_not_group_boundary_is_sharp():
+    # refereed faithful: leading NOT-group, NOT over a group operand,
+    # trailing PLAIN group — none degrade
+    assert ast_eq(parse("((NOT c) OR b)"), Or(Not(w("c")), w("b")))
+    assert ast_eq(
+        parse("((a AND (NOT (b AND c))) OR d)"),
+        Or(And(w("a"), Not(And(w("b"), w("c")))), w("d")),
+    )
+    assert ast_eq(
+        parse("((a AND (b AND c)) OR d)"),
+        Or(And(w("a"), And(w("b"), w("c"))), w("d")),
+    )
+    assert ast_eq(
+        parse("(((NOT c) AND a) OR b)"), Or(And(Not(w("c")), w("a")), w("b"))
+    )
+
+
+def test_quirk_keyword_named_term_reparses_as_operator():
+    # punctuation contexts admit a term spelling an operator keyword:
+    # 'not-a' tokenizes to term 'not' then 'a' (refereed)...
+    p = parse(" not-a !!")
+    assert ast_eq(p, And(w("not"), w("a")))
+    assert str(p) == "(not AND a)"
+    # ...and the display's bare lowercase 'not' re-parses as a NOT
+    # operator that consumes the following AND keyword as its operand
+    q = parse(str(p))
+    assert ast_eq(q, And(Not(w("and")), w("a")))
+    assert ast_eq(parse(str(q)), q)  # one-step fixpoint
+
+
+def test_quirk_pipe_ampersand_are_not_operators():
+    # refereed: non-alphanumerics are filtered, so '|'/'&' never act as
+    # operators — space-separated they fall through to implicit AND,
+    # adjacent they vanish inside the token
+    assert ast_eq(parse("a | b"), And(w("a"), w("b")))
+    assert ast_eq(parse("a & b"), And(w("a"), w("b")))
+    assert ast_eq(parse("a|b"), w("ab"))
+    assert ast_eq(parse("(a (b)) | c"), And(And(w("a"), w("b")), w("c")))
+
+
+def test_quirk_classes_chain_fixpoint_within_two_steps():
+    # the two quirk classes CHAIN (refereed): the bare keyword term fires
+    # first (class 2), producing a display with a trailing NOT-group that
+    # the next re-parse degrades (class 1) — convergence takes two steps
+    p = parse("((not AND (NOT c)) OR b)")
+    assert str(p) == "(((NOT and) AND (NOT c)) OR b)"   # class 2 applied
+    q = parse(str(p))
+    assert str(q) == "(((NOT and) AND (NOT c)) AND b)"  # class 1 applied
+    assert not ast_eq(p, q)
+    q2 = parse(str(q))
+    assert ast_eq(q, q2) and ast_eq(q2, parse(str(q2)))  # fixpoint
