@@ -15,8 +15,9 @@ reference crate (``scripts/referee_scoring.py``: random corpora + removals +
 queries through both engines, comparing parse/stray-NOT error classes, the
 retrieval id lists, and every Hit — doc id, start, word id, the f32 rating at
 BIT level, and the full associated-occurrence set in emission order — across
-both occurrence providers and all three fuzzy algorithms; 25 corpora x 8
-configs = 1,440 query sessions, zero divergences).
+both occurrence providers and all three fuzzy algorithms; 200 corpora x 8
+configs = 11,080 query sessions, zero divergences; 10-corpus smoke in
+``tests/test_referee_scoring.py``).
 """
 
 from __future__ import annotations

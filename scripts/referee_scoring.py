@@ -457,6 +457,9 @@ def gen_doc(rng: random.Random) -> str:
 
 
 def gen_query(rng: random.Random) -> str:
+    r = rng.random()
+    if r < 0.03:  # operator keyword alone / degenerate input (PERR paths)
+        return rng.choice(["not", "and", "or", "", " ", "()", "-", "!"])
     n = rng.randint(1, 4)
     parts = []
     for i in range(n):
@@ -466,12 +469,16 @@ def gen_query(rng: random.Random) -> str:
             w = w[:k] + rng.choice("abcdefgh") + w[k + 1:]
         if rng.random() < 0.15:
             w = "(" + w + ")"
+        if rng.random() < 0.04:  # nested group
+            w = "((" + w + "))"
         parts.append(w)
         if i < n - 1:
             parts.append(rng.choice(QUERY_OPS))
     q = "".join(parts)
     if rng.random() < 0.1:
         q = "(" + q + ")"
+    if rng.random() < 0.08:  # leading NOT (stray-NOT DERR/OERR classes)
+        q = rng.choice(["-", "!", "not "]) + q
     return q
 
 
