@@ -932,6 +932,33 @@ def q_mm_decode_errors(spark, sf_dir):
     )
 
 
+def q_mm_decode_compressed(spark, sf_dir):
+    """REAL compressed-container decode, stdlib only: PNG decoded to pixels
+    (zlib inflate + all five scanline filters), JPEG/MP3/MP4 metadata-decoded
+    (SOF scan / frame walk / box walk).  Every format parameter is arithmetic
+    in doc_id, so the SQL oracle recomputes the decoder's output
+    independently; planted truncations (doc_id % 7 == 3) keep each format's
+    magic bytes so the real parsers engage and then fail into the
+    dead-letter channel (n_bytes is excluded from the projection: PNG's
+    zlib-compressed length is not SQL-expressible)."""
+    from .operators import multimodal
+
+    media = multimodal.synth_real_media_compressed(spark, 500)
+    corrupted = media.withColumn(
+        "payload",
+        F.when(
+            F.col("doc_id") % 7 == 3, F.expr("substring(payload, 1, 16)")
+        ).otherwise(F.col("payload")),
+    )
+    meta = multimodal.extract_metadata(
+        corrupted, use_real_decoder=True, on_error="dead_letter"
+    )
+    return meta.select(
+        "doc_id", "modality", "width", "height", "n_frames", "sample_rate",
+        F.col("err").isNotNull().alias("is_err"),
+    )
+
+
 # ------------------------------------------------------------- events/windows
 
 
@@ -989,6 +1016,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_meta": q_mm_meta,
         "mm_decode_meta": q_mm_decode_meta,
         "mm_decode_errors": q_mm_decode_errors,
+        "mm_decode_compressed": q_mm_decode_compressed,
         "ev_window_stats": q_ev_window_stats,
         "ev_session_stats": q_ev_session_stats,
         "zipf_dict_prefix": q_zipf_dict_prefix,
@@ -1580,6 +1608,58 @@ def oracle_sql() -> Dict[str, str]:
             SELECT doc_id, modality,
                    CASE WHEN doc_id % 7 = 3 THEN CAST(16 AS BIGINT)
                         ELSE n_bytes END AS n_bytes,
+                   CASE WHEN doc_id % 7 = 3 THEN CAST(NULL AS INT)
+                        ELSE width END AS width,
+                   CASE WHEN doc_id % 7 = 3 THEN CAST(NULL AS INT)
+                        ELSE height END AS height,
+                   CASE WHEN doc_id % 7 = 3 THEN CAST(NULL AS INT)
+                        ELSE n_frames END AS n_frames,
+                   CASE WHEN doc_id % 7 = 3 THEN CAST(NULL AS INT)
+                        ELSE sample_rate END AS sample_rate,
+                   (doc_id % 7 = 3) AS is_err
+            FROM whole
+        """,
+        "mm_decode_compressed": """
+            WITH m AS (SELECT unnest(range(500)) AS doc_id),
+            png AS (
+                SELECT doc_id, 'image' AS modality,
+                       CAST(doc_id % 31 + 1 AS INT) AS width,
+                       CAST((doc_id // 31) % 23 + 1 AS INT) AS height,
+                       CAST(1 AS INT) AS n_frames,
+                       CAST(NULL AS INT) AS sample_rate
+                FROM m WHERE doc_id % 4 = 0
+            ),
+            jpg AS (
+                SELECT doc_id, 'image' AS modality,
+                       CAST(doc_id % 63 + 1 AS INT) AS width,
+                       CAST((doc_id // 63) % 47 + 1 AS INT) AS height,
+                       CAST(1 AS INT) AS n_frames,
+                       CAST(NULL AS INT) AS sample_rate
+                FROM m WHERE doc_id % 4 = 1
+            ),
+            mp3 AS (
+                SELECT doc_id, 'audio' AS modality,
+                       CAST(NULL AS INT) AS width,
+                       CAST(NULL AS INT) AS height,
+                       CAST(doc_id % 40 + 1 AS INT) AS n_frames,
+                       CAST(CASE doc_id % 3 WHEN 0 THEN 44100
+                            WHEN 1 THEN 48000 ELSE 32000 END AS INT)
+                           AS sample_rate
+                FROM m WHERE doc_id % 4 = 2
+            ),
+            mp4 AS (
+                SELECT doc_id, 'video' AS modality,
+                       CAST(doc_id % 127 + 16 AS INT) AS width,
+                       CAST((doc_id // 127) % 95 + 16 AS INT) AS height,
+                       CAST(doc_id % 30 + 1 AS INT) AS n_frames,
+                       CAST(NULL AS INT) AS sample_rate
+                FROM m WHERE doc_id % 4 = 3
+            ),
+            whole AS (
+                SELECT * FROM png UNION ALL SELECT * FROM jpg
+                UNION ALL SELECT * FROM mp3 UNION ALL SELECT * FROM mp4
+            )
+            SELECT doc_id, modality,
                    CASE WHEN doc_id % 7 = 3 THEN CAST(NULL AS INT)
                         ELSE width END AS width,
                    CASE WHEN doc_id % 7 = 3 THEN CAST(NULL AS INT)

@@ -184,15 +184,25 @@ def test_bmp_wav_roundtrip_property():
     check_wav()
 
 
-def test_real_decode_stub_for_compressed():
+def test_real_decode_tier_boundary():
+    """PNG/JPEG/MP3/MP4 now decode natively (full or metadata tier — see
+    test_multimodal_compressed.py), so bare magic bytes are TRUNCATED
+    payloads (ValueError -> dead-letter), while genuinely unknown formats
+    still name the missing dependency (NotImplementedError)."""
     import pytest as _pytest
 
     from elipdotter_spark.operators.multimodal import _real_decode
 
-    with _pytest.raises(NotImplementedError, match="Pillow"):
+    with _pytest.raises(ValueError):
         _real_decode("image", b"\x89PNG\r\n\x1a\n")
-    with _pytest.raises(NotImplementedError, match="soundfile"):
+    with _pytest.raises(ValueError):
         _real_decode("audio", b"ID3\x04")
+    with _pytest.raises(NotImplementedError, match="Pillow"):
+        _real_decode("image", b"GIF89a" + b"\x00" * 32)
+    with _pytest.raises(NotImplementedError, match="soundfile"):
+        _real_decode("audio", b"fLaC" + b"\x00" * 32)
+    with _pytest.raises(NotImplementedError, match="PyAV"):
+        _real_decode("video", b"\x1a\x45\xdf\xa3" + b"\x00" * 32)  # Matroska
 
 
 @pytest.mark.spark
