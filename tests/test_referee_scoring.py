@@ -25,6 +25,88 @@ SCRIPT = REPO / "scripts" / "referee_scoring.py"
 REF = Path("/root/reference/src/lib.rs")
 
 
+@pytest.mark.spark
+@pytest.mark.skipif(
+    shutil.which("rustc") is None or not REF.exists(),
+    reason="rustc or reference sources unavailable",
+)
+def test_spark_engine_matches_compiled_reference(spark, tmp_path):
+    """DIRECT differential check: the distributed Spark engine (postings ->
+    QueryEngine.doc_ids/hits) against the verbatim-compiled reference binary
+    — no transitivity through core/oracle.py.  Retrieval id sets and hit
+    (doc, start, f32-rating-bits, word_id) sets must be identical."""
+    import importlib.util
+    import random
+
+    import numpy as np
+
+    spec = importlib.util.spec_from_file_location("referee_scoring", SCRIPT)
+    referee = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(referee)
+
+    rng = random.Random(4242)
+    corpus = [(f"doc{d}", referee.gen_doc(rng)) for d in range(6)]
+    queries = [
+        "lorem", "lorem ipsum", "lorem or dolor", "lorem -ipsum",
+        "(lorem or ipsum) and dolor", "lorm", "ipsun dolor", "sit -am",
+    ]
+    binary = referee.build(tmp_path)
+    stdin = "\n".join(
+        [f"D\t{name}\t{referee.esc(text)}" for name, text in corpus]
+        + [f"Q\t{referee.esc(q)}" for q in queries]
+    ) + "\n"
+
+    from elipdotter_spark.core.parser import parse
+    from elipdotter_spark.operators import index_build
+    from elipdotter_spark.plans.compiler import QueryEngine
+
+    docs = spark.createDataFrame(
+        [(i, text) for i, (_n, text) in enumerate(corpus)],
+        schema="doc_id long, text string",
+    )
+    postings = index_build.build_postings(docs).cache()
+    terms = index_build.build_terms(postings).cache()
+
+    for algo, threshold in (("exact", 0.85), ("jaro", 0.85)):
+        r = subprocess.run(
+            [str(binary), "lossless", algo, str(threshold), "2500", "100"],
+            input=stdin, capture_output=True, text=True, timeout=120,
+        )
+        blocks, cur = [], None
+        for line in r.stdout.splitlines():
+            if line.startswith("DOCS"):
+                cur = {"docs": line.split("\t")[1] if "\t" in line else "",
+                       "hits": []}
+            elif line.startswith("H\t"):
+                _, doc, start, bits, wid, _occs = line.split("\t")
+                cur["hits"].append((int(doc), int(start), bits, int(wid)))
+            elif line == "END":
+                blocks.append(cur)
+                cur = None
+        assert len(blocks) == len(queries), r.stdout + r.stderr
+
+        eng = QueryEngine(
+            spark, postings, terms,
+            proximity_threshold=threshold, algo=algo, word_count_limit=2500,
+        )
+        for q, ref in zip(queries, blocks):
+            ast = parse(q)
+            want_docs = sorted(
+                int(x) for x in ref["docs"].split(",") if x != ""
+            )
+            got_docs = sorted(
+                r_.doc_id for r_ in eng.doc_ids(ast).collect()
+            )
+            assert got_docs == want_docs, (algo, q)
+            got_hits = sorted(
+                (r_.doc_id, r_.start,
+                 f"{int(np.float32(r_.rating).view(np.uint32)):08x}",
+                 r_.word_id)
+                for r_ in eng.hits(ast, 100).collect()
+            )
+            assert got_hits == sorted(ref["hits"]), (algo, q)
+
+
 @pytest.mark.skipif(
     shutil.which("rustc") is None or not REF.exists(),
     reason="rustc or reference sources unavailable",
