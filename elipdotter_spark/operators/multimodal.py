@@ -29,6 +29,7 @@ Layout convention (mirrors common lakehouse practice for image/audio/video):
 
 from __future__ import annotations
 
+import struct as _struct
 from typing import Iterator
 
 import pandas as pd
@@ -257,6 +258,8 @@ def _decode_png(payload: bytes) -> dict:
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"corrupt PNG payload (bad {ctype!r} CRC)")
         if ctype == b"IHDR":
+            if clen != 13:
+                raise ValueError("corrupt PNG payload (IHDR length)")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"IDAT":
             idat.append(data)
@@ -273,13 +276,25 @@ def _decode_png(payload: bytes) -> dict:
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise ValueError(f"corrupt PNG payload (color type {color})")
-    try:
-        raw = zlib.decompress(b"".join(idat))
-    except zlib.error as e:
-        raise ValueError(f"corrupt PNG payload (IDAT inflate: {e})")
+    if width == 0 or height == 0:
+        raise ValueError("corrupt PNG payload (zero dimension)")
     bpp = max(1, depth * channels // 8)
     stride = (width * depth * channels + 7) // 8
-    if len(raw) != (stride + 1) * height:
+    expected = (stride + 1) * height
+    if expected > 1 << 29:  # 512 MiB decode cap: zip-bomb guard per payload
+        raise ValueError(
+            f"PNG payload declares {expected} decoded bytes — over the "
+            "per-payload decode cap"
+        )
+    # bounded inflate: never materialize more than the header-declared size
+    # (+1 sentinel byte to detect oversized streams) no matter what the
+    # compressed stream claims — a crawl-scale zip-bomb guard
+    d = zlib.decompressobj()
+    try:
+        raw = d.decompress(b"".join(idat), expected + 1)
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG payload (IDAT inflate: {e})")
+    if len(raw) != expected or d.unconsumed_tail or d.decompress(b"", 1):
         raise ValueError("corrupt PNG payload (scanline data size mismatch)")
     recon = bytearray()
     prior = bytes(stride)
@@ -322,6 +337,9 @@ def _decode_jpeg_meta(payload: bytes) -> dict:
         if payload[pos] != 0xFF:
             raise ValueError("corrupt JPEG payload (marker desync)")
         marker = payload[pos + 1]
+        if marker == 0xFF:  # legal fill byte before a marker
+            pos += 1
+            continue
         if marker == 0xD9:  # EOI before any SOF
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD8:  # standalone
@@ -423,6 +441,10 @@ def _decode_mp4_meta(payload: bytes) -> dict:
                                 continue
                             for x, xs, xe in _mp4_children(payload, ws, we):
                                 if x == b"stsz":
+                                    if xe - xs < 12:
+                                        raise ValueError(
+                                            "corrupt/truncated MP4 payload (short stsz)"
+                                        )
                                     n_frames = struct.unpack_from(
                                         ">I", payload, xs + 8
                                     )[0]
@@ -566,7 +588,10 @@ def extract_metadata(
                         meta = _real_decode(modality, data)
                     else:
                         meta = _fake_decode(modality, data)
-                except (ValueError, NotImplementedError) as e:
+                # struct.error: defense in depth — a crafted container a
+                # length guard missed must cost a dead-letter row, not a
+                # stage retry
+                except (ValueError, NotImplementedError, _struct.error) as e:
                     if not dead_letter:
                         raise
                     err = f"{type(e).__name__}: {e}"

@@ -52,6 +52,75 @@ def test_png_corruption_classes():
         mm._real_decode("image", interlaced)
 
 
+def test_png_bounded_inflate_and_header_guards():
+    """Zip-bomb / crafted-header hardening: the inflate is bounded by the
+    header-declared size, wrong IHDR length is a ValueError (not a
+    struct.error task failure), and declared-size overflows are capped."""
+    # IDAT encodes MORE rows than IHDR declares -> caught at the +1 sentinel
+    # without materializing the excess
+    good = mm.encode_png(6, 4)
+    ihdr = struct.pack(">IIBBBBB", 6, 2, 8, 2, 0, 0, 0)  # lie: height 2
+    idat_start = 8 + 12 + 13
+    bomb = (good[:8] + mm._png_chunk(b"IHDR", ihdr) + good[idat_start:])
+    with pytest.raises(ValueError, match="size mismatch"):
+        mm._real_decode("image", bomb)
+    # IHDR chunk with a wrong length but a valid CRC
+    bad_ihdr = (b"\x89PNG\r\n\x1a\n" + mm._png_chunk(b"IHDR", b"\x00" * 11)
+                + good[idat_start:])
+    with pytest.raises(ValueError, match="IHDR length"):
+        mm._real_decode("image", bad_ihdr)
+    # header declaring a multi-GiB decode -> capped before inflating
+    huge = struct.pack(">IIBBBBB", 2**24, 2**10, 8, 2, 0, 0, 0)
+    capped = (b"\x89PNG\r\n\x1a\n" + mm._png_chunk(b"IHDR", huge)
+              + good[idat_start:])
+    with pytest.raises(ValueError, match="decode cap"):
+        mm._real_decode("image", capped)
+
+
+def test_dead_letter_catches_struct_error():
+    """Contract guard: even a parse path whose length guard is missed must
+    dead-letter, not raise, under on_error='dead_letter' (struct.error is
+    caught at the channel)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"doc_id": [1], "payload": [b"\x89PNG\r\n\x1a\n" + b"\x00" * 40],
+         "modality": ["image"]}
+    )
+    # drive the mapInPandas closure directly (no SparkSession needed)
+    out = None
+    captured = {}
+
+    class _FakeDF:
+        def mapInPandas(self, fn, schema):
+            captured["fn"] = fn
+            return None
+
+    mm.extract_metadata(_FakeDF(), use_real_decoder=True, on_error="dead_letter")
+    out = next(captured["fn"](iter([pdf])))
+    assert out["err"][0] is not None and out["width"][0] is None
+
+
+def test_jpeg_fill_bytes_tolerated():
+    j = mm.encode_jpeg(17, 19)
+    filled = j[:2] + b"\xff" + j[2:]  # legal fill byte before APP0 marker
+    d = mm._real_decode("image", filled)
+    assert (d["width"], d["height"]) == (17, 19)
+
+
+def test_mp4_short_stsz_is_value_error():
+    stsz = mm._mp4_box(b"stsz", b"\x00" * 6)  # shorter than the fixed header
+    trak = mm._mp4_box(
+        b"trak",
+        mm._mp4_box(b"tkhd", b"\x00" * 84)
+        + mm._mp4_box(b"mdia", mm._mp4_box(b"minf", mm._mp4_box(b"stbl", stsz))),
+    )
+    payload = (mm._mp4_box(b"ftyp", b"isom\x00\x00\x00\x00isom")
+               + mm._mp4_box(b"moov", trak))
+    with pytest.raises(ValueError, match="short stsz"):
+        mm._real_decode("video", payload)
+
+
 def test_jpeg_metadata_and_errors():
     d = mm._real_decode("image", mm.encode_jpeg(123, 456))
     assert (d["width"], d["height"], d["n_frames"]) == (123, 456, 1)
