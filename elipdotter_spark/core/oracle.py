@@ -16,7 +16,8 @@ queries through both engines, comparing parse/stray-NOT error classes, the
 retrieval id lists, and every Hit — doc id, start, word id, the f32 rating at
 BIT level, and the full associated-occurrence set in emission order — across
 both occurrence providers and all three fuzzy algorithms; 200 corpora x 8
-configs = 11,080 query sessions, zero divergences; 10-corpus smoke in
+configs = 11,248 query sessions incl. 500-800-long spam chains, zero
+divergences; 10-corpus smoke in
 ``tests/test_referee_scoring.py``).
 """
 

@@ -61,9 +61,10 @@ META_SCHEMA = StructType(
 
 
 def decode_available(modality: str) -> bool:
-    """True if a FULL (compressed-format) decoder for the modality is
-    importable.  Independently of this, BMP (image) and PCM-WAV (audio)
-    always decode natively — see ``_real_decode``."""
+    """True if an external FULL-payload decoder for the modality is
+    importable (Pillow/soundfile/PyAV).  Independently of this, BMP, PCM-WAV
+    and PNG always FULL-decode natively, and JPEG/MP3/MP4 always
+    metadata-decode natively — see ``_real_decode``."""
     try:
         if modality == "image":
             import PIL  # noqa: F401

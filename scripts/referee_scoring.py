@@ -449,6 +449,10 @@ def gen_doc(rng: random.Random) -> str:
         toks.append(w)
     if rng.random() < 0.15:  # spam-shaped: one word repeated many times
         toks += [rng.choice(VOCAB)] * rng.randint(30, 120)
+    if rng.random() < 0.04:  # LONG spam chain: pins the iterative
+        # chain-merge rewrite against the reference's (Rust, stack-safe)
+        # recursion at lengths where a recursive Python port would overflow
+        toks += [rng.choice(VOCAB)] * rng.randint(500, 800)
     out = []
     for t in toks:
         out.append(t)
