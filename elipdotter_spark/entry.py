@@ -417,6 +417,29 @@ def q_dd_jaccard_pairs(spark, sf_dir):
     return dedup.jaccard_verify(pairs, dedup.distinct_tokens(docs))
 
 
+def q_dd_cross_source(spark, sf_dir):
+    """Cross-source duplication matrix: strong (jaccard >= 0.8) near-dup
+    pairs labeled with their documents' sources, aggregated to an unordered
+    source-pair count — which sources mirror each other."""
+    return dedup.cross_source_matrix(_tables(spark, sf_dir)["docs"])
+
+
+def q_txt_source_mix(spark, sf_dir):
+    """Per-source mixture table (docs, tokens, quality means, token share)
+    — the pretraining source-weighting input."""
+    return text_analysis.source_mix(_tables(spark, sf_dir)["docs"])
+
+
+def q_txt_stratified_sample(spark, sf_dir):
+    """Deterministic source-stratified downsample via an engine-portable
+    integer hash (no rand(): re-runs and the oracle pick identical rows)."""
+    docs = _tables(spark, sf_dir)["docs"]
+    fractions = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+    return text_analysis.stratified_sample(
+        docs, fractions, default_fraction=0.1
+    ).select("doc_id", "source")
+
+
 def q_dd_components(spark, sf_dir):
     """Duplicate clustering: connected components over the strong
     (jaccard >= 0.8) near-dup pairs — the canonicalization step after pair
@@ -1001,6 +1024,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_minhash_bands": q_dd_minhash_bands,
         "dd_simhash": q_dd_simhash,
         "dd_jaccard_pairs": q_dd_jaccard_pairs,
+        "dd_cross_source": q_dd_cross_source,
         "dd_shingle_bands": q_dd_shingle_bands,
         "dd_embedding_pairs": q_dd_embedding_pairs,
         "dd_components": q_dd_components,
@@ -1012,6 +1036,8 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_token_count": q_txt_token_count,
         "txt_fingerprint": q_txt_fingerprint,
         "txt_repetition": q_txt_repetition,
+        "txt_source_mix": q_txt_source_mix,
+        "txt_stratified_sample": q_txt_stratified_sample,
         "txt_clean_corpus": q_txt_clean_corpus,
         "mm_meta": q_mm_meta,
         "mm_decode_meta": q_mm_decode_meta,
@@ -1040,6 +1066,44 @@ def oracle_sql() -> Dict[str, str]:
         f"list_transform(string_split(term, ''), c -> CAST(unicode(c) AS BIGINT))), "
         f"(acc, cp) -> (acc * 131 + cp) % {_HASH_P})"
     )
+    # shared by dd_jaccard_pairs and dd_cross_source (identical pair pipeline)
+    jaccard_ctes = f"""{TOKS_SQL},
+            dt AS (SELECT DISTINCT doc_id, term FROM toks),
+            sizes AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id),
+            bands AS (
+                WITH seeded AS (
+                    SELECT doc_id, term, seed,
+                           {seeded_tok_hash} AS h
+                    FROM dt CROSS JOIN (SELECT unnest(range({N_MINHASH})) AS seed)
+                ),
+                minh AS (SELECT doc_id, seed, min(h) AS mh FROM seeded GROUP BY doc_id, seed),
+                banded AS (SELECT doc_id, CAST(seed // {ROWS_PER_BAND} AS INT) AS band, seed, mh FROM minh)
+                SELECT doc_id, band,
+                       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(list_sort(list({{'s': seed, 'm': mh}})), x -> x.m)),
+                           (acc, m) -> (acc * 131 + m) % {_HASH_P}) AS band_hash
+                FROM banded GROUP BY doc_id, band
+            ),
+            pairs AS (
+                SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                FROM bands x JOIN bands y
+                  ON x.band = y.band AND x.band_hash = y.band_hash
+                 AND x.doc_id < y.doc_id
+            ),
+            common AS (
+                SELECT p.a, p.b, count(*) AS c
+                FROM pairs p
+                JOIN dt ta ON ta.doc_id = p.a
+                JOIN dt tb ON tb.doc_id = p.b AND tb.term = ta.term
+                GROUP BY p.a, p.b
+            ),
+            jac AS (
+                SELECT common.a, common.b,
+                       round(c / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jaccard
+                FROM common
+                JOIN sizes sa ON sa.doc_id = common.a
+                JOIN sizes sb ON sb.doc_id = common.b
+            )"""
     return {
         "ft_terms_stats": f"""
             WITH {TOKS_SQL}
@@ -1867,41 +1931,49 @@ def oracle_sql() -> Dict[str, str]:
         # have an oracle (below): the candidate-pair set is deterministic
         # because the MinHash banding is engine-portable.
         "dd_jaccard_pairs": f"""
-            WITH {TOKS_SQL},
-            dt AS (SELECT DISTINCT doc_id, term FROM toks),
-            sizes AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id),
-            bands AS (
-                WITH seeded AS (
-                    SELECT doc_id, term, seed,
-                           {seeded_tok_hash} AS h
-                    FROM dt CROSS JOIN (SELECT unnest(range({N_MINHASH})) AS seed)
-                ),
-                minh AS (SELECT doc_id, seed, min(h) AS mh FROM seeded GROUP BY doc_id, seed),
-                banded AS (SELECT doc_id, CAST(seed // {ROWS_PER_BAND} AS INT) AS band, seed, mh FROM minh)
-                SELECT doc_id, band,
-                       list_reduce(list_prepend(CAST(0 AS BIGINT),
-                           list_transform(list_sort(list({{'s': seed, 'm': mh}})), x -> x.m)),
-                           (acc, m) -> (acc * 131 + m) % {_HASH_P}) AS band_hash
-                FROM banded GROUP BY doc_id, band
-            ),
-            pairs AS (
-                SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-                FROM bands x JOIN bands y
-                  ON x.band = y.band AND x.band_hash = y.band_hash
-                 AND x.doc_id < y.doc_id
-            ),
-            common AS (
-                SELECT p.a, p.b, count(*) AS c
-                FROM pairs p
-                JOIN dt ta ON ta.doc_id = p.a
-                JOIN dt tb ON tb.doc_id = p.b AND tb.term = ta.term
-                GROUP BY p.a, p.b
+            WITH {jaccard_ctes}
+            SELECT a, b, jaccard FROM jac
+        """,
+        "dd_cross_source": f"""
+            WITH {jaccard_ctes},
+            lab AS (
+                SELECT da.source AS sa, db.source AS sb
+                FROM jac
+                JOIN documents da ON da.doc_id = jac.a
+                JOIN documents db ON db.doc_id = jac.b
+                WHERE jac.jaccard >= 0.8
             )
-            SELECT common.a, common.b,
-                   round(c / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jaccard
-            FROM common
-            JOIN sizes sa ON sa.doc_id = common.a
-            JOIN sizes sb ON sb.doc_id = common.b
+            SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM lab GROUP BY 1, 2
+        """,
+        "txt_source_mix": f"""
+            WITH {TOKS_SQL},
+            q AS (
+                SELECT doc_id, count(*) AS n_tokens,
+                       round(sum(CASE WHEN term IN ('the','a','of','and')
+                                 THEN 1 ELSE 0 END)
+                             / CAST(count(*) AS DOUBLE), 6) AS stopword_ratio
+                FROM toks GROUP BY doc_id
+            )
+            SELECT d.source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(q.n_tokens) AS BIGINT) AS n_tokens,
+                   round(avg(q.n_tokens), 6) AS mean_doc_tokens,
+                   round(avg(q.stopword_ratio), 6) AS mean_stopword_ratio,
+                   round(CAST(sum(q.n_tokens) AS DOUBLE)
+                         / (SELECT count(*) FROM toks), 6) AS token_share
+            FROM q JOIN documents d USING (doc_id)
+            GROUP BY d.source
+        """,
+        "txt_stratified_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE ((doc_id % 1000003 + 1000003) % 1000003) * 2654435761
+                  % 10000
+                  < CASE source WHEN 'src0' THEN 10000
+                                WHEN 'src1' THEN 5000
+                                WHEN 'src2' THEN 2500
+                                ELSE 1000 END
         """,
     }
 

@@ -195,6 +195,41 @@ def jaccard_verify(pairs: DataFrame, toks: DataFrame, digits: int = 6) -> DataFr
     )
 
 
+def cross_source_matrix(
+    docs: DataFrame, threshold: float = 0.8, source_col: str = "source"
+) -> DataFrame:
+    """Which sources duplicate each other: strong near-dup pairs (banded
+    MinHash candidates, exact-Jaccard-verified at ``threshold``) labeled
+    with their documents' sources and aggregated to an unordered
+    (source_a <= source_b, n_pairs) matrix — the crawl-pipeline diagnostic
+    for mirror/syndication clusters ACROSS sources vs churn within one.
+
+    Scale shape: pairs come from the banded candidate join (never
+    all-pairs); the two source-label joins are doc_id-keyed against a
+    two-column projection; the final aggregate's key space is #sources^2."""
+    pairs = jaccard_verify(
+        candidate_pairs(minhash_bands(docs)), distinct_tokens(docs)
+    ).filter(F.col("jaccard") >= threshold)
+    src = docs.select("doc_id", source_col)
+    lab = (
+        pairs.join(
+            src.withColumnRenamed("doc_id", "a").withColumnRenamed(source_col, "sa"),
+            "a",
+        ).join(
+            src.withColumnRenamed("doc_id", "b").withColumnRenamed(source_col, "sb"),
+            "b",
+        )
+    )
+    return (
+        lab.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
 def near_dup_pairs(
     docs: DataFrame, threshold: float = 0.8, max_ring: int = None
 ) -> DataFrame:

@@ -64,6 +64,72 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
+def source_mix(docs: DataFrame, digits: int = 6) -> DataFrame:
+    """Per-source mixture table — the numbers a pretraining-data pipeline
+    sets its source weights from: (source, n_docs, n_tokens, mean_doc_tokens,
+    mean_stopword_ratio, token_share).
+
+    One tokenize pass (reuses ``quality``'s per-doc aggregate), joined to the
+    (doc_id, source) projection on the doc_id both sides are already keyed
+    by, then a per-source aggregate (shuffle cardinality = #sources, with
+    map-side partial aggregation).  ``token_share`` uses an unpartitioned
+    window over the ALREADY-AGGREGATED frame — #sources rows on one
+    partition, not a corpus-wide single-partition sort.  Docs with zero
+    tokens carry no mixture weight and are excluded (same population as the
+    ``txt_quality`` gate)."""
+    per_doc = quality(docs, digits).join(docs.select("doc_id", "source"), "doc_id")
+    agg = per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.round(F.avg("n_tokens"), digits).alias("mean_doc_tokens"),
+        F.round(F.avg("stopword_ratio"), digits).alias("mean_stopword_ratio"),
+    )
+    total = Window.partitionBy()
+    return agg.withColumn(
+        "token_share",
+        F.round(F.col("n_tokens") / F.sum("n_tokens").over(total), digits),
+    )
+
+
+SAMPLE_DENOM = 10000
+_SAMPLE_MOD = 1000003  # pre-reduce ids so the Knuth multiply stays < 2^52
+_KNUTH = 2654435761
+
+
+def sample_key(id_col: str = "doc_id"):
+    """Deterministic, engine-portable sampling key in [0, SAMPLE_DENOM):
+    pmod-reduce the id below 2^20, Knuth-multiply, reduce again.  The
+    pre-reduction keeps the product under 2^52 so the arithmetic is exact
+    in BIGINT on both Spark and DuckDB (no overflow, no ANSI error), and
+    pmod handles negative (hashed web-scale) ids identically to the
+    oracle's ``((id % m + m) % m)``."""
+    return F.pmod(
+        F.pmod(F.col(id_col), F.lit(_SAMPLE_MOD)) * F.lit(_KNUTH),
+        F.lit(SAMPLE_DENOM),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict,
+    default_fraction: float = 0.0,
+    source_col: str = "source",
+) -> DataFrame:
+    """Source-stratified deterministic downsampling: keep a row iff its
+    ``sample_key`` falls under its source's cutoff.  Stateless and
+    shuffle-free (a single filter pushed into the scan), reproducible
+    across engines and runs — the way a 100 TB mixture is actually drawn
+    (no ``rand()``: re-runs and backfills must pick the same rows)."""
+    cut = None
+    for src, frac in sorted(fractions.items()):
+        c = int(frac * SAMPLE_DENOM)
+        cond = F.col(source_col) == src
+        cut = F.when(cond, c) if cut is None else cut.when(cond, c)
+    default_cut = int(default_fraction * SAMPLE_DENOM)
+    cut = F.lit(default_cut) if cut is None else cut.otherwise(default_cut)
+    return docs.filter(sample_key() < cut)
+
+
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, ws_tokens, alnum_tokens, bpe_est)."""
     return docs.select(
