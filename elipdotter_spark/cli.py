@@ -260,6 +260,55 @@ def cmd_clean(args) -> int:
     return 0
 
 
+def cmd_mix(args) -> int:
+    """Per-source mixture table (text_analysis.source_mix): docs, tokens,
+    quality means, and each source's token share — the numbers a
+    pretraining mixture is weighted from.  One JSON line."""
+    from elipdotter_spark.operators import text_analysis
+
+    spark = get_spark()
+    docs = spark.read.parquet(args.input).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    rows = text_analysis.source_mix(docs).orderBy("source").collect()
+    print(json.dumps({"n_sources": len(rows),
+                      "sources": [r.asDict() for r in rows]}))
+    return 0
+
+
+def cmd_sample(args) -> int:
+    """Deterministic source-stratified downsample (engine-portable hash,
+    no rand(): re-runs and backfills draw the same rows; a smaller
+    fraction is always a subset of a larger one)."""
+    from elipdotter_spark.operators import text_analysis
+
+    fractions = {}
+    if args.fractions:
+        for part in args.fractions.split(","):
+            src, _, frac = part.partition("=")
+            if not _:
+                raise SystemExit(f"--fractions entry {part!r} is not src=frac")
+            fractions[src] = float(frac)
+    spark = get_spark()
+    docs = spark.read.parquet(args.input).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sampled = text_analysis.stratified_sample(
+        docs, fractions, default_fraction=args.default_fraction
+    )
+    if args.output:
+        sampled.write.mode("overwrite").parquet(args.output)
+        sampled = spark.read.parquet(args.output)
+    print(json.dumps({
+        "n_in": docs.count(),
+        "n_kept": sampled.count(),
+        "fractions": fractions,
+        "default_fraction": args.default_fraction,
+        "output": args.output,
+    }))
+    return 0
+
+
 def cmd_stats(args) -> int:
     """Index size estimate / store health as one JSON line (the reference
     exposes a heap-size hint, `Provider::size` src/index.rs:736-742 —
@@ -498,6 +547,20 @@ def main(argv=None) -> int:
                         "the cleaned corpus (use on preemptible clusters; "
                         "default keeps state in executor block storage)")
     c.set_defaults(fn=cmd_clean)
+
+    x = sub.add_parser("mix")
+    x.add_argument("--input", required=True)
+    x.set_defaults(fn=cmd_mix)
+
+    z = sub.add_parser("sample")
+    z.add_argument("--input", required=True)
+    z.add_argument("--output", default=None,
+                   help="write the sampled corpus here")
+    z.add_argument("--fractions", default=None,
+                   help="per-source keep fractions, e.g. src0=1.0,src1=0.5")
+    z.add_argument("--default-fraction", type=float, default=0.0,
+                   help="keep fraction for sources not listed in --fractions")
+    z.set_defaults(fn=cmd_sample)
 
     d = sub.add_parser("dedup")
     d.add_argument("--input", required=True)
