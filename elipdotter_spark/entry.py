@@ -293,6 +293,77 @@ def q_ft_bm25_scores(spark, sf_dir):
     return scores.select("doc_id", F.round("score", 6).alias("score"))
 
 
+BATCH_QUERIES = {1: ["spark", "fast"], 2: ["table", "value"], 3: ["vector"]}
+BATCH_K = 10
+
+_BATCH_VALUES = ", ".join(
+    f"({qid}, '{t}')" for qid, ts in BATCH_QUERIES.items() for t in ts
+)
+# shared by ft_bm25_batch and ft_bm25_batch_pruned (same exact result; the
+# pruned gate proves the in-plan per-query theta is sound cross-engine)
+_BM25_BATCH_ORACLE = f"""
+    WITH {TOKS_SQL},
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           FROM toks GROUP BY doc_id),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM dl),
+    df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    queries(query_id, term) AS (VALUES {_BATCH_VALUES}),
+    scored AS (
+        SELECT CAST(q.query_id AS BIGINT) AS query_id, tf.doc_id,
+               sum(
+                 ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                 * tf * (1.2 + 1.0)
+                 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+               ) AS s
+        FROM tf
+        JOIN df USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats
+        JOIN queries q ON q.term = tf.term
+        GROUP BY q.query_id, tf.doc_id
+    )
+    SELECT query_id, doc_id, round(s, 6) AS score,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY s DESC, doc_id
+           ) AS rnk
+    FROM scored
+    QUALIFY rnk <= {BATCH_K}
+"""
+
+
+def q_ft_bm25_batch(spark, sf_dir):
+    """Batched BM25 top-k: the whole query set in ONE plan (single posting
+    scan fanned out via a broadcast (query_id, term) join, per-query window
+    rank) — the query-log / evaluation-harness operator."""
+    t = _tables(spark, sf_dir)
+    top = bm25.bm25_topk_batch(
+        t["postings"], t["docstats"], t["terms"], BATCH_QUERIES, BATCH_K,
+        n=t["n"], avgdl=t["avgdl"],
+    )
+    return top.select(
+        "query_id", "doc_id", F.round("score", 6).alias("score"), "rnk"
+    )
+
+
+def q_ft_bm25_batch_pruned(spark, sf_dir):
+    """Same result through the block-max batch prune (per-query theta derived
+    inside the plan, no driver round-trip between phases)."""
+    t = _tables(spark, sf_dir)
+    bm = bm25.build_block_max(
+        t["postings"], t["docstats"], t["terms"], t["n"], t["avgdl"],
+        block_size=64,
+    )
+    top = bm25.bm25_topk_blockmax_batch(
+        t["postings"], t["docstats"], t["terms"], bm, BATCH_QUERIES, BATCH_K,
+        t["n"], t["avgdl"], block_size=64, probe_blocks=4,
+    )
+    return top.select(
+        "query_id", "doc_id", F.round("score", 6).alias("score"), "rnk"
+    )
+
+
 def q_ft_prefix_expand(spark, sf_dir):
     """F4: prefix expansion ratings for query word 'val' (double precision
     mirror of the f32 engine path, for SQL comparability)."""
@@ -1014,6 +1085,8 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_diff_docs": q_ft_diff_docs,
         "ft_positions": q_ft_positions,
         "ft_bm25_scores": q_ft_bm25_scores,
+        "ft_bm25_batch": q_ft_bm25_batch,
+        "ft_bm25_batch_pruned": q_ft_bm25_batch_pruned,
         "ft_prefix_expand": q_ft_prefix_expand,
         "ft_remove_doc": q_ft_remove_doc,
         "ft_segment_merge": q_ft_segment_merge,
@@ -1176,6 +1249,8 @@ def oracle_sql() -> Dict[str, str]:
             WHERE term IN ('spark', 'fast')
             GROUP BY tf.doc_id
         """,
+        "ft_bm25_batch": _BM25_BATCH_ORACLE,
+        "ft_bm25_batch_pruned": _BM25_BATCH_ORACLE,
         "ft_prefix_expand": f"""
             WITH {TOKS_SQL},
             dict AS (SELECT DISTINCT term FROM toks)

@@ -18,9 +18,9 @@ pruned plan is verified equal to the exhaustive one in tests.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Dict, Optional, Sequence
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 K1 = 1.2
 B = 0.75
@@ -104,6 +104,170 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+# ----------------------------------------------------------- batched querying
+#
+# A search evaluation / query-log workload runs THOUSANDS of queries against
+# the same index.  Per-query Spark jobs pay the posting scan + scheduling once
+# per query; the batch operators below run the WHOLE query set in one plan:
+# a single term-pruned posting scan (filtered to the union of all query
+# terms), fanned out to queries via a broadcast join against the tiny
+# (query_id, term) table, aggregated by (query_id, doc_id), ranked per query
+# with one window.  At 10^12 docs this amortizes the dominant cost — the
+# scan — across the batch; everything stays JVM-side (no Python, no driver
+# loop over queries).
+
+
+def _queries_df(spark: SparkSession, queries: Dict[object, Sequence[str]]) -> DataFrame:
+    """Normalize {query_id: [terms]} to a deduped (query_id, term) DataFrame.
+    Integer and string query ids are both accepted (mixed is not)."""
+    rows = [
+        (qid, t)
+        for qid, terms in queries.items()
+        for t in dict.fromkeys(terms)
+    ]
+    id_type = "string" if rows and isinstance(rows[0][0], str) else "long"
+    return spark.createDataFrame(rows, f"query_id {id_type}, term string")
+
+
+def bm25_scores_batch(
+    postings: DataFrame,
+    docstats: DataFrame,
+    terms: DataFrame,
+    queries: Dict[object, Sequence[str]],
+    n: Optional[int] = None,
+    avgdl: Optional[float] = None,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Exhaustive batch BM25: (query_id, doc_id, score) for every query in
+    ``queries`` — ONE posting scan for the whole batch.
+
+    Plan shape: posting scan filtered to the union of all query terms
+    (pushed ``isin``) -> broadcast idf + docstats joins -> broadcast join
+    against the (query_id, term) table -> hash aggregate by
+    (query_id, doc_id).  A term shared by many queries is scanned once and
+    fanned out by the broadcast join, not rescanned per query."""
+    spark = postings.sparkSession
+    if n is None or avgdl is None:
+        n, avgdl = corpus_stats(docstats)
+    qdf = _queries_df(spark, queries)
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    imp = term_impacts(
+        postings.filter(F.col("term").isin(all_terms)), docstats, terms,
+        n, avgdl, k1, b,
+    )
+    return (
+        imp.join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("impact").alias("score"))
+    )
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k from (query_id, doc_id, score): deterministic
+    (score desc, doc_id asc) ranking, one shuffle by query_id."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def bm25_topk_batch(
+    postings: DataFrame,
+    docstats: DataFrame,
+    terms: DataFrame,
+    queries: Dict[object, Sequence[str]],
+    k: int,
+    **kw,
+) -> DataFrame:
+    """Per-query top-k over the whole batch in one job:
+    (query_id, doc_id, score, rnk), rnk in 1..k per query."""
+    return _rank_topk(
+        bm25_scores_batch(postings, docstats, terms, queries, **kw), k
+    )
+
+
+def bm25_topk_blockmax_batch(
+    postings: DataFrame,
+    docstats: DataFrame,
+    terms: DataFrame,
+    block_max: DataFrame,
+    queries: Dict[object, Sequence[str]],
+    k: int,
+    n: int,
+    avgdl: float,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    probe_blocks: int = 64,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Batched block-max pruned top-k — the per-query two-phase prune of
+    :func:`bm25_topk_blockmax`, with theta derived PER QUERY inside the plan
+    (no driver collect between phases; the whole batch is one lazy plan).
+
+    Phase 1 probes, per query, the ``probe_blocks`` blocks with the highest
+    summed block-max upper bound and scores them exactly; theta(q) is the
+    k-th best probe score when the probe yielded a full k (else -inf —
+    no sound threshold exists).  Phase 2 exact-scores only (query, block)
+    pairs whose upper bound >= theta(q).  Identical to the exhaustive batch:
+    any (q, doc) outside q's surviving blocks has
+    score <= ub(block) < theta(q) <= true k-th score of q."""
+    from .codec import range_expr
+
+    spark = postings.sparkSession
+    qdf = _queries_df(spark, queries)
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+
+    bounds = (
+        block_max.filter(F.col("term").isin(all_terms))
+        .join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "block")
+        .agg(F.sum("block_max").alias("ub"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("ub"), F.asc("block"))
+    probe = (
+        bounds.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= probe_blocks)
+        .select("query_id", "block")
+    )
+
+    imp = term_impacts(
+        postings.filter(F.col("term").isin(all_terms)), docstats, terms,
+        n, avgdl, k1, b,
+    ).withColumn("block", range_expr(block_size))
+    fanned = imp.join(F.broadcast(qdf), "term")
+
+    phase1 = (
+        fanned.join(F.broadcast(probe), ["query_id", "block"])
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("impact").alias("score"))
+    )
+    # theta(q): k-th best probe score, only sound when the probe found >= k
+    theta = (
+        _rank_topk(phase1, k)
+        .groupBy("query_id")
+        .agg(F.count("*").alias("c"), F.min("score").alias("kth"))
+        .select(
+            "query_id",
+            F.when(F.col("c") >= k, F.col("kth"))
+            .otherwise(F.lit(float("-inf")))
+            .alias("theta"),
+        )
+    )
+    surviving = (
+        bounds.join(F.broadcast(theta), "query_id")
+        .filter(F.col("ub") >= F.col("theta"))
+        .select("query_id", "block")
+    )
+    phase2 = (
+        fanned.join(F.broadcast(surviving), ["query_id", "block"])
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("impact").alias("score"))
+    )
+    return _rank_topk(phase2, k)
 
 
 # ------------------------------------------------------------- block-max WAND
