@@ -389,6 +389,22 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_fsck(args) -> int:
+    """Store integrity verifier: validate every invariant the commit
+    protocol maintains (meta-referenced dirs present with footer-valid
+    parquet, ledger rows backed by data or a recoverable tmp, unique seqs,
+    coverage ⊆ ledger, orphans/retired classified).  Sparkless — parquet
+    FOOTER reads only, no data pages — so it is safe against a live store
+    and cheap enough for monitoring.  Exit 0 when ok (warnings are
+    expected states: recoverable commits, GC-pending dirs), 2 on errors."""
+    from elipdotter_spark.sources.catalog import IndexStore
+
+    store = IndexStore(None, args.index)
+    out = store.fsck(deep=args.deep)
+    print(json.dumps({"index": args.index, **out}))
+    return 0 if out["ok"] else 2
+
+
 def cmd_sweep(args) -> int:
     """Cron-style janitor for stores run with a GC grace window: delete
     retired artifact/segment dirs whose window has expired.  Pure
@@ -530,6 +546,13 @@ def main(argv=None) -> int:
                    help="the store's grace window; retired dirs older "
                         "than this are deleted")
     s.set_defaults(fn=cmd_sweep)
+
+    f = sub.add_parser("fsck")
+    f.add_argument("--index", required=True)
+    f.add_argument("--deep", action="store_true",
+                   help="also cross-check meta corpus counters against "
+                        "the docstats artifact's footer row counts")
+    f.set_defaults(fn=cmd_fsck)
 
     c = sub.add_parser("clean")
     c.add_argument("--input", required=True)

@@ -1280,6 +1280,262 @@ class IndexStore:
         )
         return delta_b, base_b
 
+    # --------------------------------------------------------------- fsck
+
+    _ARTIFACT_KINDS = ("terms", "docstats", "blocks", "doclen_blocks")
+    _DELTA_FAMILIES = ("terms_delta", "docstats_delta", "blocks_delta",
+                       "doclen_delta")
+
+    def _check_parquet_dir(self, path: str, errors: list, warnings: list,
+                           checked: dict, label: str) -> int:
+        """Footer-validate every parquet file in ``path``; returns the
+        file count.  A parquet file's footer lives at the END of the file,
+        so truncation / partial writes / zero-byte files all fail here —
+        this is the cheap (metadata-only, no data pages) corruption
+        detector.  Missing dir is the CALLER's call (referenced -> error,
+        optional -> skip); zero parquet files inside an existing dir is a
+        warning (an empty write can legitimately produce no part files)."""
+        import pyarrow.parquet as pq
+
+        n = 0
+        for root, _dirs, files in os.walk(path):
+            if os.path.basename(root).startswith("."):
+                continue
+            for f in sorted(files):
+                if not f.endswith(".parquet") or f.startswith((".", "_")):
+                    continue
+                fp = os.path.join(root, f)
+                n += 1
+                checked["parquet_files"] += 1
+                try:
+                    checked["rows"] += pq.ParquetFile(fp).metadata.num_rows
+                except Exception as e:  # corrupt/truncated footer
+                    errors.append(
+                        f"{label}: corrupt parquet {os.path.relpath(fp, self.base)}: {e}"
+                    )
+        if n == 0:
+            warnings.append(f"{label}: no parquet files in {path}")
+        return n
+
+    def fsck(self, deep: bool = False) -> dict:
+        """Sparkless store integrity check — the offline janitor's verifier
+        (pure filesystem metadata + parquet FOOTER reads; O(files), no data
+        pages scanned, safe to run against a live store).
+
+        Validates the invariants the commit protocol is supposed to
+        maintain, so a bug / manual mutation / bitrot is DETECTED instead
+        of silently served:
+
+        - the meta parses, and every directory it references (versioned
+          base artifacts via ``artifact_dirs``, the four delta families via
+          ``*_delta_names``) exists with footer-valid parquet;
+        - every committed ledger row's segment data is present (final dir,
+          or the seq-named tmp dir ``_recover_segments`` repairs from — a
+          WARNING; a row shadowed by a later ``seg-compact-*`` segment is
+          the documented compact-crash leftover — also a warning; anything
+          else is data loss — ERROR);
+        - no two committed rows share a seq (latest-wins would be
+          ambiguous), and every covered seq exists in the ledger;
+        - unreferenced base-artifact versions / delta dirs / segment dirs
+          are classified: ``.retired``-stamped (grace-GC pending — info) vs
+          unstamped orphans (crash leftovers the next publish sweeps —
+          warning, never an error: orphans are INVISIBLE by design, the
+          meta is the only way in).
+
+        ``deep=True`` additionally cross-checks the meta's incrementally
+        maintained corpus counters against the docstats artifact's actual
+        footer row counts on a fresh, delta-free store (counter drift
+        would silently skew every BM25 idf/avgdl).
+
+        Returns ``{"ok": bool, "errors": [...], "warnings": [...],
+        "info": [...], "checked": {...}}`` — ok means no errors (warnings
+        are expected states: recoverable commits, GC-pending dirs)."""
+        import re
+
+        errors: list = []
+        warnings: list = []
+        info: list = []
+        checked = {"parquet_files": 0, "rows": 0, "artifact_dirs": 0,
+                   "segments": 0, "retired_pending": 0, "orphans": 0}
+
+        try:
+            meta = self._meta()
+        except ValueError as e:
+            errors.append(f"meta: blocks_meta.json unparseable: {e}")
+            meta = None
+
+        # ---- referenced published artifacts
+        referenced: Set[str] = set()  # base-relative dirs the meta names
+        if meta is not None:
+            narrow_cov = self._covered(meta, "covered_seqs", "max_seq")
+            blocks_cov = self._covered(
+                meta, "blocks_covered_seqs", "blocks_max_seq"
+            )
+            for kind in self._ARTIFACT_KINDS:
+                cov = narrow_cov if kind in ("terms", "docstats") else blocks_cov
+                if cov is None:
+                    continue  # family never published
+                path = self._artifact_path(kind, meta)
+                referenced.add(os.path.relpath(path, self.base))
+                if not os.path.isdir(path):
+                    errors.append(
+                        f"artifact {kind}: meta references missing dir "
+                        f"{os.path.basename(path)}"
+                    )
+                    continue
+                checked["artifact_dirs"] += 1
+                self._check_parquet_dir(
+                    path, errors, warnings, checked, f"artifact {kind}"
+                )
+            fam_names = {
+                "terms_delta": self._narrow_delta_names(meta),
+                "docstats_delta": self._narrow_delta_names(meta),
+                "blocks_delta": self._blocks_delta_names(meta),
+                "doclen_delta": self._blocks_delta_names(meta),
+            }
+            for fam, names in fam_names.items():
+                for nm in names:
+                    path = os.path.join(self.base, fam, nm)
+                    referenced.add(os.path.join(fam, nm))
+                    if not os.path.isdir(path):
+                        errors.append(
+                            f"delta {fam}/{nm}: meta references missing dir"
+                        )
+                        continue
+                    checked["artifact_dirs"] += 1
+                    self._check_parquet_dir(
+                        path, errors, warnings, checked, f"delta {fam}/{nm}"
+                    )
+
+        # ---- ledger <-> segment coherence
+        try:
+            rows = self.ledger()
+        except (OSError, ValueError) as e:
+            errors.append(f"ledger: unreadable: {e}")
+            rows = []
+        done = [r for r in rows if r.get("status") == "done"]
+        seqs = [r["seq"] for r in done if r.get("seq") is not None]
+        dup = {s for s in seqs if seqs.count(s) > 1}
+        if dup:
+            errors.append(f"ledger: duplicate committed seqs {sorted(dup)}")
+        compact_seqs = [
+            r["seq"] for r in done
+            if r.get("seq") is not None
+            and str(r.get("segment_id", "")).startswith("seg-compact-")
+        ]
+        seg_dirs_present: Set[str] = set()
+        for r in done:
+            final = self.segment_path(r["segment_id"])
+            checked["segments"] += 1
+            if os.path.isdir(final):
+                seg_dirs_present.add(r["segment_id"])
+                self._check_parquet_dir(
+                    final, errors, warnings, checked,
+                    f"segment {r['segment_id']}",
+                )
+                continue
+            tmp = f"{final}.tmp-{r.get('seq')}"
+            if r.get("seq") is not None and os.path.isdir(tmp):
+                warnings.append(
+                    f"segment {r['segment_id']}: interrupted commit — "
+                    f"recoverable from {os.path.basename(tmp)}"
+                )
+                seg_dirs_present.add(f"{r['segment_id']}.tmp-{r.get('seq')}")
+            elif any(
+                cs > (r.get("seq") if r.get("seq") is not None else -1)
+                for cs in compact_seqs
+            ):
+                warnings.append(
+                    f"segment {r['segment_id']}: data dir missing but "
+                    "shadowed by a later seg-compact segment (documented "
+                    "compact-crash leftover row)"
+                )
+            else:
+                errors.append(
+                    f"segment {r['segment_id']}: committed ledger row but "
+                    "no data dir and no recoverable tmp — data loss"
+                )
+        committed = {s for s in seqs}
+        if meta is not None:
+            for key, stamp in (
+                ("covered_seqs", "max_seq"),
+                ("blocks_covered_seqs", "blocks_max_seq"),
+            ):
+                cov = self._covered(meta, key, stamp)
+                if cov and not cov <= committed:
+                    errors.append(
+                        f"meta: {key} covers seqs {sorted(cov - committed)} "
+                        "absent from the committed ledger"
+                    )
+
+        # ---- orphan / retired classification
+        def classify(path: str, label: str) -> None:
+            if os.path.exists(os.path.join(path, self._RETIRED)):
+                checked["retired_pending"] += 1
+            else:
+                checked["orphans"] += 1
+                warnings.append(f"orphan (unreferenced, sweepable): {label}")
+
+        art_pat = re.compile(
+            r"^(terms|docstats|blocks|doclen_blocks)(-v\d{6})?$"
+        )
+        for entry in sorted(os.listdir(self.base)):
+            p = os.path.join(self.base, entry)
+            if not os.path.isdir(p):
+                continue
+            if art_pat.match(entry) and entry not in referenced:
+                # plain legacy names are valid when the meta has no
+                # artifact_dirs (pre-round-6 store) — _artifact_path
+                # already resolved those into `referenced`
+                classify(p, entry)
+        for fam in self._DELTA_FAMILIES:
+            d = os.path.join(self.base, fam)
+            if not os.path.isdir(d):
+                continue
+            for nm in sorted(os.listdir(d)):
+                if os.path.join(fam, nm) not in referenced:
+                    classify(os.path.join(d, nm), f"{fam}/{nm}")
+        segroot = os.path.join(self.base, "segments")
+        if os.path.isdir(segroot):
+            for nm in sorted(os.listdir(segroot)):
+                if nm not in seg_dirs_present:
+                    classify(os.path.join(segroot, nm), f"segments/{nm}")
+
+        # ---- deep: counters vs actual rows
+        if deep and meta is not None and meta.get("corpus_stats"):
+            stale = self.published_stale(meta)
+            if not stale and not self._narrow_delta_names(meta):
+                import pyarrow.parquet as pq
+
+                n_meta = int(meta["corpus_stats"]["n"])
+                n_rows = 0
+                path = self._artifact_path("docstats", meta)
+                for root, _dirs, files in os.walk(path):
+                    for f in files:
+                        if f.endswith(".parquet"):
+                            n_rows += pq.ParquetFile(
+                                os.path.join(root, f)
+                            ).metadata.num_rows
+                if n_rows != n_meta:
+                    errors.append(
+                        f"deep: corpus counter n={n_meta} != docstats "
+                        f"artifact rows {n_rows} (counter drift)"
+                    )
+            else:
+                info.append(
+                    "deep: counter cross-check skipped (store stale or "
+                    "delta-published — counts legitimately differ from the "
+                    "base artifact)"
+                )
+
+        return {
+            "ok": not errors,
+            "errors": errors,
+            "warnings": warnings,
+            "info": info,
+            "checked": checked,
+        }
+
     def compact_deltas(self) -> dict:
         """LSM delta-lineage compaction: merge the K stacked delta segment
         families into ONE delta segment each, WITHOUT touching the base —
