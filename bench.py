@@ -177,6 +177,31 @@ def run_queries(spark, docs, postings, terms, docstats):
         ).collect(),
         reps=5,
     )
+    # batched BM25 (query-log / evaluation workload): 8 queries as ONE
+    # plan (single posting scan, broadcast fan-out, per-query window rank)
+    # vs 8 sequential jobs — the amortization ratio is the point; at
+    # cluster scale the scan dominates and the gap widens with batch size
+    batch8 = {
+        1: ["spark", "fast"], 2: ["table", "value"], 3: ["vector"],
+        4: ["stream", "data"], 5: ["fast", "table"], 6: ["spark", "vector"],
+        7: ["query", "join"], 8: ["data", "value", "fast"],
+    }
+    timed(
+        "q_bm25_batch8",
+        lambda: bm25.bm25_topk_batch(
+            postings, docstats, terms, batch8, 10, n=n, avgdl=avgdl
+        ).collect(),
+        reps=5,
+    )
+    timed(
+        "q_bm25_sequential8",
+        lambda: [
+            bm25.bm25_topk(postings, docstats, terms, q, 10, n=n, avgdl=avgdl)
+            .collect()
+            for q in batch8.values()
+        ],
+        reps=5,
+    )
     # scored queries at reps=9: their pipelines are the longest (most
     # vulnerable to a one-off quota dip) and round 4's p95 ghost came from
     # exactly one outlier in n=5

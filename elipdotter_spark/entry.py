@@ -410,6 +410,20 @@ def q_ft_query_hits(spark, sf_dir):
     return hits.select("doc_id", "start", "rating", "word_id")
 
 
+def q_ft_hits_batch(spark, sf_dir):
+    """Batched reference-rating scoring: three queries through ONE
+    posting-scan pipeline (QueryEngine.hits_batch).  Like ft_query_hits,
+    the f32 kernel is not SQL-expressible -> rows-only driver gate; the
+    bit-identity vs per-query hits() is pinned in tests/test_hits_batch.py
+    (and hits() itself is refereed against the compiled reference)."""
+    eng = _engine(spark, sf_dir)
+    hits = eng.hits_batch(
+        {1: "table -vector", 2: "table or vector", 3: "(table or vector) value"},
+        1000,
+    )
+    return hits.select("query_id", "doc_id", "start", "rating", "word_id")
+
+
 def q_ft_snippets(spark, sf_dir):
     """Result highlighting: +-20 chars of context around every occurrence
     of 'spark' (the reference's occurrence starts exist exactly for this —
@@ -1091,6 +1105,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_remove_doc": q_ft_remove_doc,
         "ft_segment_merge": q_ft_segment_merge,
         "ft_query_hits": q_ft_query_hits,
+        "ft_hits_batch": q_ft_hits_batch,
         "ft_snippets": q_ft_snippets,
         "ft_proximity_docs": q_ft_proximity_docs,
         "dd_exact": q_dd_exact,

@@ -34,6 +34,7 @@ from pyspark.sql.types import (
     FloatType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -753,6 +754,230 @@ class QueryEngine:
 
         occ_sorted = occ.repartition(F.col("doc_id")).sortWithinPartitions("doc_id")
         return occ_sorted.mapInPandas(score_partition, schema=HIT_SCHEMA)
+
+    def hits_batch(
+        self,
+        queries: Dict[object, "Part | str"],
+        distance_threshold: int,
+    ) -> DataFrame:
+        """Rank-identical scored hits for a whole query SET, batched:
+        ``(query_id, doc_id, start, rating, word_id, merged, matched)`` —
+        bit-identical per query to :meth:`hits`.
+
+        The query-log / evaluation workload: per-query ``hits()`` jobs pay
+        the posting scan, the qword-set aggregate, and a kernel shuffle per
+        query.  Batched, the WHOLE set costs:
+
+        - driver-side expansions per query (exact algo: zero jobs; fuzzy:
+          one small dictionary scan each — the posting-side work below is
+          what dominates and is fully amortized);
+        - ONE sentinel job: a single conditional-max aggregate over the
+          shared (query_id, doc_id, qws) sets computes every query's
+          per-node stream maxes;
+        - ONE scoring job: the posting scan is term-pruned to the union of
+          all queries' expanded terms, fanned out via a broadcast
+          (query_id, qword, term, proximity) join, root-filtered per query,
+          shuffled once by (query_id, doc_id) and scored by the same
+          reference kernel (AST + sentinel maxes resolved per query from a
+          tiny closure map).
+
+        Per-doc scoring is exactly separable given the sentinel maxes
+        (the :meth:`hits` candidate contract), so tagging rows with
+        query_id and grouping on (query_id, doc_id) changes nothing about
+        each query's arithmetic.  The per-query root predicate is one
+        OR-chain across queries — batch a few hundred queries per call
+        (Catalyst's expression-depth limit), chunking above that.
+        """
+        import functools
+
+        asts = {
+            qid: (parse(q) if isinstance(q, str) else q)
+            for qid, q in queries.items()
+        }
+        exps = {qid: self.expansions(ast) for qid, ast in asts.items()}
+        rows = [
+            (qid, w, t, float(r))
+            for qid, exp in exps.items()
+            for w, d in exp.items()
+            for t, r in d.items()
+        ]
+        id_is_str = bool(rows) and isinstance(rows[0][0], str)
+        id_type = "string" if id_is_str else "long"
+        exp_df = self.spark.createDataFrame(
+            rows,
+            f"query_id {id_type}, qword string, term string, proximity float",
+        )
+        all_terms = sorted(
+            {t for exp in exps.values() for d in exp.values() for t in d}
+        )
+        scan = self.postings.filter(F.col("term").isin(all_terms))
+        occ = scan.join(F.broadcast(exp_df), "term").select(
+            "query_id", "qword", "term", "proximity", "doc_id", "positions"
+        )
+        # one aggregate computes every query's per-doc qword sets
+        sets = occ.groupBy("query_id", "doc_id").agg(
+            F.collect_set("qword").alias("qws")
+        )
+        exprs_by_q = {
+            qid: self._node_member_exprs(ast) for qid, ast in asts.items()
+        }  # also validates stray NOTs per query
+
+        # ONE sentinel job for the whole batch: per-(query, node)
+        # conditional maxes in a single aggregate row (not persisted — qws
+        # is array-typed, and the scoring plan recomputes the aggregate
+        # inside its own job exactly like hits() does)
+        agg_cols, order = [], []
+        for qid, exprs in exprs_by_q.items():
+            for i, e in enumerate(exprs):
+                cond = (F.col("query_id") == F.lit(qid)) & e
+                agg_cols.append(
+                    F.max(F.when(cond, F.col("doc_id"))).alias(f"m_{len(order)}")
+                )
+                order.append((qid, i))
+        maxes = {qid: [-1] * len(ex) for qid, ex in exprs_by_q.items()}
+        if order:
+            row = sets.agg(*agg_cols).collect()[0]
+            for (qid, i), v in zip(order, row):
+                maxes[qid][i] = int(v) if v is not None else -1
+
+        root_pred = functools.reduce(
+            lambda a, b: a | b,
+            [
+                (F.col("query_id") == F.lit(qid)) & exprs_by_q[qid][0]
+                for qid in asts
+            ],
+        )
+        roots = sets.filter(root_pred).select("query_id", "doc_id")
+        occ = occ.join(roots, ["query_id", "doc_id"], "left_semi").select(
+            "query_id", "qword", "term", "proximity", "doc_id", "positions"
+        )
+
+        meta = {
+            qid: (ast_codec.dumps(ast), maxes[qid]) for qid, ast in asts.items()
+        }
+        dist = int(distance_threshold)
+        out_schema = StructType(
+            [
+                StructField(
+                    "query_id",
+                    StringType() if id_is_str else LongType(),
+                    False,
+                )
+            ]
+            + list(HIT_SCHEMA.fields)
+        )
+
+        def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            parts = {qid: ast_codec.loads(aj) for qid, (aj, _m) in meta.items()}
+            f1 = np.float32(1.0)
+            f4 = np.float32(4.0)
+
+            def empty_out():
+                return {
+                    "query_id": [],
+                    "doc_id": [],
+                    "start": [],
+                    "rating": [],
+                    "word_id": [],
+                    "merged": [],
+                    "matched": [],
+                }
+
+            def emit(qid, doc: int, rows: list, out: dict) -> None:
+                rows.sort(key=lambda r: (r[0], r[1]))  # (qword, term)
+                streams: Dict[str, List] = {}
+                for qw, _term, prox, positions in rows:
+                    lst = streams.setdefault(qw, [])
+                    rating = np.float32((np.float32(prox) - f1) * f4)
+                    for pos in positions:
+                        lst.append((doc, int(pos), rating))
+                hits = oracle.occurrences_pipeline(
+                    parts[qid],
+                    lambda w: streams.get(w, []),
+                    dist,
+                    sentinel_max=meta[qid][1],
+                    current_doc=doc,
+                )
+                for h in hits:
+                    out["query_id"].append(qid)
+                    out["doc_id"].append(h.doc_id)
+                    out["start"].append(h.start)
+                    out["rating"].append(np.float32(h.rating))
+                    out["word_id"].append(h.word_id)
+                    out["merged"].append(h.merged)
+                    out["matched"].append(
+                        [
+                            {"start": int(s), "word_id": int(w)}
+                            for s, w in h.iter_occurrences()
+                        ]
+                    )
+
+            def to_pdf(out: dict) -> pd.DataFrame:
+                return pd.DataFrame(
+                    {
+                        "query_id": pd.Series(
+                            out["query_id"],
+                            dtype="object" if id_is_str else "int64",
+                        ),
+                        "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                        "start": pd.Series(out["start"], dtype="int64"),
+                        "rating": pd.Series(out["rating"], dtype="float32"),
+                        "word_id": pd.Series(out["word_id"], dtype="int32"),
+                        "merged": pd.Series(out["merged"], dtype="bool"),
+                        "matched": pd.Series(out["matched"], dtype="object"),
+                    }
+                )
+
+            cur_key = None
+            cur_rows: list = []
+            for pdf in batches:
+                out = empty_out()
+                for qid, doc, qw, term, prox, positions in zip(
+                    pdf["query_id"],
+                    pdf["doc_id"].values,
+                    pdf["qword"],
+                    pdf["term"],
+                    pdf["proximity"].values,
+                    pdf["positions"],
+                ):
+                    key = (qid, doc)
+                    if key != cur_key:
+                        if cur_key is not None:
+                            emit(cur_key[0], int(cur_key[1]), cur_rows, out)
+                        cur_key, cur_rows = key, []
+                    cur_rows.append((qw, term, prox, positions))
+                yield to_pdf(out)
+            out = empty_out()
+            if cur_key is not None:
+                emit(cur_key[0], int(cur_key[1]), cur_rows, out)
+            yield to_pdf(out)
+
+        occ_sorted = occ.repartition(
+            F.col("query_id"), F.col("doc_id")
+        ).sortWithinPartitions("query_id", "doc_id")
+        return occ_sorted.mapInPandas(score_partition, schema=out_schema)
+
+    def topk_batch(
+        self,
+        queries: Dict[object, "Part | str"],
+        distance_threshold: int,
+        k: int,
+    ) -> DataFrame:
+        """Per-query top-k scored hits over the batch (exhaustive batched
+        path — the adaptive per-engine prune is a per-query optimization;
+        an evaluation sweep wants the whole set in one pipeline).  Ordering
+        matches :meth:`topk`: (rating desc, doc_id, start), rank in
+        ``rnk``."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("rating"), F.asc("doc_id"), F.asc("start")
+        )
+        return (
+            self.hits_batch(queries, distance_threshold)
+            .withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= int(k))
+        )
 
     def topk(
         self,
