@@ -166,6 +166,54 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_batch(args) -> int:
+    """Batched query execution — the evaluation / query-log workload: a
+    JSON file of ``{query_id: query}`` runs as ONE Spark pipeline instead
+    of one job per query (bench: 3.35x at batch=8, growing with batch and
+    corpus size).  ``--mode bm25`` treats each query as comma-separated
+    terms (``bm25_topk_batch``); ``--mode scored`` parses the reference
+    query grammar and runs the rank-identical f32 scoring kernel
+    (``QueryEngine.topk_batch``).  Results go to ``--output`` parquet or
+    stdout JSON lines, ranked 1..k per query."""
+    from elipdotter_spark.operators import bm25
+    from elipdotter_spark.plans.compiler import QueryEngine
+
+    with open(args.queries_file) as fh:
+        queries = json.load(fh)
+    if not isinstance(queries, dict) or not queries:
+        raise SystemExit("--queries-file must be a non-empty JSON object "
+                         "{query_id: query}")
+    spark = get_spark()
+    store, snap, postings, terms, docstats, _stale = _load(spark, args.index)
+    if args.mode == "bm25":
+        if not _stale:
+            n, avgdl = snap.corpus_stats()
+        else:
+            n, avgdl = bm25.corpus_stats(docstats)
+        qsets = {qid: q.split(",") for qid, q in queries.items()}
+        out = bm25.bm25_topk_batch(
+            postings, docstats, terms, qsets, args.k, n=n, avgdl=avgdl
+        )
+        cols = ["query_id", "doc_id", "score", "rnk"]
+    else:
+        engine = QueryEngine(
+            spark, postings, terms,
+            proximity_threshold=args.threshold, algo=args.algo,
+            word_count_limit=args.word_count_limit,
+        )
+        out = engine.topk_batch(queries, args.distance_threshold, args.k)
+        cols = ["query_id", "doc_id", "start", "rating", "rnk"]
+    out = out.select(*cols)
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"queries": len(queries), "output": args.output}))
+    else:
+        for r in out.orderBy("query_id", "rnk").collect():
+            print(json.dumps({c: (float(v) if isinstance(v, float) else v)
+                              for c, v in zip(cols, r)}))
+    return 0
+
+
 def cmd_bm25(args) -> int:
     import os
 
@@ -489,6 +537,22 @@ def main(argv=None) -> int:
     q.add_argument("--threshold", type=float, default=0.85)
     q.add_argument("--word-count-limit", type=int, default=1000)
     q.set_defaults(fn=cmd_query)
+
+    qb = sub.add_parser("batch")
+    qb.add_argument("--index", required=True)
+    qb.add_argument("--queries-file", required=True,
+                    help="JSON object {query_id: query}; bm25 mode splits "
+                         "each query on commas, scored mode parses the "
+                         "reference grammar")
+    qb.add_argument("--mode", default="scored", choices=["scored", "bm25"])
+    qb.add_argument("--k", type=int, default=10)
+    qb.add_argument("--distance-threshold", type=int, default=1000)
+    qb.add_argument("--algo", default="exact",
+                    choices=["exact", "hamming", "jaro"])
+    qb.add_argument("--threshold", type=float, default=0.85)
+    qb.add_argument("--word-count-limit", type=int, default=1000)
+    qb.add_argument("--output", default=None)
+    qb.set_defaults(fn=cmd_batch)
 
     m = sub.add_parser("bm25")
     m.add_argument("--index", required=True)

@@ -181,3 +181,55 @@ def test_cli_ingest_delta_publish(cli, tmp_path, sf_dir, capsys):
     assert [(r["doc_id"], round(r["score"], 9)) for r in wand3] == [
         (r["doc_id"], round(r["score"], 9)) for r in wand2
     ]
+
+
+@pytest.mark.spark
+def test_cli_batch_modes(cli, tmp_path, sf_dir, capsys):
+    """batch: scored mode reproduces the single-query known-good per
+    query_id; bm25 mode matches the bm25 subcommand; fsck is ok and
+    parquet --output round-trips."""
+    idx = str(tmp_path / "idx")
+    assert cli.main([
+        "build", "--input", f"{sf_dir}/documents.parquet",
+        "--output", idx, "--segments", "2",
+    ]) == 0
+    capsys.readouterr()
+
+    qf = str(tmp_path / "queries.json")
+    with open(qf, "w") as fh:
+        json.dump({"a": "table value -vector", "b": "table or vector"}, fh)
+    assert cli.main([
+        "batch", "--index", idx, "--queries-file", qf,
+        "--mode", "scored", "--k", "3", "--algo", "exact",
+    ]) == 0
+    rows = _json_lines(capsys)
+    a = [r for r in rows if r["query_id"] == "a"]
+    assert a[0]["doc_id"] == 217 and abs(a[0]["rating"] - 16.3464) < 0.001
+    assert [r["rnk"] for r in a] == [1, 2, 3]
+    assert len([r for r in rows if r["query_id"] == "b"]) == 3
+
+    with open(qf, "w") as fh:
+        json.dump({"q1": "table,value"}, fh)
+    assert cli.main([
+        "batch", "--index", idx, "--queries-file", qf, "--mode", "bm25",
+        "--k", "5",
+    ]) == 0
+    batch_rows = _json_lines(capsys)
+    assert cli.main([
+        "bm25", "--index", idx, "--terms", "table,value", "--k", "5",
+    ]) == 0
+    single_rows = _json_lines(capsys)
+    assert [(r["doc_id"], round(r["score"], 9)) for r in batch_rows] == [
+        (r["doc_id"], round(r["score"], 9)) for r in single_rows
+    ]
+
+    # parquet output round-trip
+    outp = str(tmp_path / "res")
+    assert cli.main([
+        "batch", "--index", idx, "--queries-file", qf, "--mode", "bm25",
+        "--k", "5", "--output", outp,
+    ]) == 0
+    assert _json_lines(capsys)[-1]["queries"] == 1
+
+    assert cli.main(["fsck", "--index", idx, "--deep"]) == 0
+    assert _json_lines(capsys)[-1]["ok"] is True
