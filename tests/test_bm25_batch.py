@@ -120,3 +120,35 @@ def test_batch_string_query_ids(spark, index):
         if r.query_id == "a"
     ]
     assert got_a == want
+
+
+@pytest.mark.spark
+def test_blockmax_batch_over_compressed_block_stats(spark, index):
+    """The published compressed block table (codec.build_compressed) carries
+    (term, block, block_max) with the SAME range key the batch prune uses —
+    so a published store feeds bm25_topk_blockmax_batch directly, no
+    separate block_max build.  Prune == exhaustive through that path."""
+    from elipdotter_spark.operators import codec
+
+    postings, terms, docstats, n, avgdl = index
+    span = 64
+    comp = codec.build_compressed(
+        postings, docstats, terms, n, avgdl, doc_span=span
+    ).cache()
+    comp.count()
+    bm = comp.select("term", "block", "block_max")
+    want = {
+        (r.query_id, r.rnk): (r.doc_id, round(r.score, 9))
+        for r in bm25.bm25_topk_batch(
+            postings, docstats, terms, QUERIES, K, n=n, avgdl=avgdl
+        ).collect()
+    }
+    got = {
+        (r.query_id, r.rnk): (r.doc_id, round(r.score, 9))
+        for r in bm25.bm25_topk_blockmax_batch(
+            postings, docstats, terms, bm, QUERIES, K, n, avgdl,
+            block_size=span, probe_blocks=2,
+        ).collect()
+    }
+    assert got == want
+    comp.unpersist()

@@ -117,3 +117,59 @@ def test_hits_batch_single_posting_scan_plan(spark, index):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+@pytest.mark.spark
+def test_hits_batch_random_asts_vs_python_oracle(spark):
+    """Batch separability under randomized corpora/ASTs: a batch of random
+    query trees scored in ONE pipeline is bit-identical to the Python
+    reference oracle run per query — the strongest guard that tagging rows
+    with query_id changes nothing about any query's arithmetic."""
+    import random
+
+    from elipdotter_spark.core import oracle
+    from elipdotter_spark.core.similarity import EXACT
+
+    from test_scoring_decomposition import random_ast, random_corpus
+
+    rng = random.Random(1306)
+    corpus = random_corpus(rng, 7, 25)
+    docs = spark.createDataFrame(
+        [(i, t) for i, (_n, t) in enumerate(corpus)],
+        schema="doc_id long, text string",
+    )
+    postings = index_build.build_postings(docs).cache()
+    terms = index_build.build_terms(postings).cache()
+    eng = QueryEngine(
+        spark, postings, terms,
+        proximity_threshold=1.0, algo=EXACT, word_count_limit=2500,
+    )
+    idx = oracle.Index(1.0, EXACT, 2500)
+    for i, (_n, t) in enumerate(corpus):
+        idx.digest_document(i, t)
+
+    dist = 10
+    batch = {}
+    want = {}
+    while len(batch) < 8:
+        ast = random_ast(rng)
+        try:
+            prox = idx.proximate_map(ast)
+            hits = oracle.occurrences_pipeline(
+                ast, lambda w: oracle.lossless_occurrences(idx, prox, w), dist
+            )
+            want[len(batch) + 1] = sorted(
+                (h.doc_id, h.start, float(np.float32(h.rating)), h.word_id)
+                for h in hits
+            )
+        except oracle.StrayNot:
+            continue
+        batch[len(batch) + 1] = ast
+
+    rows = eng.hits_batch(batch, dist).collect()
+    got = {qid: [] for qid in batch}
+    for r in rows:
+        got[r.query_id].append(
+            (r.doc_id, r.start, float(np.float32(r.rating)), r.word_id)
+        )
+    assert {q: sorted(v) for q, v in got.items()} == want
