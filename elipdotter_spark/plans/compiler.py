@@ -129,7 +129,16 @@ class QueryEngine:
     def expansions(self, ast: Part) -> Dict[str, Dict[str, np.float32]]:
         """ProximateMap (query word -> {index term -> rating}) computed with a
         distributed dictionary scan (F1-F8; first-char pruning F6)."""
-        words = list(dict.fromkeys(words_in(ast)))  # unique, order-stable
+        return self.expansions_for_words(list(dict.fromkeys(words_in(ast))))
+
+    def expansions_for_words(
+        self, words: List[str]
+    ) -> Dict[str, Dict[str, np.float32]]:
+        """Expansion map for an explicit word list — lets a BATCH of queries
+        share ONE dictionary scan (the union of all queries' words rates in
+        a single mapInPandas pass; :meth:`hits_batch` slices the result per
+        query)."""
+        words = list(dict.fromkeys(words))
         if self.algo == EXACT:
             return {w: {w: np.float32(1.0)} for w in words}
 
@@ -794,7 +803,18 @@ class QueryEngine:
             qid: (parse(q) if isinstance(q, str) else q)
             for qid, q in queries.items()
         }
-        exps = {qid: self.expansions(ast) for qid, ast in asts.items()}
+        # ONE dictionary scan expands the union of all queries' words
+        # (fuzzy mode used to pay one scan per query); slice per query
+        words_by_q = {
+            qid: list(dict.fromkeys(words_in(ast))) for qid, ast in asts.items()
+        }
+        union_exp = self.expansions_for_words(
+            [w for ws in words_by_q.values() for w in ws]
+        )
+        exps = {
+            qid: {w: union_exp[w] for w in ws}
+            for qid, ws in words_by_q.items()
+        }
         rows = [
             (qid, w, t, float(r))
             for qid, exp in exps.items()
