@@ -191,9 +191,20 @@ def cmd_batch(args) -> int:
         else:
             n, avgdl = bm25.corpus_stats(docstats)
         qsets = {qid: q.split(",") for qid, q in queries.items()}
-        out = bm25.bm25_topk_batch(
-            postings, docstats, terms, qsets, args.k, n=n, avgdl=avgdl
-        )
+        span = (snap.meta or {}).get("doc_span") if not _stale else None
+        if span and not snap.blocks_stale:
+            # published compressed blocks carry (term, block, block_max)
+            # on the same range key -> batched block-max prune for free
+            comp, _dlb = snap.wand_tables(terms, n, avgdl)
+            out = bm25.bm25_topk_blockmax_batch(
+                postings, docstats, terms,
+                comp.select("term", "block", "block_max"),
+                qsets, args.k, n, avgdl, block_size=int(span),
+            )
+        else:
+            out = bm25.bm25_topk_batch(
+                postings, docstats, terms, qsets, args.k, n=n, avgdl=avgdl
+            )
         cols = ["query_id", "doc_id", "score", "rnk"]
     else:
         engine = QueryEngine(
