@@ -134,6 +134,83 @@ ztext AS (
 )
 """
 
+# Multi-line arithmetic corpus for the line-granular boilerplate gates: the
+# sf documents (and the zipf corpus) are single-line, so line_dedup needs its
+# own synthetic shape.  Same portable LCG as the zipf corpus; each doc is
+# LINES_L newline-joined lines drawn from three classes — 5 "nav" boilerplate
+# lines (~150 docs each: always dropped at max_docs=4), ~200 "mid" lines
+# (mean ~4 docs each: straddle the threshold in both directions), and unique
+# "body" lines (always kept).
+
+LINES_D = 400  # docs
+LINES_L = 8  # lines per doc
+
+LINES_TEXT_SQL = f"""
+lraw AS (
+    SELECT doc_id, k, doc_id * {LINES_L} + k AS idx,
+           (1103515245 * (doc_id * {LINES_L} + k) + 12345) % 2147483648 AS x1
+    FROM (SELECT unnest(range({LINES_D})) AS doc_id)
+    CROSS JOIN (SELECT unnest(range({LINES_L})) AS k)
+),
+lx AS (
+    SELECT doc_id, k, idx, x1,
+           (1103515245 * x1 + 12345) % 2147483648 AS x2
+    FROM lraw
+),
+lline AS (
+    -- class from x1's HIGH bits, id from x2's (the LCG low bits are
+    -- degenerate, see the zipf corpus note)
+    SELECT doc_id, k,
+           CASE WHEN CAST(floor(x1 / 65536) AS BIGINT) % 8 <= 2
+                THEN 'nav ' || CAST(CAST(floor(x2 / 65536) AS BIGINT) % 5 AS VARCHAR)
+                WHEN CAST(floor(x1 / 65536) AS BIGINT) % 8 <= 4
+                THEN 'mid ' || CAST(CAST(floor(x2 / 65536) AS BIGINT) % 200 AS VARCHAR)
+                ELSE 'body ' || CAST(idx AS VARCHAR) END AS line
+    FROM lx
+),
+ldocs AS (
+    SELECT doc_id, string_agg(line, chr(10) ORDER BY k) AS text
+    FROM lline GROUP BY doc_id
+)
+"""
+
+
+def _lines_docs(spark: SparkSession) -> DataFrame:
+    """(doc_id, text) — the multi-line arithmetic corpus above, all JVM
+    expressions (exact mirror of LINES_TEXT_SQL)."""
+    ids = spark.range(0, LINES_D, 1, 8).select(F.col("id").alias("doc_id"))
+    toks = ids.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(LINES_L - 1))).alias("k"),
+    )
+    idx = F.col("doc_id") * LINES_L + F.col("k")
+    x1 = (F.lit(1103515245).cast("long") * idx + 12345) % F.lit(2147483648).cast(
+        "long"
+    )
+    x2 = (F.lit(1103515245).cast("long") * x1 + 12345) % F.lit(2147483648).cast(
+        "long"
+    )
+    cls = F.floor(x1 / F.lit(65536)).cast("long") % 8
+    h2 = F.floor(x2 / F.lit(65536)).cast("long")
+    line = (
+        F.when(cls <= 2, F.concat(F.lit("nav "), (h2 % 5).cast("string")))
+        .when(cls <= 4, F.concat(F.lit("mid "), (h2 % 200).cast("string")))
+        .otherwise(F.concat(F.lit("body "), idx.cast("string")))
+    )
+    return (
+        toks.select("doc_id", "k", line.alias("line"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("k", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text")
+        )
+    )
+
 
 def _zipf_docs(spark: SparkSession) -> DataFrame:
     """(doc_id, text) — the arithmetic corpus above, all JVM expressions."""
@@ -523,6 +600,22 @@ def q_txt_stratified_sample(spark, sf_dir):
     return text_analysis.stratified_sample(
         docs, fractions, default_fraction=0.1
     ).select("doc_id", "source")
+
+
+def q_txt_line_stats(spark, sf_dir):
+    """Corpus-wide per-line frequency table (distinct docs + occurrences)
+    over the multi-line arithmetic corpus — the discovery half of the
+    repeated-lines-across-documents boilerplate signal."""
+    return text_analysis.line_stats(_lines_docs(spark))
+
+
+def q_txt_line_dedup(spark, sf_dir):
+    """Line-granular cross-document dedup (CCNet/MassiveText-style): drop
+    every line appearing in > 4 distinct docs, reassemble survivors in
+    original order.  The 'nav' pool (~150 docs/line) always drops, the
+    'mid' pool (mean ~4 docs/line) straddles the threshold both ways,
+    'body' lines always survive."""
+    return text_analysis.line_dedup(_lines_docs(spark), max_docs=4)
 
 
 def q_dd_components(spark, sf_dir):
@@ -1127,6 +1220,8 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_source_mix": q_txt_source_mix,
         "txt_stratified_sample": q_txt_stratified_sample,
         "txt_clean_corpus": q_txt_clean_corpus,
+        "txt_line_stats": q_txt_line_stats,
+        "txt_line_dedup": q_txt_line_dedup,
         "mm_meta": q_mm_meta,
         "mm_decode_meta": q_mm_decode_meta,
         "mm_decode_errors": q_mm_decode_errors,
@@ -1584,6 +1679,40 @@ def oracle_sql() -> Dict[str, str]:
                    round(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 6) AS dup_ngram_frac,
                    round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_ngram_frac
             FROM c GROUP BY doc_id
+        """,
+        "txt_line_stats": f"""
+            WITH {LINES_TEXT_SQL},
+            l AS (
+                SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+                FROM ldocs
+            )
+            SELECT line,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS line_docs,
+                   CAST(count(*) AS BIGINT) AS line_occurrences
+            FROM l GROUP BY line
+        """,
+        "txt_line_dedup": f"""
+            WITH {LINES_TEXT_SQL},
+            l AS (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS line,
+                       unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+                FROM ldocs
+            ),
+            lfreq AS (
+                SELECT line, count(DISTINCT doc_id) AS line_docs
+                FROM l GROUP BY line
+            ),
+            lj AS (
+                SELECT l.doc_id, l.pos, l.line, f.line_docs <= 4 AS keep
+                FROM l JOIN lfreq f USING (line)
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   coalesce(string_agg(CASE WHEN keep THEN line END,
+                                       chr(10) ORDER BY pos), '') AS text_clean
+            FROM lj GROUP BY doc_id
         """,
         # the composite cleaner: every stage's SQL is lifted verbatim from
         # its own gate's oracle (txt_langid / txt_quality / dd_exact /

@@ -205,3 +205,78 @@ def repetition(docs: DataFrame, n: int = 2, digits: int = 6, text_col: str = "te
         F.round(F.lit(1.0) - F.count("*") / F.sum("c"), digits).alias("dup_ngram_frac"),
         F.round(F.max("c") / F.sum("c"), digits).alias("top_ngram_frac"),
     )
+
+
+def line_stats(docs: DataFrame, sep: str = "\n", text_col: str = "text") -> DataFrame:
+    """(line, line_docs, line_occurrences) — corpus-wide per-line frequency
+    table: how many distinct documents each exact line appears in, and how
+    many times in total.  The discovery half of the MassiveText/RefinedWeb
+    "repeated lines across documents" boilerplate signal (nav bars, cookie
+    banners, footers repeat verbatim across a site's every page).
+
+    JVM-only plan: split -> explode -> one hash aggregate keyed on the line
+    text; both counts partial-combine map-side, so at 100 TB the shuffle
+    carries one (line, partial-count) row per distinct line per task, not
+    one row per occurrence."""
+    lines = docs.select(
+        "doc_id", F.explode(F.split(F.col(text_col), sep)).alias("line")
+    )
+    return lines.groupBy("line").agg(
+        F.countDistinct("doc_id").cast("long").alias("line_docs"),
+        F.count("*").cast("long").alias("line_occurrences"),
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    max_docs: int = 4,
+    sep: str = "\n",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_lines, n_kept, text_clean) — drop every line that appears
+    in MORE than ``max_docs`` distinct documents, preserving the surviving
+    lines' original order.  This is the line-granular cross-document dedup
+    of web-pipeline cleaners (CCNet / MassiveText / RefinedWeb): a page's
+    unique prose survives while site-wide boilerplate — repeated verbatim
+    on thousands of pages — is removed *within* the document instead of
+    dropping the whole document (the doc-granular ops in operators/dedup.py
+    are the complement, not a substitute).
+
+    Plan: one explode -> line-frequency aggregate (map-side combined) ->
+    shuffle join back on the line text -> one per-doc aggregate that counts
+    and reassembles in a single pass.  Reassembly sorts the collected
+    (pos, line) structs per doc — per-group data, never a global sort.  No
+    Python anywhere.  Line identity is exact-match, the same contract as
+    the oracle; near-duplicate lines are out of scope (that is doc-level
+    MinHash territory).
+
+    Empty-text semantics: Spark's split("") yields [""], so an empty doc is
+    one empty line — it participates in frequency like any other line (at
+    web scale blank boilerplate lines are real and common).  Docs whose
+    every line is dropped are KEPT with text_clean = '' and n_kept = 0 —
+    callers decide whether an emptied doc dies (compose with quality()).
+    """
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    freq = lines.groupBy("line").agg(
+        F.countDistinct("doc_id").alias("line_docs")
+    )
+    tagged = lines.join(freq, "line").select(
+        "doc_id",
+        "pos",
+        "line",
+        (F.col("line_docs") <= max_docs).alias("keep"),
+    )
+    kept = F.filter(
+        F.array_sort(F.collect_list(F.struct("pos", "line", "keep"))),
+        lambda s: s["keep"],
+    )
+    return tagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.col("keep").cast("int")).cast("long").alias("n_kept"),
+        F.array_join(F.transform(kept, lambda s: s["line"]), sep).alias(
+            "text_clean"
+        ),
+    )
