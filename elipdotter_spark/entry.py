@@ -649,6 +649,21 @@ def q_ann_lsh_buckets(spark, sf_dir):
     return ann.lsh_buckets(_embeddings(spark, sf_dir))
 
 
+def q_ann_cosine_batch(spark, sf_dir):
+    """BATCHED exact cosine top-10: three query vectors (vec_ids 0/1/2) in
+    ONE plan — a single corpus scan fanned out via a broadcast cross join,
+    one per-query window rank.  The batch analogue of ann_cosine, mirroring
+    ft_bm25_batch's shared-scan amortization for embedding retrieval.
+    Ranking on the 6-digit-rounded cosine (vec_id tie-break) so both
+    engines cut identically."""
+    emb = _embeddings(spark, sf_dir)
+    qvecs = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.filter(F.col("vec_id") <= 2).collect()
+    }
+    return ann.cosine_topk_batch(emb, qvecs, k=10, digits=6)
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF assignment + nprobe probe + exact rerank, top-10 neighbors of
     vec 0 with nprobe=4 of 16 cells — now FULLY cross-engine verified: the
@@ -1211,6 +1226,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_components": q_dd_components,
         "ann_cosine": q_ann_cosine,
         "ann_lsh_buckets": q_ann_lsh_buckets,
+        "ann_cosine_batch": q_ann_cosine_batch,
         "ann_ivf_topk": q_ann_ivf_topk,
         "txt_quality": q_txt_quality,
         "txt_langid": q_txt_langid,
@@ -1559,6 +1575,32 @@ def oracle_sql() -> Dict[str, str]:
                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, y) -> a + y))),
                    6) AS cos
             FROM embeddings CROSS JOIN q
+        """,
+        "ann_cosine_batch": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings WHERE vec_id <= 2
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       round(
+                         list_reduce(list_prepend(0.0, list_transform(range(len(e.embedding)),
+                             i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(q.qe[i+1] AS DOUBLE))),
+                             (a, x) -> a + x)
+                         / (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding,
+                               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, y) -> a + y))
+                            * sqrt(list_reduce(list_prepend(0.0, list_transform(q.qe,
+                               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, y) -> a + y))),
+                       6) AS cos
+                FROM embeddings e CROSS JOIN q
+            ),
+            ranked AS (
+                SELECT query_id, vec_id, cos,
+                       CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+                FROM scored
+            )
+            SELECT query_id, vec_id, cos, rnk FROM ranked WHERE rnk <= 10
         """,
         "ann_lsh_buckets": f"""
             WITH flat AS (
