@@ -1175,6 +1175,36 @@ def q_mm_decode_compressed(spark, sf_dir):
     )
 
 
+def q_mm_resize(spark, sf_dir):
+    """REAL pixel resize, stdlib only: decode actual PNG (zlib inflate +
+    all five scanline filters) and 24-bpp BMP (bottom-up rows + 4-byte
+    padding undone) payloads to pixels, nearest-neighbor resample to 8x8,
+    checksum the RESIZED bytes.  Dimensions and pixel values are arithmetic
+    in doc_id (png_pixel / encode_bmp's padded-row bytes), so the SQL
+    oracle recomputes the resized checksum from pure arithmetic — a HUGEINT
+    list_reduce over the 192 output bytes, never touching the encoders.
+    Planted 16-byte truncations (doc_id % 7 == 3) keep the magic bytes so
+    the real parsers engage, then dead-letter."""
+    from .operators import multimodal
+
+    media = multimodal.synth_images(spark, 500)
+    corrupted = media.withColumn(
+        "payload",
+        F.when(
+            F.col("doc_id") % 7 == 3, F.expr("substring(payload, 1, 16)")
+        ).otherwise(F.col("payload")),
+    )
+    rz = multimodal.resize_images(
+        corrupted, out_w=8, out_h=8, use_real_decoder=True,
+        on_error="dead_letter",
+    )
+    return rz.select(
+        "doc_id", "modality", "src_width", "src_height",
+        F.conv(F.hex("feature"), 16, 10).cast("long").alias("checksum"),
+        F.col("err").isNotNull().alias("is_err"),
+    )
+
+
 # ------------------------------------------------------------- events/windows
 
 
@@ -1242,6 +1272,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_meta": q_mm_decode_meta,
         "mm_decode_errors": q_mm_decode_errors,
         "mm_decode_compressed": q_mm_decode_compressed,
+        "mm_resize": q_mm_resize,
         "ev_window_stats": q_ev_window_stats,
         "ev_session_stats": q_ev_session_stats,
         "zipf_dict_prefix": q_zipf_dict_prefix,
@@ -1995,6 +2026,44 @@ def oracle_sql() -> Dict[str, str]:
                         ELSE sample_rate END AS sample_rate,
                    (doc_id % 7 = 3) AS is_err
             FROM whole
+        """,
+        "mm_resize": """
+            WITH m AS (SELECT unnest(range(500)) AS doc_id),
+            dims AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 2 = 0 THEN doc_id % 31 + 1
+                            ELSE doc_id % 63 + 1 END AS w,
+                       CASE WHEN doc_id % 2 = 0 THEN (doc_id // 31) % 23 + 1
+                            ELSE (doc_id // 63) % 47 + 1 END AS h,
+                       doc_id % 2 = 0 AS is_png
+                FROM m
+            ),
+            px AS (
+                -- resized pixel (j,i,c) reads source (i*w//8, j*h//8):
+                -- PNG pixels are png_pixel(x,y,c); BMP stores bottom-up
+                -- padded rows of (x*7 + y*13) % 256, so the decoded pixel
+                -- is ((i*3+c)*7 + (h-1-y)*13) % 256
+                SELECT doc_id, w, h,
+                       flatten(list_transform(range(8), j ->
+                           flatten(list_transform(range(8), i ->
+                               list_transform(range(3), c ->
+                                   CASE WHEN is_png
+                                        THEN ((i * w // 8) * 7 + (j * h // 8) * 13 + c * 31) % 256
+                                        ELSE (((i * w // 8) * 3 + c) * 7 + (h - 1 - (j * h // 8)) * 13) % 256
+                                   END))))) AS b
+                FROM dims
+            )
+            SELECT doc_id, 'image' AS modality,
+                   CASE WHEN doc_id % 7 = 3 THEN CAST(NULL AS INT)
+                        ELSE CAST(w AS INT) END AS src_width,
+                   CASE WHEN doc_id % 7 = 3 THEN CAST(NULL AS INT)
+                        ELSE CAST(h AS INT) END AS src_height,
+                   CASE WHEN doc_id % 7 = 3 THEN CAST(NULL AS BIGINT)
+                        ELSE CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), b),
+                             (a, v) -> (a * 131 + v) % 2305843009213693951)
+                             AS BIGINT) END AS checksum,
+                   (doc_id % 7 = 3) AS is_err
+            FROM px
         """,
         "mm_meta": """
             SELECT doc_id,

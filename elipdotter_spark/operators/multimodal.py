@@ -239,11 +239,11 @@ def encode_mp4(width: int, height: int, n_samples: int) -> bytes:
     return ftyp + moov
 
 
-def _decode_png(payload: bytes) -> dict:
-    """FULL stdlib PNG decode: IHDR parse, CRC-checked IDAT inflate, all five
-    scanline reconstruction filters.  ``feature`` = 8-byte rolling checksum
-    of the reconstructed pixel bytes (the proof the pixels were decoded, not
-    just the header read)."""
+def _decode_png_pixels(payload: bytes):
+    """FULL stdlib PNG decode to pixel bytes: IHDR parse, CRC-checked IDAT
+    inflate, all five scanline reconstruction filters.  Returns
+    (width, height, depth, channels, recon) with recon the top-down
+    row-major reconstructed scanline bytes."""
     import struct
     import zlib
 
@@ -321,11 +321,57 @@ def _decode_png(payload: bytes) -> dict:
             raise ValueError(f"corrupt PNG payload (filter type {ft})")
         recon += line
         prior = bytes(line)
+    return int(width), int(height), int(depth), int(channels), bytes(recon)
+
+
+def _pixel_checksum(data: bytes) -> bytes:
+    """8-byte rolling checksum over pixel bytes (h = h*131 + b mod 2^61-1)
+    — the proof the pixels were decoded, not just the header read."""
     h = 0
-    for by in recon:
+    for by in data:
         h = (h * 131 + by) % (2**61 - 1)
-    return {"width": int(width), "height": int(height), "n_frames": 1,
-            "sample_rate": None, "feature": h.to_bytes(8, "big")}
+    return h.to_bytes(8, "big")
+
+
+def _decode_png(payload: bytes) -> dict:
+    """FULL stdlib PNG decode (see _decode_png_pixels); ``feature`` = the
+    pixel checksum of the reconstructed scanline bytes."""
+    width, height, _depth, _channels, recon = _decode_png_pixels(payload)
+    return {"width": width, "height": height, "n_frames": 1,
+            "sample_rate": None, "feature": _pixel_checksum(recon)}
+
+
+def _decode_bmp_pixels(payload: bytes):
+    """FULL stdlib BMP decode to pixel bytes (24-bpp BITMAPINFOHEADER, the
+    encode_bmp shape): returns (width, height, 8, 3, recon) with recon the
+    TOP-DOWN row-major BGR bytes — BMP stores rows bottom-up with 4-byte
+    padding; both are undone here so recon is layout-compatible with the
+    PNG decoder's output."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError(f"corrupt/truncated BMP payload ({len(payload)} bytes)")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    if bpp != 24:
+        raise NotImplementedError(
+            f"BMP pixel decode only supports 24 bpp (got {bpp}) — other "
+            "depths require Pillow"
+        )
+    if width <= 0 or height == 0:
+        raise ValueError("corrupt BMP payload (non-positive dimension)")
+    bottom_up = height > 0
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3
+    if data_off + stride * height > len(payload):
+        raise ValueError("corrupt/truncated BMP payload (pixel data exceeds file)")
+    rows = []
+    order = range(height - 1, -1, -1) if bottom_up else range(height)
+    for y in order:
+        base = data_off + y * stride
+        rows.append(payload[base:base + width * 3])
+    return int(width), int(height), 8, 3, b"".join(rows)
 
 
 def _decode_jpeg_meta(payload: bytes) -> dict:
@@ -692,4 +738,139 @@ def frame_sample(
             F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx"),
         )
         .filter(F.col("frame_idx") % every_nth == 0)
+    )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("modality", StringType(), False),
+        StructField("src_width", IntegerType(), True),
+        StructField("src_height", IntegerType(), True),
+        StructField("out_width", IntegerType(), True),
+        StructField("out_height", IntegerType(), True),
+        StructField("feature", BinaryType(), True),
+        StructField("err", StringType(), True),
+    ]
+)
+
+
+def _resize_nn(pixels: bytes, width: int, height: int, ch: int,
+               out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resample of top-down row-major pixel bytes:
+    output (j, i) reads source (floor(j*H/out_h), floor(i*W/out_w))."""
+    out = bytearray()
+    for j in range(out_h):
+        rowbase = (j * height // out_h) * width * ch
+        for i in range(out_w):
+            p = rowbase + (i * width // out_w) * ch
+            out += pixels[p:p + ch]
+    return bytes(out)
+
+
+def resize_images(
+    payloads: DataFrame,
+    out_w: int = 8,
+    out_h: int = 8,
+    use_real_decoder: bool = False,
+    on_error: str = "raise",
+) -> DataFrame:
+    """Partition-parallel image resize via mapInPandas (Arrow batches of
+    binary payloads): decode -> nearest-neighbor resample to (out_w, out_h)
+    -> 8-byte pixel checksum of the resized bytes in ``feature`` — the
+    thumbnail/normalization stage of a multimodal training pipeline, same
+    plumbing contract as extract_metadata (schema, batching, dead-letter).
+
+    Real-decoder tier mirrors the decode tiers: PNG and 24-bpp BMP resize
+    from their actual decoded pixels (stdlib-only full decode);
+    JPEG/MP3/MP4/WAV and unknown formats raise NotImplementedError naming
+    the missing dependency (Pillow/PyAV) — with ``on_error='dead_letter'``
+    those rows carry the message in ``err``.  The fake tier synthesizes the
+    resized pixels arithmetically (png_pixel over fake dims) so pipeline
+    plumbing is testable without any codec."""
+    if on_error not in ("raise", "dead_letter"):
+        raise ValueError(f"on_error must be 'raise' or 'dead_letter', got {on_error!r}")
+    dead_letter = on_error == "dead_letter"
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("resize dimensions must be positive")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in RESIZE_SCHEMA.fields}
+            for doc_id, payload, modality in zip(
+                pdf["doc_id"].values, pdf["payload"], pdf["modality"]
+            ):
+                data = bytes(payload) if payload is not None else b""
+                err, w, h, feat = None, None, None, None
+                try:
+                    if use_real_decoder:
+                        if data[:8] == b"\x89PNG\r\n\x1a\n":
+                            w, h, depth, ch, px = _decode_png_pixels(data)
+                            if depth != 8:
+                                raise NotImplementedError(
+                                    f"PNG resize only supports 8-bit depth "
+                                    f"(got {depth}) — other depths require Pillow"
+                                )
+                        elif data[:2] == b"BM":
+                            w, h, _depth, ch, px = _decode_bmp_pixels(data)
+                        else:
+                            raise NotImplementedError(
+                                "resize of this format's pixel payload "
+                                "requires Pillow/PyAV"
+                            )
+                    else:
+                        meta = _fake_decode(modality, data)
+                        w, h, ch = meta["width"], meta["height"], 3
+                        px = None  # synthesized directly below
+                    if px is None:
+                        resized = bytes(
+                            png_pixel(i * w // out_w, j * h // out_h, c)
+                            for j in range(out_h)
+                            for i in range(out_w)
+                            for c in range(ch)
+                        )
+                    else:
+                        resized = _resize_nn(px, w, h, ch, out_w, out_h)
+                    feat = _pixel_checksum(resized)
+                except (ValueError, NotImplementedError, _struct.error) as e:
+                    if not dead_letter:
+                        raise
+                    err, w, h = f"{type(e).__name__}: {e}", None, None
+                rows["doc_id"].append(int(doc_id))
+                rows["modality"].append(modality)
+                rows["src_width"].append(w)
+                rows["src_height"].append(h)
+                rows["out_width"].append(None if err else out_w)
+                rows["out_height"].append(None if err else out_h)
+                rows["feature"].append(feat)
+                rows["err"].append(err)
+            yield pd.DataFrame(rows)
+
+    return payloads.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def synth_images(spark, n: int = 500) -> DataFrame:
+    """(doc_id, payload, modality='image') — real encoded images with
+    arithmetic dimensions: even doc_ids are PNG (w = id%31+1,
+    h = (id//31)%23+1), odd are 24-bpp BMP (w = id%63+1, h = (id//63)%47+1);
+    both formats' pixel values are pure arithmetic (png_pixel / encode_bmp's
+    padded-row bytes), so a SQL oracle can recompute any pixel-derived
+    quantity independently."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"].values:
+                i = int(doc_id)
+                if i % 2 == 0:
+                    payloads.append(encode_png(i % 31 + 1, (i // 31) % 23 + 1))
+                else:
+                    payloads.append(encode_bmp(i % 63 + 1, (i // 63) % 47 + 1))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads,
+                 "modality": ["image"] * len(payloads)}
+            )
+
+    return spark.range(0, n, 1, 8).withColumnRenamed("id", "doc_id").mapInPandas(
+        gen, schema="doc_id long, payload binary, modality string"
     )
