@@ -319,6 +319,50 @@ def cmd_clean(args) -> int:
     return 0
 
 
+def cmd_lines(args) -> int:
+    """Line-granular boilerplate removal (text_analysis.line_dedup, gated
+    by txt_line_dedup): drop every line appearing in more than --max-docs
+    distinct documents, preserve surviving line order.  Composes BEFORE
+    `clean` the way web pipelines run (strip site boilerplate lines, then
+    doc-level language/quality/dedup).  One JSON summary line; --output
+    writes the corpus with the text column replaced (emptied docs kept —
+    filter them with the downstream quality stage)."""
+    from pyspark.sql import functions as F
+
+    from elipdotter_spark.operators import text_analysis
+
+    spark = get_spark()
+    docs = (
+        spark.read.parquet(args.input)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .cache()
+    )
+    out = text_analysis.line_dedup(docs, max_docs=args.max_docs, sep=args.sep)
+    agg = out.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_lines").alias("n_lines"),
+        F.sum("n_kept").alias("n_lines_kept"),
+        F.sum((F.col("n_kept") == 0).cast("long")).alias("docs_emptied"),
+    ).first()
+    if args.output:
+        cleaned = (
+            docs.drop("text")
+            .join(out.select("doc_id", F.col("text_clean").alias("text")), "doc_id")
+        )
+        cleaned.write.mode("overwrite").parquet(args.output)
+    docs.unpersist()
+    print(json.dumps({
+        "n_docs": agg["n_docs"],
+        "n_lines": agg["n_lines"],
+        "n_lines_kept": agg["n_lines_kept"],
+        "n_lines_dropped": agg["n_lines"] - agg["n_lines_kept"],
+        "docs_emptied": agg["docs_emptied"],
+        "max_docs": args.max_docs,
+        "output": args.output,
+    }))
+    return 0
+
+
 def cmd_mix(args) -> int:
     """Per-source mixture table (text_analysis.source_mix): docs, tokens,
     quality means, and each source's token share — the numbers a
@@ -645,6 +689,18 @@ def main(argv=None) -> int:
                         "the cleaned corpus (use on preemptible clusters; "
                         "default keeps state in executor block storage)")
     c.set_defaults(fn=cmd_clean)
+
+    ln = sub.add_parser("lines")
+    ln.add_argument("--input", required=True)
+    ln.add_argument("--output", default=None,
+                    help="write the line-cleaned corpus here (text column "
+                         "replaced, other columns preserved)")
+    ln.add_argument("--max-docs", type=int, default=4,
+                    help="drop lines appearing in MORE than this many "
+                         "distinct documents")
+    ln.add_argument("--sep", default="\n",
+                    help="line separator (default newline)")
+    ln.set_defaults(fn=cmd_lines)
 
     x = sub.add_parser("mix")
     x.add_argument("--input", required=True)

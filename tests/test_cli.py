@@ -233,3 +233,30 @@ def test_cli_batch_modes(cli, tmp_path, sf_dir, capsys):
 
     assert cli.main(["fsck", "--index", idx, "--deep"]) == 0
     assert _json_lines(capsys)[-1]["ok"] is True
+
+
+@pytest.mark.spark
+def test_cli_lines_boilerplate_removal(cli, tmp_path, capsys):
+    inp = str(tmp_path / "docs")
+    cli.get_spark().createDataFrame(
+        [
+            (0, "unique alpha\nsite footer\nunique beta"),
+            (1, "site footer\nunique gamma"),
+            (2, "site footer"),
+            (3, "unique delta"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(inp)
+    outp = str(tmp_path / "cleaned")
+    assert cli.main([
+        "lines", "--input", inp, "--output", outp, "--max-docs", "2",
+    ]) == 0
+    s = _json_lines(capsys)[-1]
+    assert s["n_docs"] == 4 and s["n_lines"] == 7
+    assert s["n_lines_dropped"] == 3  # the 3-doc footer line, everywhere
+    assert s["docs_emptied"] == 1     # doc 2 was footer-only
+    got = {r["doc_id"]: r["text"] for r in
+           cli.get_spark().read.parquet(outp).collect()}
+    assert got[0] == "unique alpha\nunique beta"  # order preserved
+    assert got[2] == ""                           # emptied but KEPT
+    assert got[3] == "unique delta"
