@@ -269,6 +269,24 @@ def run_queries(spark, docs, postings, terms, docstats):
         lambda: ann.topk_lsh_tables(emb, buckets, qvec, 10).collect(),
         reps=3,
     )
+    # batched-vs-sequential exact cosine: the embedding analogue of the
+    # bm25 batch probe — 8 query vectors share ONE corpus scan
+    qvecs = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    }
+    timed(
+        "q_ann_batch8",
+        lambda: ann.cosine_topk_batch(emb, qvecs, 10).collect(),
+        reps=5,
+    )
+    timed(
+        "q_ann_sequential8",
+        lambda: [
+            ann.topk_bruteforce(emb, v, 10).collect() for v in qvecs.values()
+        ],
+        reps=5,
+    )
     emb.unpersist()
     buckets.unpersist()
 

@@ -503,7 +503,10 @@ def cmd_fsck(args) -> int:
     from elipdotter_spark.sources.catalog import IndexStore
 
     store = IndexStore(None, args.index)
+    repaired = store.repair() if args.repair else None
     out = store.fsck(deep=args.deep)
+    if repaired is not None:
+        out = {**out, "repaired": repaired}
     print(json.dumps({"index": args.index, **out}))
     return 0 if out["ok"] else 2
 
@@ -671,6 +674,10 @@ def main(argv=None) -> int:
     f.add_argument("--deep", action="store_true",
                    help="also cross-check meta corpus counters against "
                         "the docstats artifact's footer row counts")
+    f.add_argument("--repair", action="store_true",
+                   help="first complete interrupted write-ahead segment "
+                        "commits (tmp->final rename, the read-path "
+                        "recovery run offline); never touches orphan dirs")
     f.set_defaults(fn=cmd_fsck)
 
     c = sub.add_parser("clean")

@@ -337,6 +337,39 @@ class IndexStore:
                     if not os.path.exists(final):
                         raise
 
+    def repair(self) -> dict:
+        """Offline (Sparkless) repair of the one crash class repairable
+        without Spark: write-ahead commits interrupted between the ledger
+        row and the tmp->final rename — one atomic rename each (the same
+        recovery every reader runs via :meth:`_recover_segments`; racing
+        recoverers/writers are tolerated identically).
+
+        Deliberately does NOT touch orphan dirs: an unstamped unreferenced
+        dir can be a CONCURRENT publisher's in-flight artifact
+        (unreferenced until its single meta commit) — deleting it offline
+        would destroy a live publish.  Retired dirs die via
+        :meth:`sweep_retired`; true crash orphans via the next publish's
+        internal sweep.
+
+        Returns ``{"recovered_segments": [segment_ids...]}`` — the rows
+        whose data dir exists after repair but did not before."""
+        recoverable = []
+        for r in self.ledger():
+            if r.get("status") != "done" or r.get("seq") is None:
+                continue
+            final = self.segment_path(r["segment_id"])
+            if not os.path.exists(final) and os.path.exists(
+                f"{final}.tmp-{r['seq']}"
+            ):
+                recoverable.append(r["segment_id"])
+        self._recover_segments()
+        return {
+            "recovered_segments": [
+                s for s in recoverable
+                if os.path.exists(self.segment_path(s))
+            ]
+        }
+
     def write_segment(self, segment_id: str, docs: DataFrame) -> dict:
         """Build + atomically commit one segment, record ledger metrics.
 

@@ -165,3 +165,46 @@ def test_fsck_detects_corrupt_meta(store):
     out = store.fsck()
     assert not out["ok"]
     assert any("unparseable" in e for e in out["errors"])
+
+
+@pytest.mark.spark
+def test_repair_completes_interrupted_commit(spark, store):
+    """store.repair() / cli fsck --repair: the interrupted write-ahead
+    commit (ledger row + seq-named tmp, final missing) is completed
+    offline; queries serve the repaired segment; a clean store repairs
+    nothing; orphan dirs are left alone."""
+    row = [r for r in store.ledger() if r["segment_id"] == "seg-base"][0]
+    final = store.segment_path("seg-base")
+    tmp = f"{final}.tmp-{row['seq']}"
+    os.rename(final, tmp)
+
+    rep = store.repair()
+    assert rep["recovered_segments"] == ["seg-base"]
+    assert os.path.isdir(final) and not os.path.exists(tmp)
+    out = store.fsck()
+    assert out["ok"] and not any("recoverable" in w for w in out["warnings"])
+
+    # idempotent: nothing left to repair
+    assert store.repair()["recovered_segments"] == []
+
+    # orphans are NOT touched (could be a concurrent publisher's in-flight
+    # artifact dir, unreferenced until its meta commit)
+    orphan = os.path.join(store.base, "blocks-v999999")
+    os.makedirs(orphan)
+    assert store.repair()["recovered_segments"] == []
+    assert os.path.isdir(orphan)
+
+
+@pytest.mark.spark
+def test_cli_fsck_repair(spark, store, monkeypatch, capsys):
+    import elipdotter_spark.cli as cli_mod
+
+    monkeypatch.setattr(cli_mod, "get_spark", lambda: spark)
+    row = [r for r in store.ledger() if r["segment_id"] == "seg-base"][0]
+    final = store.segment_path("seg-base")
+    os.rename(final, f"{final}.tmp-{row['seq']}")
+
+    assert cli_mod.main(["fsck", "--index", store.base, "--repair"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["ok"] and out["repaired"]["recovered_segments"] == ["seg-base"]
+    assert os.path.isdir(final)
