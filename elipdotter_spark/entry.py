@@ -618,6 +618,81 @@ def q_txt_line_dedup(spark, sf_dir):
     return text_analysis.line_dedup(_lines_docs(spark), max_docs=4)
 
 
+def _pii_docs(docs):
+    """Deterministically plant PII into the word-soup corpus (which has
+    none): every doc gains an email, docs % 3 == 0 a dotted-quad IP,
+    docs % 4 == 1 a NNN-NNN-NNNN phone — pure integer arithmetic the
+    oracle reproduces verbatim, so the redaction counts are exactly
+    predictable per doc."""
+    d = F.col("doc_id")
+    email = F.concat(
+        F.lit(" contact user"),
+        d.cast("string"),
+        F.lit("@mail"),
+        F.pmod(d, F.lit(7)).cast("string"),
+        F.lit(".example.com"),
+    )
+    ip = F.when(
+        F.pmod(d, F.lit(3)) == 0,
+        F.concat(
+            F.lit(" ip 10."),
+            F.pmod(d, F.lit(256)).cast("string"),
+            F.lit("."),
+            F.pmod(d * 7, F.lit(256)).cast("string"),
+            F.lit(".42"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        F.pmod(d, F.lit(4)) == 1,
+        F.concat(
+            F.lit(" call "),
+            F.lpad(F.pmod(d, F.lit(1000)).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad(F.pmod(d * 13, F.lit(1000)).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad(F.pmod(d * 31, F.lit(10000)).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id", F.concat(F.col("text"), email, ip, phone).alias("text")
+    )
+
+
+def q_txt_pii_redact(spark, sf_dir):
+    """PII scrubbing: sequential email -> IPv4 -> phone redaction with
+    per-type removal counts, over the corpus with deterministically planted
+    PII (one chained whole-stage-codegen projection, no shuffle)."""
+    return text_analysis.pii_redact(_pii_docs(_tables(spark, sf_dir)["docs"]))
+
+
+def q_txt_ngram_freq(spark, sf_dir):
+    """Corpus top-100 word bigrams by occurrence (ties lexicographic) —
+    boilerplate/template mining when repeats don't align on lines.
+    orderBy().limit() executes as TakeOrdered (per-partition top-k), not a
+    global sort."""
+    return text_analysis.ngram_freq(_tables(spark, sf_dir)["docs"], n=2, k=100)
+
+
+def q_txt_pack_sequences(spark, sf_dir):
+    """Concatenate-and-chunk sequence packing (budget=256 tokens, 8
+    buckets): each doc's chunk span under LLM-training 'concat then split
+    at the context length' preprocessing; per-bucket cumulative-sum window,
+    exact integer arithmetic on both engines."""
+    return text_analysis.pack_sequences(
+        _tables(spark, sf_dir)["docs"], budget=256, n_buckets=8
+    )
+
+
+def q_dd_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs (doc_id % 53 != 0) sharing
+    any word 5-gram with the held-out eval split (doc_id % 53 == 0) are
+    flagged, with distinct-matched-gram counts; eval grams broadcast."""
+    docs = _tables(spark, sf_dir)["docs"]
+    ev = docs.filter(F.pmod(F.col("doc_id"), F.lit(53)) == 0)
+    tr = docs.filter(F.pmod(F.col("doc_id"), F.lit(53)) != 0)
+    return dedup.decontaminate(tr, ev, n=5)
+
+
 def q_dd_components(spark, sf_dir):
     """Duplicate clustering: connected components over the strong
     (jaccard >= 0.8) near-dup pairs — the canonicalization step after pair
@@ -1268,6 +1343,10 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_clean_corpus": q_txt_clean_corpus,
         "txt_line_stats": q_txt_line_stats,
         "txt_line_dedup": q_txt_line_dedup,
+        "txt_pii_redact": q_txt_pii_redact,
+        "txt_ngram_freq": q_txt_ngram_freq,
+        "txt_pack_sequences": q_txt_pack_sequences,
+        "dd_decontaminate": q_dd_decontaminate,
         "mm_meta": q_mm_meta,
         "mm_decode_meta": q_mm_decode_meta,
         "mm_decode_errors": q_mm_decode_errors,
@@ -1786,6 +1865,108 @@ def oracle_sql() -> Dict[str, str]:
                    coalesce(string_agg(CASE WHEN keep THEN line END,
                                        chr(10) ORDER BY pos), '') AS text_clean
             FROM lj GROUP BY doc_id
+        """,
+        # sequential scrub: each CTE counts against the text as it stood
+        # BEFORE its own replacement (intermediate columns renamed t2/t3 —
+        # DuckDB resolves input columns before same-SELECT aliases)
+        "txt_pii_redact": r"""
+            WITH p AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                                    || CAST((doc_id * 7) % 256 AS VARCHAR) || '.42'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 4 = 1
+                               THEN ' call ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                                    || '-' || lpad(CAST((doc_id * 13) % 1000 AS VARCHAR), 3, '0')
+                                    || '-' || lpad(CAST((doc_id * 31) % 10000 AS VARCHAR), 4, '0')
+                               ELSE '' END AS t
+                FROM documents
+            ),
+            e AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                       regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t2
+                FROM p
+            ),
+            i AS (
+                SELECT doc_id, n_email,
+                       CAST(len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+                       regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS t3
+                FROM e
+            )
+            SELECT doc_id,
+                   regexp_replace(t3, '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g') AS text_clean,
+                   n_email, n_ipv4,
+                   CAST(len(regexp_extract_all(t3, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone
+            FROM i
+        """,
+        "txt_ngram_freq": """
+            WITH l AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, array_to_string(l[i + 1:i + 2], ' ') AS gram
+                FROM (SELECT doc_id, l, unnest(range(len(l) - 1)) AS i
+                      FROM l WHERE len(l) >= 2)
+            ),
+            c AS (
+                SELECT gram,
+                       CAST(count(*) AS BIGINT) AS n_occurrences,
+                       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+                FROM g GROUP BY gram
+            )
+            SELECT gram, n_occurrences, n_docs, rank FROM (
+                SELECT gram, n_occurrences, n_docs,
+                       CAST(row_number() OVER (ORDER BY n_occurrences DESC, gram ASC) AS BIGINT) AS rank
+                FROM c)
+            WHERE rank <= 100
+        """,
+        "txt_pack_sequences": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            b AS (
+                SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS bucket, n_tokens
+                FROM t WHERE n_tokens > 0
+            ),
+            c AS (
+                SELECT doc_id, bucket, n_tokens,
+                       CAST(coalesce(sum(n_tokens) OVER (
+                           PARTITION BY bucket ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+                FROM b
+            )
+            SELECT doc_id, bucket, n_tokens, start_off,
+                   start_off // 256 AS chunk_first,
+                   (start_off + n_tokens - 1) // 256 AS chunk_last,
+                   (start_off + n_tokens - 1) // 256 - start_off // 256 + 1 AS n_chunks
+            FROM c
+        """,
+        "dd_decontaminate": """
+            WITH l AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, array_to_string(l[i + 1:i + 5], ' ') AS gram
+                FROM (SELECT doc_id, l, unnest(range(len(l) - 4)) AS i
+                      FROM l WHERE len(l) >= 5)
+            ),
+            eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 53 = 0),
+            tg AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 53 <> 0),
+            m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS matched
+                  FROM tg JOIN eg USING (gram) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(m.matched, 0) AS matched_ngrams,
+                   coalesce(m.matched, 0) > 0 AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 53 <> 0) d
+            LEFT JOIN m USING (doc_id)
         """,
         # the composite cleaner: every stage's SQL is lifted verbatim from
         # its own gate's oracle (txt_langid / txt_quality / dd_exact /

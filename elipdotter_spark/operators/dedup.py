@@ -706,3 +706,39 @@ def clean_corpus(
     # now — release its executor blocks instead of leaving them to JVM GC
     _unpersist_rdd_ids(docs.sparkSession, getattr(comps, "_local_ckpt_ids", None))
     return cleaned
+
+
+def decontaminate(
+    train: DataFrame, eval_docs: DataFrame, n: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, matched_ngrams, contaminated) — benchmark decontamination:
+    flag every training document sharing at least one word ``n``-gram with
+    the held-out evaluation set (the n-gram-overlap contamination test of
+    GPT-3 appendix C / PaLM-style pipelines).  ``matched_ngrams`` counts the
+    DISTINCT training-side grams that also occur anywhere in the eval set.
+
+    Plan shape for 100 TB: the eval side is benchmark-sized (thousands of
+    docs), so its distinct gram set is BROADCAST — the training corpus is
+    scanned once, grams stream through a map-side hash semi-join, and the
+    only shuffle is the per-doc count aggregate (map-side combined).  No
+    eval-side-keyed shuffle of the corpus ever happens.  Training docs with
+    fewer than ``n`` tokens have no grams and are reported clean via the
+    left join."""
+    from .text_analysis import token_ngrams
+
+    eval_grams = token_ngrams(eval_docs, n, text_col=text_col).select("gram").distinct()
+    train_grams = token_ngrams(train, n, text_col=text_col).distinct()
+    matched = (
+        train_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("matched_ngrams"))
+    )
+    return (
+        train.select("doc_id")
+        .join(matched, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("matched_ngrams"), F.lit(0)).cast("long").alias("matched_ngrams"),
+        )
+        .withColumn("contaminated", F.col("matched_ngrams") > 0)
+    )

@@ -280,3 +280,146 @@ def line_dedup(
             "text_clean"
         ),
     )
+
+
+# -------------------------------------------- pretraining-pipeline additions
+# (PII scrubbing, eval-set decontamination support, corpus n-gram mining,
+# concatenate-and-chunk sequence packing)
+
+# Sequential scrub order matters: emails are redacted first so their digit
+# runs can't later read as phone/IP fragments; none of the three patterns
+# can match inside an earlier placeholder.  Patterns restricted to syntax
+# with identical semantics in Java regex (Spark) and RE2 (DuckDB oracle):
+# character classes, bounded repetition, \b word boundaries.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
+]
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, text_clean, n_email, n_ipv4, n_phone) — scrub emails, IPv4
+    addresses and NNN-NNN-NNNN phone numbers, replacing each with a typed
+    placeholder and counting what was removed (the audit trail a compliance
+    pass needs).  The pretraining front door runs this AFTER boilerplate
+    removal and BEFORE tokenization.
+
+    Plan: a single narrow projection — three chained JVM regexp_replace +
+    regexp_count expressions inside one whole-stage-codegen stage.  No
+    shuffle, no Python, trivially scan-parallel at 100 TB.  Each count is
+    evaluated against the text as it stood BEFORE that pattern's own
+    replacement (sequential semantics, mirrored in the oracle's chained
+    CTEs)."""
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, tok in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, tok)
+    return docs.select("doc_id", cur.alias("text_clean"), *counts)
+
+
+def token_ngrams(
+    docs: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, gram) — word n-grams over the alnum tokenizer's token
+    stream, joined with single spaces.  JVM-only (split -> sliding
+    array_join windows -> explode); docs with fewer than ``n`` tokens
+    contribute no grams.  The shared primitive under ``ngram_freq`` and
+    ``dedup.decontaminate``."""
+    from ..functions.tokenizer import simple_terms_col
+
+    toks = simple_terms_col(F.col(text_col))
+    # guard: Spark sequence(0, stop) DESCENDS when stop < 0 (docs shorter
+    # than n tokens would mint phantom window starts)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram")
+    )
+
+
+def ngram_freq(
+    docs: DataFrame, n: int = 2, k: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """(gram, n_occurrences, n_docs, rank) — the corpus's top-``k`` word
+    n-grams by total occurrences (ties broken lexicographically): the
+    boilerplate-mining / template-discovery companion to ``line_stats``
+    when repeated content doesn't align on line boundaries.
+
+    Plan: explode -> one hash aggregate keyed on the gram (both counts
+    partial-combine map-side) -> ``orderBy().limit(k)``, which Spark
+    executes as TakeOrdered: per-partition top-k then a k-row merge on the
+    driver — NOT a global sort of the (huge) distinct-gram table.  The
+    row_number window that attaches the rank runs over the already-reduced
+    k rows (one tiny partition by construction)."""
+    counts = token_ngrams(docs, n, text_col=text_col).groupBy("gram").agg(
+        F.count("*").cast("long").alias("n_occurrences"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+    order = [F.desc("n_occurrences"), F.asc("gram")]
+    top = counts.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 512,
+    n_buckets: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, bucket, n_tokens, start_off, chunk_first, chunk_last,
+    n_chunks) — concatenate-and-chunk sequence packing: within each bucket,
+    documents are concatenated in doc_id order and the token stream is cut
+    into fixed-``budget`` training sequences; each doc learns which chunk(s)
+    its tokens land in.  This is the exact assignment LLM training's
+    "concat then split at the context length" preprocessing performs, made
+    deterministic and engine-portable.
+
+    Plan: one tokenize-count projection (JVM split, no materialized token
+    table), then a cumulative-sum window PER BUCKET — the window partitions
+    by bucket, so at 100 TB the sort is per-bucket (pick n_buckets ~ corpus
+    tokens / executor-memory-sized slices; buckets pack independently and
+    in parallel, trading a bounded per-bucket boundary effect for a fully
+    shuffle-parallel plan; a hash of the id works as the bucket key when
+    ids are not dense).  Zero-token docs carry no trainable tokens and are
+    excluded (the ``quality`` gate population).  All arithmetic is exact
+    nonnegative integer floor-division on both engines."""
+    from ..functions.tokenizer import simple_terms_col
+
+    t = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(simple_terms_col(F.col(text_col))).cast("long").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn("bucket", F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("long"))
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = t.withColumn(
+        "start_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    )
+    chunk_first = F.floor(F.col("start_off") / budget).cast("long")
+    chunk_last = F.floor(
+        (F.col("start_off") + F.col("n_tokens") - 1) / budget
+    ).cast("long")
+    return t.select(
+        "doc_id",
+        "bucket",
+        "n_tokens",
+        "start_off",
+        chunk_first.alias("chunk_first"),
+        chunk_last.alias("chunk_last"),
+        (chunk_last - chunk_first + 1).cast("long").alias("n_chunks"),
+    )

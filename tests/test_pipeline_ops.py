@@ -1,0 +1,156 @@
+"""Unit tests for the pretraining-pipeline additions: PII redaction,
+n-gram primitives (frequency mining + decontamination), and
+concatenate-and-chunk sequence packing.  Cross-engine exactness is covered
+by the entry-contract gates (txt_pii_redact / txt_ngram_freq /
+txt_pack_sequences / dd_decontaminate); these tests pin the operator
+semantics on planted corpora."""
+
+import pytest
+
+from elipdotter_spark.operators import dedup, text_analysis
+
+pytestmark = pytest.mark.spark
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ------------------------------------------------------------- pii_redact
+
+
+def test_pii_redact_counts_and_text(spark):
+    rows = [
+        (0, "mail a.b+c@ex-a.org then ip 192.168.0.1 call 555-123-4567 end"),
+        (1, "no pii here just words"),
+        (2, "two mails x@y.io and z@w.co plus 1.2.3.4 and 10.0.0.255"),
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in text_analysis.pii_redact(_docs(spark, rows)).collect()
+    }
+    assert got[0]["n_email"] == 1 and got[0]["n_ipv4"] == 1 and got[0]["n_phone"] == 1
+    assert (
+        got[0]["text_clean"]
+        == "mail [EMAIL] then ip [IP] call [PHONE] end"
+    )
+    assert (got[1]["n_email"], got[1]["n_ipv4"], got[1]["n_phone"]) == (0, 0, 0)
+    assert got[1]["text_clean"] == rows[1][1]
+    assert got[2]["n_email"] == 2 and got[2]["n_ipv4"] == 2 and got[2]["n_phone"] == 0
+
+
+def test_pii_redact_sequential_no_double_count(spark):
+    # the email's digits must not read as a phone/IP after redaction, and
+    # the phone pattern must not match inside the dotted quad
+    rows = [(0, "u555-123-4567x@d555-123-4567.com and 10.20.30.40")]
+    r = text_analysis.pii_redact(_docs(spark, rows)).collect()[0]
+    assert r["n_email"] == 1
+    assert r["n_ipv4"] == 1
+    assert r["n_phone"] == 0  # consumed by the email match, then redacted
+    assert r["text_clean"] == "[EMAIL] and [IP]"
+
+
+# ----------------------------------------------------------- token_ngrams
+
+
+def test_token_ngrams_basic_and_short_doc(spark):
+    rows = [(0, "A b-c d"), (1, "one two")]
+    got = sorted(
+        (r["doc_id"], r["gram"])
+        for r in text_analysis.token_ngrams(_docs(spark, rows), 3).collect()
+    )
+    # alnum tokenizer: [a, b, c, d] -> two trigrams; doc 1 too short -> none
+    assert got == [(0, "a b c"), (0, "b c d")]
+
+
+# ------------------------------------------------------------- ngram_freq
+
+
+def test_ngram_freq_order_ties_and_cut(spark):
+    rows = [
+        (0, "x y x y"),  # "x y" x2, "y x" x1
+        (1, "a b"),  # "a b" x1
+        (2, "x y"),  # "x y" x1
+    ]
+    got = [
+        (r["gram"], r["n_occurrences"], r["n_docs"], r["rank"])
+        for r in text_analysis.ngram_freq(_docs(spark, rows), n=2, k=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    # top by count, then lexicographic among the count-1 ties; k cuts at 2
+    assert got == [("x y", 3, 2, 1), ("a b", 1, 1, 2)]
+
+
+# --------------------------------------------------------- pack_sequences
+
+
+def test_pack_sequences_chunk_arithmetic(spark):
+    # one bucket (n_buckets=1), budget 5; doc order = doc_id
+    rows = [
+        (0, "t1 t2 t3"),  # start 0, chunks 0..0
+        (1, ""),  # zero tokens -> excluded
+        (2, "t1 t2 t3 t4"),  # start 3, tokens 4 -> spans chunk 0 and 1
+        (3, "t1"),  # start 7, chunk 1
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in text_analysis.pack_sequences(
+            _docs(spark, rows), budget=5, n_buckets=1
+        ).collect()
+    }
+    assert set(got) == {0, 2, 3}
+    assert (got[0]["start_off"], got[0]["chunk_first"], got[0]["chunk_last"]) == (0, 0, 0)
+    assert (got[2]["start_off"], got[2]["chunk_first"], got[2]["chunk_last"]) == (3, 0, 1)
+    assert got[2]["n_chunks"] == 2
+    assert (got[3]["start_off"], got[3]["chunk_first"], got[3]["n_chunks"]) == (7, 1, 1)
+
+
+def test_pack_sequences_bucket_isolation(spark):
+    # same doc set, 2 buckets: each bucket's offsets restart at 0 and are
+    # the cumsum of ITS docs only, in doc_id order
+    rows = [(i, "w " * (i + 1)) for i in range(6)]  # doc i has i+1 tokens
+    out = text_analysis.pack_sequences(_docs(spark, rows), budget=100, n_buckets=2)
+    got = {r["doc_id"]: r for r in out.collect()}
+    # bucket 0: docs 0,2,4 (tokens 1,3,5) -> starts 0,1,4
+    # bucket 1: docs 1,3,5 (tokens 2,4,6) -> starts 0,2,6
+    assert [got[i]["start_off"] for i in (0, 2, 4)] == [0, 1, 4]
+    assert [got[i]["start_off"] for i in (1, 3, 5)] == [0, 2, 6]
+    assert all(got[i]["bucket"] == i % 2 for i in range(6))
+
+
+# ---------------------------------------------------------- decontaminate
+
+
+def test_decontaminate_planted_overlap(spark):
+    ev = _docs(spark, [(100, "the quick brown fox jumps over the lazy dog")])
+    train = _docs(
+        spark,
+        [
+            # shares the 5-gram "quick brown fox jumps over" (and one more)
+            (0, "a quick brown fox jumps over b"),
+            # same words, different order -> no shared 5-gram
+            (1, "fox quick jumps brown over the lazy a b"),
+            # too short for any 5-gram -> clean by construction
+            (2, "quick brown fox"),
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["matched_ngrams"], r["contaminated"])
+        for r in dedup.decontaminate(train, ev, n=5).collect()
+    }
+    assert got[0][0] >= 1 and got[0][1] is True
+    assert got[1] == (0, False)
+    assert got[2] == (0, False)
+
+
+def test_decontaminate_counts_distinct_grams(spark):
+    # the train doc repeats the contaminated gram; matched_ngrams counts
+    # DISTINCT grams, not occurrences
+    ev = _docs(spark, [(9, "p q r s t")])
+    train = _docs(spark, [(0, "p q r s t p q r s t")])
+    r = dedup.decontaminate(train, ev, n=5).collect()[0]
+    # train grams: 6 distinct-position grams, of which "p q r s t" (x2,
+    # counted once) plus the 4 wrap-around grams are NOT in eval
+    assert r["matched_ngrams"] == 1
+    assert r["contaminated"] is True
