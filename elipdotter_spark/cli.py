@@ -24,6 +24,16 @@ Subcommands:
   sweep  --index <index store dir> --gc-grace-sec N
          # cron janitor for grace-window stores: delete retired dirs whose
          # window expired (no SparkSession needed)
+  pii    --input <parquet dir/glob> [--output <parquet>]
+         # scrub emails/IPv4s/phones with typed placeholders; audit counts
+  ngrams --input <parquet dir/glob> [--n 2] [--k 100] [--output <parquet>]
+         # corpus top-k word n-grams (boilerplate/template mining)
+  decontam --input <train parquet> --eval <eval parquet> [--n 5]
+         [--output <parquet>]
+         # drop training docs sharing a word n-gram with the eval set
+  pack   --input <parquet dir/glob> [--budget 512] [--buckets 8]
+         [--output <parquet>]
+         # concatenate-and-chunk sequence packing assignment table
 
 On a cluster the SparkSession comes from spark-submit's conf; standalone runs
 fall back to local[*].  The build is the resumable segmented build — re-run
@@ -526,6 +536,135 @@ def cmd_sweep(args) -> int:
     return 0
 
 
+def cmd_pii(args) -> int:
+    """PII scrub (text_analysis.pii_redact, gated by txt_pii_redact):
+    replace emails / IPv4s / NNN-NNN-NNNN phones with typed placeholders.
+    Prints the per-type removal totals (the compliance audit line);
+    --output writes the corpus with the text column scrubbed."""
+    from pyspark.sql import functions as F
+
+    from elipdotter_spark.operators import text_analysis
+
+    spark = get_spark()
+    docs = spark.read.parquet(args.input).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    out = text_analysis.pii_redact(docs)
+    if args.output:
+        cleaned = docs.drop("text").join(
+            out.select("doc_id", F.col("text_clean").alias("text")), "doc_id"
+        )
+        cleaned.write.mode("overwrite").parquet(args.output)
+    agg = out.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_email").alias("n_email"),
+        F.sum("n_ipv4").alias("n_ipv4"),
+        F.sum("n_phone").alias("n_phone"),
+        F.sum(
+            ((F.col("n_email") + F.col("n_ipv4") + F.col("n_phone")) > 0).cast("long")
+        ).alias("docs_with_pii"),
+    ).first()
+    print(json.dumps({**agg.asDict(), "output": args.output}))
+    return 0
+
+
+def cmd_ngrams(args) -> int:
+    """Corpus top-k word n-grams (text_analysis.ngram_freq, gated by
+    txt_ngram_freq) — boilerplate/template mining when repeats don't align
+    on line boundaries.  Prints the top 10; --output writes all k rows."""
+    from elipdotter_spark.operators import text_analysis
+
+    spark = get_spark()
+    docs = spark.read.parquet(args.input).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    top = text_analysis.ngram_freq(docs, n=args.n, k=args.k)
+    if args.output:
+        top.write.mode("overwrite").parquet(args.output)
+        top = spark.read.parquet(args.output)
+    rows = top.orderBy("rank").collect()
+    print(json.dumps({
+        "n": args.n,
+        "k": args.k,
+        "n_grams_returned": len(rows),
+        "top": [r.asDict() for r in rows[:10]],
+        "output": args.output,
+    }))
+    return 0
+
+
+def cmd_decontam(args) -> int:
+    """Benchmark decontamination (dedup.decontaminate, gated by
+    dd_decontaminate): drop every training doc sharing a word --n-gram
+    with the eval set.  --output writes the decontaminated training
+    corpus; the JSON line is the removal audit."""
+    from pyspark.sql import functions as F
+
+    from elipdotter_spark.operators import dedup
+
+    spark = get_spark()
+    train = spark.read.parquet(args.input).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    ev = spark.read.parquet(args.eval)
+    flags = dedup.decontaminate(train, ev, n=args.n)
+    if args.output:
+        kept = train.join(
+            flags.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
+        )
+        kept.write.mode("overwrite").parquet(args.output)
+    agg = flags.agg(
+        F.count("*").alias("n_train"),
+        F.sum(F.col("contaminated").cast("long")).alias("n_contaminated"),
+        F.sum("matched_ngrams").alias("matched_ngrams_total"),
+    ).first()
+    out = agg.asDict()
+    out["n_kept"] = out["n_train"] - out["n_contaminated"]
+    print(json.dumps({**out, "n": args.n, "output": args.output}))
+    return 0
+
+
+def cmd_pack(args) -> int:
+    """Concatenate-and-chunk sequence packing (text_analysis.pack_sequences,
+    gated by txt_pack_sequences): assign every doc its training-chunk span
+    under 'concat then split at the context length'.  --output writes the
+    assignment table; the JSON line reports corpus-level packing totals."""
+    from pyspark.sql import functions as F
+
+    from elipdotter_spark.operators import text_analysis
+
+    spark = get_spark()
+    docs = spark.read.parquet(args.input).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    packed = text_analysis.pack_sequences(
+        docs, budget=args.budget, n_buckets=args.buckets
+    )
+    if args.output:
+        packed.write.mode("overwrite").parquet(args.output)
+        packed = spark.read.parquet(args.output)
+    agg = packed.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum((F.col("n_chunks") > 1).cast("long")).alias("docs_spanning"),
+    ).first()
+    # total chunks = per-bucket (last chunk id + 1), summed
+    chunks = (
+        packed.groupBy("bucket")
+        .agg(F.max("chunk_last").alias("last"))
+        .agg(F.sum(F.col("last") + 1).alias("n_chunks"))
+        .first()["n_chunks"]
+    )
+    print(json.dumps({
+        **agg.asDict(),
+        "n_chunks": chunks,
+        "budget": args.budget,
+        "buckets": args.buckets,
+        "output": args.output,
+    }))
+    return 0
+
+
 def cmd_dedup(args) -> int:
     """Near-duplicate pipeline: minhash bands -> (bounded) candidate pairs
     -> jaccard verify -> connected components -> canonical docs.  Prints a
@@ -722,6 +861,41 @@ def main(argv=None) -> int:
     z.add_argument("--default-fraction", type=float, default=0.0,
                    help="keep fraction for sources not listed in --fractions")
     z.set_defaults(fn=cmd_sample)
+
+    pi = sub.add_parser("pii")
+    pi.add_argument("--input", required=True)
+    pi.add_argument("--output", default=None,
+                    help="write the scrubbed corpus here (text column "
+                         "replaced, other columns preserved)")
+    pi.set_defaults(fn=cmd_pii)
+
+    ng = sub.add_parser("ngrams")
+    ng.add_argument("--input", required=True)
+    ng.add_argument("--n", type=int, default=2, help="n-gram size (words)")
+    ng.add_argument("--k", type=int, default=100, help="top-k grams to keep")
+    ng.add_argument("--output", default=None,
+                    help="write all k rows here (stdout shows the top 10)")
+    ng.set_defaults(fn=cmd_ngrams)
+
+    dc = sub.add_parser("decontam")
+    dc.add_argument("--input", required=True, help="training corpus parquet")
+    dc.add_argument("--eval", required=True, dest="eval",
+                    help="held-out eval/benchmark corpus parquet")
+    dc.add_argument("--n", type=int, default=5,
+                    help="word n-gram size for the overlap test")
+    dc.add_argument("--output", default=None,
+                    help="write the decontaminated training corpus here")
+    dc.set_defaults(fn=cmd_decontam)
+
+    pk = sub.add_parser("pack")
+    pk.add_argument("--input", required=True)
+    pk.add_argument("--budget", type=int, default=512,
+                    help="tokens per training sequence (context length)")
+    pk.add_argument("--buckets", type=int, default=8,
+                    help="independent packing buckets (parallelism unit)")
+    pk.add_argument("--output", default=None,
+                    help="write the per-doc chunk assignment table here")
+    pk.set_defaults(fn=cmd_pack)
 
     d = sub.add_parser("dedup")
     d.add_argument("--input", required=True)

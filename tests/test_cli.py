@@ -260,3 +260,68 @@ def test_cli_lines_boilerplate_removal(cli, tmp_path, capsys):
     assert got[0] == "unique alpha\nunique beta"  # order preserved
     assert got[2] == ""                           # emptied but KEPT
     assert got[3] == "unique delta"
+
+
+@pytest.mark.spark
+def test_cli_pii_scrub(cli, tmp_path, capsys):
+    inp = str(tmp_path / "docs")
+    cli.get_spark().createDataFrame(
+        [
+            (0, "mail a@b.org then 10.0.0.1 and call 555-123-4567"),
+            (1, "clean doc"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(inp)
+    outp = str(tmp_path / "scrubbed")
+    assert cli.main(["pii", "--input", inp, "--output", outp]) == 0
+    s = _json_lines(capsys)[-1]
+    assert (s["n_email"], s["n_ipv4"], s["n_phone"]) == (1, 1, 1)
+    assert s["docs_with_pii"] == 1 and s["n_docs"] == 2
+    got = {r["doc_id"]: r["text"] for r in
+           cli.get_spark().read.parquet(outp).collect()}
+    assert got[0] == "mail [EMAIL] then [IP] and call [PHONE]"
+    assert got[1] == "clean doc"
+
+
+@pytest.mark.spark
+def test_cli_ngrams_decontam_pack(cli, tmp_path, capsys):
+    inp = str(tmp_path / "docs")
+    cli.get_spark().createDataFrame(
+        [
+            (0, "x y x y z"),
+            (1, "x y w"),
+            (2, "benchmark question one two three exactly"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(inp)
+
+    assert cli.main(["ngrams", "--input", inp, "--n", "2", "--k", "3"]) == 0
+    s = _json_lines(capsys)[-1]
+    assert s["n_grams_returned"] == 3
+    assert s["top"][0] == {"gram": "x y", "n_occurrences": 3, "n_docs": 2,
+                           "rank": 1}
+
+    ev = str(tmp_path / "eval")
+    cli.get_spark().createDataFrame(
+        [(9, "the benchmark question one two three here")],
+        "doc_id long, text string",
+    ).write.parquet(ev)
+    outp = str(tmp_path / "kept")
+    assert cli.main([
+        "decontam", "--input", inp, "--eval", ev, "--n", "5",
+        "--output", outp,
+    ]) == 0
+    s = _json_lines(capsys)[-1]
+    assert s["n_train"] == 3 and s["n_contaminated"] == 1 and s["n_kept"] == 2
+    kept_ids = {r["doc_id"] for r in
+                cli.get_spark().read.parquet(outp).collect()}
+    assert kept_ids == {0, 1}  # doc 2 shared "benchmark question one two three"
+
+    assert cli.main([
+        "pack", "--input", inp, "--budget", "4", "--buckets", "1",
+    ]) == 0
+    s = _json_lines(capsys)[-1]
+    # doc order 0,1,2: tokens 5,3,6 -> starts 0,5,8; budget 4 ->
+    # doc0 spans chunks 0-1, doc1 chunk 1, doc2 chunks 2-3 -> 4 chunks
+    assert s["n_docs"] == 3 and s["n_tokens"] == 14
+    assert s["n_chunks"] == 4 and s["docs_spanning"] == 2
