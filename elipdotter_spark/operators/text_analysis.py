@@ -409,11 +409,13 @@ def pack_sequences(
     )
     t = t.withColumn(
         "start_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
-    )
-    chunk_first = F.floor(F.col("start_off") / budget).cast("long")
-    chunk_last = F.floor(
-        (F.col("start_off") + F.col("n_tokens") - 1) / budget
-    ).cast("long")
+    ).withColumn("_end_off", F.col("start_off") + F.col("n_tokens") - F.lit(1))
+    # exact integer floor-div (both operands nonnegative, so truncating
+    # `div` == floor): F.floor(col / budget) would go through DOUBLE and
+    # lose exactness past 2^53 — the codec.range_expr lesson
+    b = int(budget)
+    chunk_first = F.expr(f"start_off div cast({b} as bigint)")
+    chunk_last = F.expr(f"_end_off div cast({b} as bigint)")
     return t.select(
         "doc_id",
         "bucket",
