@@ -154,3 +154,63 @@ def test_decontaminate_counts_distinct_grams(spark):
     # counted once) plus the 4 wrap-around grams are NOT in eval
     assert r["matched_ngrams"] == 1
     assert r["contaminated"] is True
+
+
+# ------------------------------------------- streaming + plan-shape audits
+
+
+@pytest.mark.spark
+def test_pii_redact_streams(spark, tmp_path):
+    """pii_redact is a stateless projection, so it composes directly into a
+    Structured Streaming pipeline (the ingest-time scrub position)."""
+    import os
+
+    in_dir = str(tmp_path / "incoming")
+    os.makedirs(in_dir)
+    _docs(
+        spark, [(0, "mail a@b.org now"), (1, "ip 10.0.0.1 here")]
+    ).write.parquet(os.path.join(in_dir, "b1"))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        in_dir + "/*"
+    )
+    out = text_analysis.pii_redact(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pii_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r for r in spark.sql("SELECT * FROM pii_stream").collect()
+    }
+    assert got[0]["text_clean"] == "mail [EMAIL] now" and got[0]["n_email"] == 1
+    assert got[1]["text_clean"] == "ip [IP] here" and got[1]["n_ipv4"] == 1
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.spark
+def test_plan_shapes(spark):
+    """Pin the physical-plan properties the 100 TB posture relies on:
+    ngram_freq's top-k is TakeOrdered (never a global sort), decontaminate
+    broadcasts the eval gram set (the corpus never shuffles on the gram key
+    for the join), pii_redact is a single stage with no exchange."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, [(i, f"w{i} w{i + 1} a b c d e") for i in range(20)])
+    nf_plan = _plan(text_analysis.ngram_freq(docs, n=2, k=5))
+    assert "TakeOrderedAndProject" in nf_plan
+    ev = docs.filter(F.col("doc_id") % 7 == 0)
+    tr = docs.filter(F.col("doc_id") % 7 != 0)
+    dc_plan = _plan(dedup.decontaminate(tr, ev, n=3))
+    # the gram join specifically must be a broadcast — the corpus side must
+    # never shuffle on the gram key (the doc_id join back to train is tiny
+    # either way and AQE is free to pick its shape)
+    assert "BroadcastHashJoin [gram" in dc_plan
+    assert "SortMergeJoin [gram" not in dc_plan
+    pii_plan = _plan(text_analysis.pii_redact(docs))
+    assert "Exchange" not in pii_plan
