@@ -300,8 +300,7 @@ def cmd_clean(args) -> int:
     )
     n_docs = docs.count()
     stats = {}
-    cleaned = dedup.clean_corpus(
-        docs,
+    common = dict(
         lang=args.lang,
         min_tokens=args.min_tokens,
         min_stopword_ratio=args.min_stopword_ratio,
@@ -310,11 +309,17 @@ def cmd_clean(args) -> int:
         stats=stats,
         cc_checkpoint_dir=args.cc_checkpoint_dir,
     )
+    if args.line_max_docs is not None or args.pii:
+        cleaned = dedup.preprocess_corpus(
+            docs, line_max_docs=args.line_max_docs, pii=args.pii, **common
+        )
+    else:
+        cleaned = dedup.clean_corpus(docs, **common)
     if args.output:
         cleaned.write.mode("overwrite").parquet(args.output)
     docs.unpersist()  # cleaned is materialized inside clean_corpus
     n_kept = stats["after_near_dedup"]
-    print(json.dumps({
+    out = {
         "n_docs": n_docs,
         "after_lang_quality": stats["after_lang_quality"],
         "after_exact_dedup": stats["after_exact_dedup"],
@@ -325,7 +330,13 @@ def cmd_clean(args) -> int:
         "min_stopword_ratio": args.min_stopword_ratio,
         "threshold": args.threshold,
         "output": args.output,
-    }))
+    }
+    # front-door stages report their own counters only when enabled, so
+    # the base known-good JSON is byte-stable for flagless runs
+    for k in ("n_lines", "n_lines_kept", "pii_redactions"):
+        if k in stats:
+            out[k] = stats[k]
+    print(json.dumps(out))
     return 0
 
 
@@ -834,6 +845,14 @@ def main(argv=None) -> int:
                    help="durable dir for connected-components rounds and "
                         "the cleaned corpus (use on preemptible clusters; "
                         "default keeps state in executor block storage)")
+    c.add_argument("--line-max-docs", type=int, default=None,
+                   help="also run line-granular boilerplate removal FIRST: "
+                        "drop lines in more than this many distinct docs "
+                        "(default: stage off)")
+    c.add_argument("--pii", action="store_true",
+                   help="also scrub emails/IPv4s/phones (typed "
+                        "placeholders) before the language/quality/dedup "
+                        "stages")
     c.set_defaults(fn=cmd_clean)
 
     ln = sub.add_parser("lines")

@@ -742,3 +742,59 @@ def decontaminate(
         )
         .withColumn("contaminated", F.col("matched_ngrams") > 0)
     )
+
+
+def preprocess_corpus(
+    docs: DataFrame,
+    line_max_docs: int = None,
+    pii: bool = False,
+    stats: dict = None,
+    **clean_kwargs,
+) -> DataFrame:
+    """The complete web-pipeline front door, in the order production
+    cleaners run it: (optional) line-granular boilerplate removal ->
+    (optional) PII scrub -> ``clean_corpus`` (langid -> quality -> exact
+    dedup -> near-dup canonicalization).  A pure composition of the
+    individually-gated operators — bit-identical to applying them one at a
+    time (pinned by test) — so each stage's correctness evidence carries
+    over.
+
+    Stage order matters twice over at scale: line dedup first (boilerplate
+    lines would otherwise rescue low-quality pages past the quality filter
+    and glue near-dup pairs together), PII scrub before tokenization-heavy
+    stages (scrubbed text is what every downstream signature should see),
+    and the row-local scrub adds no shuffle of its own.  ``stats`` gains
+    per-stage observability counters (one extra aggregate job per enabled
+    stage — maintenance path; pass None on the hot path)."""
+    from . import text_analysis
+
+    cur = docs
+    if line_max_docs is not None:
+        ld = text_analysis.line_dedup(cur, max_docs=line_max_docs)
+        if stats is not None:
+            agg = ld.agg(
+                F.sum("n_lines").alias("n_lines"),
+                F.sum("n_kept").alias("n_lines_kept"),
+            ).first()
+            stats["n_lines"] = agg["n_lines"]
+            stats["n_lines_kept"] = agg["n_lines_kept"]
+        cur = cur.drop("text").join(
+            ld.select("doc_id", F.col("text_clean").alias("text")), "doc_id"
+        )
+    if pii:
+        red = text_analysis.pii_redact(cur)
+        if stats is not None:
+            agg = red.agg(
+                F.sum("n_email").alias("n_email"),
+                F.sum("n_ipv4").alias("n_ipv4"),
+                F.sum("n_phone").alias("n_phone"),
+            ).first()
+            stats["pii_redactions"] = {
+                "n_email": agg["n_email"],
+                "n_ipv4": agg["n_ipv4"],
+                "n_phone": agg["n_phone"],
+            }
+        cur = cur.drop("text").join(
+            red.select("doc_id", F.col("text_clean").alias("text")), "doc_id"
+        )
+    return clean_corpus(cur, stats=stats, **clean_kwargs)

@@ -325,3 +325,25 @@ def test_cli_ngrams_decontam_pack(cli, tmp_path, capsys):
     # doc0 spans chunks 0-1, doc1 chunk 1, doc2 chunks 2-3 -> 4 chunks
     assert s["n_docs"] == 3 and s["n_tokens"] == 14
     assert s["n_chunks"] == 4 and s["docs_spanning"] == 2
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+def test_cli_clean_front_door_flags(cli, tmp_path, capsys):
+    inp = str(tmp_path / "docs")
+    cli.get_spark().createDataFrame(
+        [
+            (0, "the a of and alpha beta\nsite footer"),
+            (1, "the a of and gamma delta x@y.org\nsite footer"),
+            (2, "the a of and epsilon zeta 10.0.0.1\nsite footer"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(inp)
+    assert cli.main([
+        "clean", "--input", inp, "--min-tokens", "3",
+        "--line-max-docs", "2", "--pii",
+    ]) == 0
+    s = _json_lines(capsys)[-1]
+    assert s["n_docs"] == 3 and s["n_kept"] == 3
+    assert s["n_lines"] == 6 and s["n_lines_kept"] == 3  # footer dropped
+    assert s["pii_redactions"] == {"n_email": 1, "n_ipv4": 1, "n_phone": 0}

@@ -214,3 +214,54 @@ def test_plan_shapes(spark):
     assert "SortMergeJoin [gram" not in dc_plan
     pii_plan = _plan(text_analysis.pii_redact(docs))
     assert "Exchange" not in pii_plan
+
+
+# ------------------------------------------------------- preprocess_corpus
+
+
+@pytest.mark.slow
+def test_preprocess_corpus_equals_staged(spark):
+    """The front-door composition is bit-identical to applying the gated
+    stages one at a time (line_dedup -> pii_redact -> clean_corpus), and
+    its stats expose every stage's counters."""
+    from pyspark.sql import functions as F
+
+    base = "the quick brown fox jumps over the lazy dog wonders again"
+    rows = [
+        (i, f"intro {i} of the day\nsite footer line\n{base} variant {i}")
+        for i in range(6)
+    ]
+    rows += [
+        (10, "the a of and unique content alpha beta gamma delta"),
+        (11, "the a of and unique content alpha beta gamma delta"),  # exact dup
+        (12, "contact me at x@y.org the a of and more words here"),
+    ]
+    docs = _docs(spark, rows)
+    kw = dict(min_tokens=5, min_stopword_ratio=0.0, jaccard=0.8)
+
+    staged = docs
+    ld = text_analysis.line_dedup(staged, max_docs=3)
+    staged = staged.drop("text").join(
+        ld.select("doc_id", F.col("text_clean").alias("text")), "doc_id"
+    )
+    red = text_analysis.pii_redact(staged)
+    staged = staged.drop("text").join(
+        red.select("doc_id", F.col("text_clean").alias("text")), "doc_id"
+    )
+    want = sorted(tuple(r) for r in dedup.clean_corpus(staged, **kw).collect())
+
+    stats = {}
+    got_df = dedup.preprocess_corpus(
+        docs, line_max_docs=3, pii=True, stats=stats, **kw
+    )
+    got = sorted(tuple(r) for r in got_df.collect())
+    assert got == want
+    # stage counters: the 6-doc footer line dropped everywhere, 1 email
+    assert stats["n_lines"] == 6 * 3 + 3
+    assert stats["n_lines"] - stats["n_lines_kept"] == 6
+    assert stats["pii_redactions"] == {"n_email": 1, "n_ipv4": 0, "n_phone": 0}
+    assert stats["after_near_dedup"] == len(got)
+    # the survivors' text is actually scrubbed and footer-free
+    texts = {r[1] for r in got}
+    assert all("site footer line" not in t and "x@y.org" not in t for t in texts)
+    assert any("[EMAIL]" in t for t in texts)
