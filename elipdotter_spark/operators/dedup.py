@@ -719,19 +719,20 @@ def decontaminate(
 
     Plan shape for 100 TB: the eval side is benchmark-sized (thousands of
     docs), so its distinct gram set is BROADCAST — the training corpus is
-    scanned once, grams stream through a map-side hash semi-join, and the
-    only shuffle is the per-doc count aggregate (map-side combined).  No
-    eval-side-keyed shuffle of the corpus ever happens.  Training docs with
-    fewer than ``n`` tokens have no grams and are reported clean via the
-    left join."""
+    scanned once and its gram stream filters through a map-side hash join
+    BEFORE any shuffle; only the MATCHED grams (orders of magnitude fewer)
+    reach the per-doc distinct-count aggregate (two-phase, map-side
+    combined).  The corpus is never shuffled on the gram key and never
+    pays a corpus-wide distinct.  Training docs with fewer than ``n``
+    tokens have no grams and are reported clean via the left join."""
     from .text_analysis import token_ngrams
 
     eval_grams = token_ngrams(eval_docs, n, text_col=text_col).select("gram").distinct()
-    train_grams = token_ngrams(train, n, text_col=text_col).distinct()
+    train_grams = token_ngrams(train, n, text_col=text_col)
     matched = (
         train_grams.join(F.broadcast(eval_grams), "gram")
         .groupBy("doc_id")
-        .agg(F.count("*").cast("long").alias("matched_ngrams"))
+        .agg(F.countDistinct("gram").cast("long").alias("matched_ngrams"))
     )
     return (
         train.select("doc_id")
