@@ -239,7 +239,7 @@ def run_queries(spark, docs, postings, terms, docstats):
     # training-data ops (beyond-reference, graded first-class): the dedup
     # candidate pipeline over the corpus and a multi-table LSH ANN probe
     # over the embeddings table (bucket build is index-side, untimed)
-    from elipdotter_spark.operators import ann, dedup
+    from elipdotter_spark.operators import ann, dedup, text_analysis
 
     # max_ring: the sf corpus's 31-term vocabulary makes every doc
     # near-similar, i.e. LSH buckets are degenerate mega-clusters — the
@@ -361,6 +361,28 @@ def run_queries(spark, docs, postings, terms, docstats):
         k: st.get(k) for k in ("root_docs", "kernel_docs", "theta", "pruned", "futile")
     }
     sterms.unpersist()
+
+    # pipeline-op probes (session-5 ops): the scan-bound PII scrub (pure
+    # whole-stage-codegen projection — the per-doc throughput ceiling of
+    # the cleaning front door) and eval-set decontamination (broadcast
+    # gram semi-join).  Aggregates force full materialization without a
+    # driver-side collect of the corpus.
+    timed(
+        "q_pii_scrub",
+        lambda: text_analysis.pii_redact(docs)
+        .agg(F.sum("n_email"), F.sum("n_ipv4"), F.sum("n_phone"))
+        .collect(),
+        reps=5,
+    )
+    ev = docs.filter(F.pmod(F.col("doc_id"), F.lit(53)) == 0)
+    tr = docs.filter(F.pmod(F.col("doc_id"), F.lit(53)) != 0)
+    timed(
+        "q_decontam",
+        lambda: dedup.decontaminate(tr, ev, n=5)
+        .agg(F.sum(F.col("contaminated").cast("long")))
+        .collect(),
+        reps=3,
+    )
     return timings, percentiles, prune
 
 

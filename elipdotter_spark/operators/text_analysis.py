@@ -184,8 +184,16 @@ def repetition(docs: DataFrame, n: int = 2, digits: int = 6, text_col: str = "te
     JVM-only plan: split -> sliding array_join windows (no UDF) -> explode
     -> per-(doc, gram) count -> one narrow per-doc aggregate; at 100 TB
     both aggregates partial-combine map-side.  Docs with fewer than ``n``
-    tokens have no n-grams and drop out (same on the SQL oracle side)."""
-    toks = F.split(F.col(text_col), " ")
+    tokens have no n-grams and drop out (same on the SQL oracle side).
+
+    The split array is materialized in its own projection first — an
+    expression inlined into ``transform``'s lambda re-evaluates PER
+    ELEMENT, i.e. re-splits the document once per gram index (O(len^2)
+    per doc; see token_ngrams)."""
+    toked = docs.select(
+        "doc_id", F.split(F.col(text_col), " ").alias("_toks")
+    )
+    toks = F.col("_toks")
     # guard: Spark sequence(0, stop) DESCENDS when stop < 0, which would
     # mint phantom window starts for docs shorter than n tokens
     grams = F.when(
@@ -196,7 +204,7 @@ def repetition(docs: DataFrame, n: int = 2, digits: int = 6, text_col: str = "te
         ),
     ).otherwise(F.array().cast("array<string>"))
     per_gram = (
-        docs.select("doc_id", F.explode(grams).alias("gram"))
+        toked.select("doc_id", F.explode(grams).alias("gram"))
         .groupBy("doc_id", "gram")
         .agg(F.count("*").alias("c"))
     )
@@ -326,10 +334,21 @@ def token_ngrams(
     stream, joined with single spaces.  JVM-only (split -> sliding
     array_join windows -> explode); docs with fewer than ``n`` tokens
     contribute no grams.  The shared primitive under ``ngram_freq`` and
-    ``dedup.decontaminate``."""
+    ``dedup.decontaminate``.
+
+    The token array is materialized in its OWN projection before the gram
+    lambda: an expression placed directly inside ``transform``'s lambda is
+    re-evaluated PER ELEMENT, so inlining the tokenizer there re-tokenizes
+    the whole document once per gram index — O(len^2) per doc, measured
+    50x slower at sf0.1.  A multi-referenced non-trivial alias survives
+    CollapseProject, so ``_toks`` is computed once per row."""
     from ..functions.tokenizer import simple_terms_col
 
-    toks = simple_terms_col(F.col(text_col))
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"),
+        simple_terms_col(F.col(text_col)).alias("_toks"),
+    )
+    toks = F.col("_toks")
     # guard: Spark sequence(0, stop) DESCENDS when stop < 0 (docs shorter
     # than n tokens would mint phantom window starts)
     grams = F.when(
@@ -339,9 +358,7 @@ def token_ngrams(
             lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(grams).alias("gram")
-    )
+    return toked.select("doc_id", F.explode(grams).alias("gram"))
 
 
 def ngram_freq(

@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""1M-doc scale probes for the pipeline operators (session-5 set).
+
+Replicates the sf0.1 documents corpus ~200x (offset ids, distinct text per
+replica suffix-free — the same deterministic replicate shape the bench's
+scaling runs use) to ~1M docs, then times each operator end-to-end and
+reports per-op throughput:
+
+  - pii_redact: scan-bound scrub, docs/sec (the front door's ceiling)
+  - ngram_freq: corpus bigram mining (map-side-combined agg + TakeOrdered)
+  - decontaminate: 1M train vs a ~19k-doc eval split, broadcast gram join
+  - pack_sequences: per-bucket cumsum windows, 64 buckets
+
+Prints ONE JSON line.  Run standalone (never concurrently with the bench):
+  PYTHONPATH=/root/repo python scripts/bench_pipeline_1m.py [replicas]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main():
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    from pyspark.sql import SparkSession, functions as F
+
+    from elipdotter_spark.operators import dedup, text_analysis
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("pipeline-1m")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n0 = docs.count()
+    big = (
+        docs.repartition(64)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("rep"),
+        )
+        .select((F.col("doc_id") + F.col("rep") * n0).alias("doc_id"), "text")
+    )
+    # materialize once to parquet so every probe reads the same on-disk
+    # input (array/cache pitfalls avoided; matches the production shape)
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="pipe1m_")
+    big.write.mode("overwrite").parquet(root + "/docs")
+    docs1m = spark.read.parquet(root + "/docs")
+    n = docs1m.count()
+
+    out = {"n_docs": n, "replicas": k, "sf_dir": SF_DIR}
+
+    def timed(name, fn, reps=3):
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        med = samples[len(samples) // 2]
+        out[name + "_sec"] = round(med, 3)
+        out[name + "_docs_per_sec"] = int(n / med)
+
+    # warm codegen + FS cache
+    docs1m.agg(F.sum(F.length("text"))).collect()
+
+    timed(
+        "pii_scrub",
+        lambda: text_analysis.pii_redact(docs1m)
+        .agg(F.sum("n_email"), F.sum("n_ipv4"), F.sum("n_phone"))
+        .collect(),
+    )
+    timed(
+        "ngram_freq",
+        lambda: text_analysis.ngram_freq(docs1m, n=2, k=100).collect(),
+    )
+    ev = docs1m.filter(F.pmod(F.col("doc_id"), F.lit(53)) == 0)
+    tr = docs1m.filter(F.pmod(F.col("doc_id"), F.lit(53)) != 0)
+    timed(
+        "decontam",
+        lambda: dedup.decontaminate(tr, ev, n=5)
+        .agg(F.sum(F.col("contaminated").cast("long")))
+        .collect(),
+    )
+    timed(
+        "pack",
+        lambda: text_analysis.pack_sequences(docs1m, budget=2048, n_buckets=64)
+        .agg(F.max("chunk_last"), F.sum("n_tokens"))
+        .collect(),
+    )
+
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -265,3 +265,115 @@ def test_preprocess_corpus_equals_staged(spark):
     texts = {r[1] for r in got}
     assert all("site footer line" not in t and "x@y.org" not in t for t in texts)
     assert any("[EMAIL]" in t for t in texts)
+
+
+# ------------------------------------------------- randomized property tests
+
+
+def _py_tokens(text):
+    import re as _re
+
+    return _re.findall(r"[a-z0-9]+", text.lower())
+
+
+def _py_grams(text, n):
+    t = _py_tokens(text)
+    return [" ".join(t[i : i + n]) for i in range(len(t) - n + 1)]
+
+
+@pytest.mark.slow
+def test_decontaminate_matches_python_reference_randomized(spark):
+    """30 seeded random corpora vs a brute-force Python n-gram overlap."""
+    import random
+
+    vocab = [f"w{i}" for i in range(12)]
+    for seed in range(30):
+        rng = random.Random(seed)
+        n = rng.choice([2, 3, 5])
+        mk = lambda: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 14)))
+        train_rows = [(i, mk()) for i in range(12)]
+        eval_rows = [(100 + i, mk()) for i in range(3)]
+        eval_grams = {g for _, t in eval_rows for g in _py_grams(t, n)}
+        want = {
+            i: len(set(_py_grams(t, n)) & eval_grams) for i, t in train_rows
+        }
+        got = {
+            r["doc_id"]: r["matched_ngrams"]
+            for r in dedup.decontaminate(
+                _docs(spark, train_rows), _docs(spark, eval_rows), n=n
+            ).collect()
+        }
+        assert got == want, f"seed {seed} n {n}"
+
+
+@pytest.mark.slow
+def test_pack_sequences_matches_python_reference_randomized(spark):
+    """20 seeded random corpora vs a Python concatenate-and-chunk model."""
+    import random
+
+    for seed in range(20):
+        rng = random.Random(1000 + seed)
+        budget = rng.choice([3, 7, 16])
+        n_buckets = rng.choice([1, 2, 4])
+        rows = [
+            (i, " ".join("tok" for _ in range(rng.randint(0, 9))))
+            for i in range(rng.randint(1, 25))
+        ]
+        # python model
+        want = {}
+        for b in range(n_buckets):
+            off = 0
+            for i, t in rows:
+                if i % n_buckets != b:
+                    continue
+                nt = len(_py_tokens(t))
+                if nt == 0:
+                    continue
+                want[i] = (b, nt, off, off // budget, (off + nt - 1) // budget)
+                off += nt
+        got = {
+            r["doc_id"]: (
+                r["bucket"],
+                r["n_tokens"],
+                r["start_off"],
+                r["chunk_first"],
+                r["chunk_last"],
+            )
+            for r in text_analysis.pack_sequences(
+                _docs(spark, rows), budget=budget, n_buckets=n_buckets
+            ).collect()
+        }
+        assert got == want, f"seed {seed} budget {budget} buckets {n_buckets}"
+
+
+@pytest.mark.slow
+def test_pii_redact_matches_python_reference_randomized(spark):
+    """25 seeded random texts with planted PII vs Python re (the three
+    patterns use only syntax with identical Java/RE2/Python semantics)."""
+    import random
+    import re as _re
+
+    frags = [
+        "plain words here",
+        "user{j}@host{j}.example.org",
+        "10.{j}.0.{k}",
+        "555-12{j}-456{k}",
+        "almost 999.999 and half@nope and 12-34-56",
+        "x{j}y",
+    ]
+    for seed in range(25):
+        rng = random.Random(2000 + seed)
+        text = " ".join(
+            rng.choice(frags).format(j=rng.randint(0, 25), k=rng.randint(0, 9))
+            for _ in range(rng.randint(1, 12))
+        )
+        cur = text
+        want_counts = []
+        for _name, pat, tok in text_analysis.PII_PATTERNS:
+            want_counts.append(len(_re.findall(pat, cur)))
+            cur = _re.sub(pat, lambda _m, t=tok: t, cur)
+        r = text_analysis.pii_redact(_docs(spark, [(0, text)])).collect()[0]
+        assert r["text_clean"] == cur, f"seed {seed}: {text!r}"
+        assert [r["n_email"], r["n_ipv4"], r["n_phone"]] == want_counts, (
+            f"seed {seed}: {text!r}"
+        )
