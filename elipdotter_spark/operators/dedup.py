@@ -88,15 +88,27 @@ def _bands_from_token_table(
     never becomes rows), then a single doc-keyed aggregate folds the arrays
     elementwise with zip_with(least).  One shuffle of |tokens| rows replaces
     the round-1 explode (k x |tokens| rows through TWO hash aggregates);
-    band hashes are row-local array slices afterwards."""
+    band hashes are row-local array slices afterwards.
+
+    The term's codepoint array is materialized ONCE per row in its own
+    projection before the k-seed lambda: an expression inlined into the
+    lambda re-evaluates per element, i.e. the term would be re-split and
+    re-ascii'd once per seed (k=128x) — the HOF-lambda gotcha
+    (CLAUDE.md); only the seeded fold itself is per-seed work."""
+    cps = F.transform(F.split(F.col("term"), ""), lambda c: F.ascii(c))
+    coded = toks.select("doc_id", cps.alias("_cps"))
     hs = F.transform(
         F.sequence(F.lit(0), F.lit(n_minhash - 1)),
-        lambda seed: poly_hash(F.col("term"), seed + 1),
+        lambda seed: F.aggregate(
+            F.col("_cps"),
+            (seed + 1).cast("long"),
+            lambda acc, cp: (acc * 131 + cp) % HASH_P,
+        ),
     )
     top = F.lit(HASH_P).cast("long")
     init = F.array_repeat(top, n_minhash)
     sigs = (
-        toks.select("doc_id", hs.alias("hs"))
+        coded.select("doc_id", hs.alias("hs"))
         .groupBy("doc_id")
         .agg(
             F.aggregate(
