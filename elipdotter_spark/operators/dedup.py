@@ -90,20 +90,34 @@ def _bands_from_token_table(
     the round-1 explode (k x |tokens| rows through TWO hash aggregates);
     band hashes are row-local array slices afterwards.
 
-    The term's codepoint array is materialized ONCE per row in its own
-    projection before the k-seed lambda: an expression inlined into the
-    lambda re-evaluates per element, i.e. the term would be re-split and
-    re-ascii'd once per seed (k=128x) — the HOF-lambda gotcha
-    (CLAUDE.md); only the seeded fold itself is per-seed work."""
+    The k seeded hashes are derived from ONE character fold by polynomial
+    linearity: folding ``acc*131 + cp (mod P)`` from init ``s`` over a
+    length-L term yields exactly ``s*131^L + H0 (mod P)`` where ``H0`` is
+    the init-0 fold — so the per-term work is two folds (H0 and 131^L)
+    plus k multiply-adds, not k char-folds (HOF lambdas are interpreted
+    per element — CodegenFallback — so collapsing the per-seed work from
+    O(term_len) to O(1) is the difference between k x len and k
+    interpreted steps per token).  All intermediates stay < 2^39: exact
+    in long, bit-identical to the direct per-seed fold (the gates pin
+    it)."""
     cps = F.transform(F.split(F.col("term"), ""), lambda c: F.ascii(c))
-    coded = toks.select("doc_id", cps.alias("_cps"))
+    coded = toks.select("doc_id", cps.alias("_cps")).select(
+        "doc_id",
+        F.aggregate(
+            F.col("_cps"),
+            F.lit(0).cast("long"),
+            lambda acc, cp: (acc * 131 + cp) % HASH_P,
+        ).alias("_h0"),
+        F.aggregate(
+            F.col("_cps"),
+            F.lit(1).cast("long"),
+            lambda acc, _cp: (acc * 131) % HASH_P,
+        ).alias("_pw"),
+    )
     hs = F.transform(
         F.sequence(F.lit(0), F.lit(n_minhash - 1)),
-        lambda seed: F.aggregate(
-            F.col("_cps"),
-            (seed + 1).cast("long"),
-            lambda acc, cp: (acc * 131 + cp) % HASH_P,
-        ),
+        lambda seed: ((seed + 1).cast("long") * F.col("_pw") + F.col("_h0"))
+        % HASH_P,
     )
     top = F.lit(HASH_P).cast("long")
     init = F.array_repeat(top, n_minhash)
