@@ -635,6 +635,40 @@ def cmd_decontam(args) -> int:
     return 0
 
 
+def cmd_spans(args) -> int:
+    """Substring-granular duplicate discovery (dedup.dup_spans, gated by
+    dd_dup_spans): maximal token spans whose word --n-grams appear in
+    >= --min-docs distinct documents — the quoted-paragraph / syndicated-
+    body / license-header duplication doc-level dedup can't see.  --output
+    writes the span table; the JSON line is the corpus-level audit."""
+    from pyspark.sql import functions as F
+
+    from elipdotter_spark.operators import dedup
+
+    spark = get_spark()
+    docs = spark.read.parquet(args.input).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    spans = dedup.dup_spans(docs, n=args.n, min_docs=args.min_docs)
+    if args.output:
+        spans.write.mode("overwrite").parquet(args.output)
+        spans = spark.read.parquet(args.output)
+    agg = spans.agg(
+        F.count("*").alias("n_spans"),
+        F.countDistinct("doc_id").alias("n_docs_with_dups"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias(
+            "dup_tokens_total"
+        ),
+        F.max(F.col("span_end") - F.col("span_start") + 1).alias(
+            "longest_span_tokens"
+        ),
+    ).first()
+    out = {k: (0 if v is None else v) for k, v in agg.asDict().items()}
+    print(json.dumps({**out, "n": args.n, "min_docs": args.min_docs,
+                      "output": args.output}))
+    return 0
+
+
 def cmd_pack(args) -> int:
     """Concatenate-and-chunk sequence packing (text_analysis.pack_sequences,
     gated by txt_pack_sequences): assign every doc its training-chunk span
@@ -905,6 +939,18 @@ def main(argv=None) -> int:
     dc.add_argument("--output", default=None,
                     help="write the decontaminated training corpus here")
     dc.set_defaults(fn=cmd_decontam)
+
+    sp = sub.add_parser("spans")
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--n", type=int, default=8,
+                    help="word n-gram size (minimum detectable span length)")
+    sp.add_argument("--min-docs", type=int, default=2, dest="min_docs",
+                    help="distinct-document bar for a gram to count as "
+                         "duplicated")
+    sp.add_argument("--output", default=None,
+                    help="write the (doc_id, span_start, span_end, n_grams) "
+                         "table here")
+    sp.set_defaults(fn=cmd_spans)
 
     pk = sub.add_parser("pack")
     pk.add_argument("--input", required=True)

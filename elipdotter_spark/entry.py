@@ -693,6 +693,15 @@ def q_dd_decontaminate(spark, sf_dir):
     return dedup.decontaminate(tr, ev, n=5)
 
 
+def q_dd_dup_spans(spark, sf_dir):
+    """Substring-granular duplicate discovery: maximal runs of word 4-grams
+    shared by >= 2 distinct documents, as inclusive token spans.  One
+    tokenize pass -> gram-frequency aggregate -> join back -> per-doc
+    gaps-and-islands window (pos - row_number), all map-side-combining
+    hash aggregates and a per-doc (never global) sort."""
+    return dedup.dup_spans(_tables(spark, sf_dir)["docs"], n=4, min_docs=2)
+
+
 def q_dd_components(spark, sf_dir):
     """Duplicate clustering: connected components over the strong
     (jaccard >= 0.8) near-dup pairs — the canonicalization step after pair
@@ -1347,6 +1356,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_ngram_freq": q_txt_ngram_freq,
         "txt_pack_sequences": q_txt_pack_sequences,
         "dd_decontaminate": q_dd_decontaminate,
+        "dd_dup_spans": q_dd_dup_spans,
         "mm_meta": q_mm_meta,
         "mm_decode_meta": q_mm_decode_meta,
         "mm_decode_errors": q_mm_decode_errors,
@@ -1967,6 +1977,34 @@ def oracle_sql() -> Dict[str, str]:
                    coalesce(m.matched, 0) > 0 AS contaminated
             FROM (SELECT doc_id FROM documents WHERE doc_id % 53 <> 0) d
             LEFT JOIN m USING (doc_id)
+        """,
+        # positional 4-grams -> >=2-distinct-doc frequency filter -> join
+        # back -> gaps-and-islands (pos - row_number per doc) -> span agg;
+        # mirrors dedup.dup_spans step for step
+        "dd_dup_spans": """
+            WITH l AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, i AS pos, array_to_string(l[i + 1:i + 4], ' ') AS gram
+                FROM (SELECT doc_id, l, unnest(range(len(l) - 3)) AS i
+                      FROM l WHERE len(l) >= 4)
+            ),
+            f AS (
+                SELECT gram FROM g GROUP BY gram
+                HAVING count(DISTINCT doc_id) >= 2
+            ),
+            d AS (
+                SELECT doc_id, pos,
+                       pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                FROM g JOIN f USING (gram)
+            )
+            SELECT doc_id,
+                   CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) + 3 AS BIGINT) AS span_end,
+                   CAST(count(*) AS BIGINT) AS n_grams
+            FROM d GROUP BY doc_id, island
         """,
         # the composite cleaner: every stage's SQL is lifted verbatim from
         # its own gate's oracle (txt_langid / txt_quality / dd_exact /

@@ -771,6 +771,62 @@ def decontaminate(
     )
 
 
+def dup_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, span_start, span_end, n_grams) — maximal runs of token
+    positions whose word ``n``-gram also appears in at least ``min_docs``
+    DISTINCT documents: substring-granular duplicate discovery ("dedup at
+    the span level", the exact-substring companion to doc-level MinHash).
+    Doc-level dedup misses the quoted paragraph, the syndicated press-release
+    body, the license header — a duplicated PASSAGE inside an otherwise
+    unique page.  Each output row is one such passage: ``span_start`` /
+    ``span_end`` are inclusive 0-based token indices (``span_end`` covers the
+    last token of the last duplicated gram), ``n_grams`` the run length.
+    Compose with ``text_analysis.token_counts`` for a per-doc duplicated
+    fraction, or excise the spans to keep the page.
+
+    Plan, scan to result: one tokenize pass -> positional grams
+    (``token_pos_ngrams``) -> gram-frequency hash aggregate (count-distinct
+    partial-combines map-side; only grams crossing the ``min_docs`` bar
+    survive) -> shuffle join of the gram stream against that (much smaller,
+    boilerplate-skewed) duplicated-gram set -> per-doc gaps-and-islands
+    (``pos - row_number`` over a doc-partitioned window groups consecutive
+    positions; the sort is per-doc, never global) -> one final per-span
+    aggregate.  At 100 TB the expensive edges are the two gram shuffles;
+    both carry (gram[, doc]) rows already reduced map-side, and the window
+    state is bounded by a single document's duplicated positions.
+
+    Within-doc repetition alone does NOT mark a span (frequency counts
+    distinct docs); Gopher-style within-doc repetition is
+    ``text_analysis.repetition``'s job."""
+    from .text_analysis import token_pos_ngrams
+
+    grams = token_pos_ngrams(docs, n, id_col=id_col, text_col=text_col)
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("_gdocs"))
+        .filter(F.col("_gdocs") >= min_docs)
+        .select("gram")
+    )
+    marked = grams.join(dup_grams, "gram").select("doc_id", "pos")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = marked.withColumn(
+        "_island", F.col("pos") - F.row_number().over(w)
+    )
+    return islands.groupBy("doc_id", "_island").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + F.lit(n - 1)).cast("long").alias("span_end"),
+        F.count("*").cast("long").alias("n_grams"),
+    ).drop("_island")
+
+
 def preprocess_corpus(
     docs: DataFrame,
     line_max_docs: int = None,

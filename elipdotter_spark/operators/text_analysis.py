@@ -327,14 +327,16 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", cur.alias("text_clean"), *counts)
 
 
-def token_ngrams(
+def token_pos_ngrams(
     docs: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(doc_id, gram) — word n-grams over the alnum tokenizer's token
-    stream, joined with single spaces.  JVM-only (split -> sliding
-    array_join windows -> explode); docs with fewer than ``n`` tokens
-    contribute no grams.  The shared primitive under ``ngram_freq`` and
-    ``dedup.decontaminate``.
+    """(doc_id, pos, gram) — word n-grams over the alnum tokenizer's token
+    stream WITH their 0-based starting token position, joined with single
+    spaces.  JVM-only (split -> sliding array_join windows -> posexplode);
+    docs with fewer than ``n`` tokens contribute no grams.  The shared
+    primitive under ``token_ngrams`` (which drops the position),
+    ``ngram_freq``, ``dedup.decontaminate`` and ``dedup.dup_spans`` (which
+    needs the position to coalesce duplicated runs into spans).
 
     The token array is materialized in its OWN projection before the gram
     lambda: an expression placed directly inside ``transform``'s lambda is
@@ -358,7 +360,20 @@ def token_ngrams(
             lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return toked.select("doc_id", F.explode(grams).alias("gram"))
+    return toked.select(
+        "doc_id", F.posexplode(grams).alias("pos", "gram")
+    ).withColumn("pos", F.col("pos").cast("long"))
+
+
+def token_ngrams(
+    docs: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, gram) — word n-grams without positions; the same plan as
+    ``token_pos_ngrams`` minus the pos column (the position is a free
+    by-product of the generate, not an extra pass)."""
+    return token_pos_ngrams(docs, n, id_col=id_col, text_col=text_col).select(
+        "doc_id", "gram"
+    )
 
 
 def ngram_freq(

@@ -328,6 +328,31 @@ def test_cli_ngrams_decontam_pack(cli, tmp_path, capsys):
 
 
 @pytest.mark.spark
+def test_cli_spans_dup_passages(cli, tmp_path, capsys):
+    inp = str(tmp_path / "span_docs")
+    cli.get_spark().createDataFrame(
+        [
+            (0, "a b c d e f"),
+            (1, "x a b c d y"),
+            (2, "q r s t u v"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(inp)
+    outp = str(tmp_path / "spans")
+    assert cli.main([
+        "spans", "--input", inp, "--n", "3", "--min-docs", "2",
+        "--output", outp,
+    ]) == 0
+    s = _json_lines(capsys)[-1]
+    # docs 0 and 1 share the 4-token passage "a b c d" (two 3-gram runs)
+    assert s["n_spans"] == 2 and s["n_docs_with_dups"] == 2
+    assert s["dup_tokens_total"] == 8 and s["longest_span_tokens"] == 4
+    spans = {(r["doc_id"], r["span_start"], r["span_end"], r["n_grams"])
+             for r in cli.get_spark().read.parquet(outp).collect()}
+    assert spans == {(0, 0, 3, 2), (1, 1, 4, 2)}
+
+
+@pytest.mark.spark
 @pytest.mark.slow
 def test_cli_clean_front_door_flags(cli, tmp_path, capsys):
     inp = str(tmp_path / "docs")

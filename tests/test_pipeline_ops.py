@@ -216,6 +216,42 @@ def test_plan_shapes(spark):
     assert "Exchange" not in pii_plan
 
 
+# -------------------------------------------------------------- dup_spans
+
+
+def test_dup_spans_cross_doc_runs(spark):
+    """Consecutive duplicated grams coalesce into one maximal span whose
+    token range is exactly the shared substring; within-doc-only repetition
+    marks nothing; disjoint duplicated passages yield separate spans."""
+    rows = [
+        (0, "a b c d e f"),          # shares "a b c d" with doc 1
+        (1, "x a b c d y"),
+        (2, "q r s t u v"),          # unique — no spans
+        (3, "m n o m n o m n o"),    # repeats only WITHIN itself — no spans
+        (4, "a b c z1 z2 z3 b c d"),  # two disjoint duplicated passages
+    ]
+    got = {
+        (r["doc_id"], r["span_start"]): (r["span_end"], r["n_grams"])
+        for r in dedup.dup_spans(_docs(spark, rows), n=3, min_docs=2).collect()
+    }
+    assert got == {
+        (0, 0): (3, 2),  # tokens 0..3 = "a b c d"
+        (1, 1): (4, 2),  # tokens 1..4 = "a b c d"
+        (4, 0): (2, 1),  # "a b c"
+        (4, 6): (8, 1),  # "b c d"
+    }
+
+
+def test_dup_spans_plan_shape(spark):
+    """The islands window sorts per doc (hash partitioning on doc_id),
+    never globally — no range partitioning anywhere in the plan."""
+    docs = _docs(spark, [(i, "a b c d e") for i in range(10)])
+    plan = _plan(dedup.dup_spans(docs, n=3))
+    assert "Window" in plan and "hashpartitioning(doc_id" in plan
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
 # ------------------------------------------------------- preprocess_corpus
 
 
