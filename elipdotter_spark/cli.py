@@ -635,6 +635,43 @@ def cmd_decontam(args) -> int:
     return 0
 
 
+def cmd_gopher(args) -> int:
+    """Gopher/MassiveText quality-rule filter (text_analysis.gopher_rules,
+    gated by txt_gopher_rules).  Prints the per-rule failure breakdown —
+    the numbers threshold tuning actually needs — and --output writes the
+    SURVIVING docs (join back on doc_id, full original rows)."""
+    from pyspark.sql import functions as F
+
+    from elipdotter_spark.operators import text_analysis
+
+    spark = get_spark()
+    docs = spark.read.parquet(args.input).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    kw = {}
+    if args.stop_words:
+        kw["stop_words"] = args.stop_words.split(",")
+    rules = text_analysis.gopher_rules(
+        docs, min_tokens=args.min_tokens, min_stop_hits=args.min_stop_hits, **kw
+    )
+    if args.output:
+        kept = docs.join(
+            rules.filter(F.col("passes")).select("doc_id"), "doc_id"
+        )
+        kept.write.mode("overwrite").parquet(args.output)
+    rule_cols = [c for c in rules.columns if c.startswith("r_")]
+    agg = rules.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("passes").cast("long")).alias("n_pass"),
+        *[
+            F.sum((~F.col(c)).cast("long")).alias(f"fail_{c[2:]}")
+            for c in rule_cols
+        ],
+    ).first()
+    print(json.dumps({**agg.asDict(), "output": args.output}))
+    return 0
+
+
 def cmd_spans(args) -> int:
     """Substring-granular duplicate discovery (dedup.dup_spans, gated by
     dd_dup_spans): maximal token spans whose word --n-grams appear in
@@ -939,6 +976,18 @@ def main(argv=None) -> int:
     dc.add_argument("--output", default=None,
                     help="write the decontaminated training corpus here")
     dc.set_defaults(fn=cmd_decontam)
+
+    gp = sub.add_parser("gopher")
+    gp.add_argument("--input", required=True)
+    gp.add_argument("--min-tokens", type=int, default=50, dest="min_tokens")
+    gp.add_argument("--min-stop-hits", type=int, default=2,
+                    dest="min_stop_hits")
+    gp.add_argument("--stop-words", default=None, dest="stop_words",
+                    help="comma-separated required stopwords (default: "
+                         "Gopher's English eight)")
+    gp.add_argument("--output", default=None,
+                    help="write the surviving documents here")
+    gp.set_defaults(fn=cmd_gopher)
 
     sp = sub.add_parser("spans")
     sp.add_argument("--input", required=True)

@@ -802,6 +802,18 @@ def q_txt_repetition(spark, sf_dir):
     return text_analysis.repetition(_tables(spark, sf_dir)["docs"], n=2)
 
 
+def q_txt_gopher_rules(spark, sf_dir):
+    """Gopher/MassiveText quality-rule battery: per-doc signals + per-rule
+    verdicts + composite pass, one whole-stage-codegen projection (no
+    shuffle).  Corpus-appropriate required stopwords (the sf corpus is
+    synthetic SQL-ish prose) and a token cut of 40 so both verdicts occur."""
+    return text_analysis.gopher_rules(
+        _tables(spark, sf_dir)["docs"],
+        min_tokens=40,
+        stop_words=["a", "table", "data", "scan"],
+    )
+
+
 def q_txt_clean_corpus(spark, sf_dir):
     """Composite training-data cleaner (the full pre-training front door,
     CLI `clean`): language filter (stopword-profile argmax == 'en') ->
@@ -1350,6 +1362,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_source_mix": q_txt_source_mix,
         "txt_stratified_sample": q_txt_stratified_sample,
         "txt_clean_corpus": q_txt_clean_corpus,
+        "txt_gopher_rules": q_txt_gopher_rules,
         "txt_line_stats": q_txt_line_stats,
         "txt_line_dedup": q_txt_line_dedup,
         "txt_pii_redact": q_txt_pii_redact,
@@ -2005,6 +2018,52 @@ def oracle_sql() -> Dict[str, str]:
                    CAST(max(pos) + 3 AS BIGINT) AS span_end,
                    CAST(count(*) AS BIGINT) AS n_grams
             FROM d GROUP BY doc_id, island
+        """,
+        # Gopher quality-rule battery: every signal recomputed from the raw
+        # text, rules compare the ROUNDED signals (so boundary docs agree
+        # with Spark bit-for-bit); gate stopwords are corpus-appropriate
+        "txt_gopher_rules": r"""
+            WITH s AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+                       length(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), '')) AS sum_len,
+                       len(regexp_extract_all(text, '#'))
+                         + len(regexp_extract_all(text, '\.\.\.')) AS n_sym,
+                       len(regexp_extract_all(text, '(?m)^[-*] ')) AS n_bullet,
+                       len(regexp_extract_all(text, '(?m)\.\.\.$')) AS n_ell,
+                       CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+                       len(regexp_extract_all(lower(text), '[0-9]*[a-z][a-z0-9]*')) AS n_alpha,
+                       CAST((CASE WHEN regexp_matches(lower(text), '\ba\b') THEN 1 ELSE 0 END
+                           + CASE WHEN regexp_matches(lower(text), '\btable\b') THEN 1 ELSE 0 END
+                           + CASE WHEN regexp_matches(lower(text), '\bdata\b') THEN 1 ELSE 0 END
+                           + CASE WHEN regexp_matches(lower(text), '\bscan\b') THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits
+                FROM documents
+            ),
+            sig AS (
+                SELECT doc_id, n_tokens,
+                       round(sum_len / CAST(n_tokens AS DOUBLE), 6) AS mean_tok_len,
+                       round(n_sym / CAST(n_tokens AS DOUBLE), 6) AS symbol_ratio,
+                       round(n_bullet / CAST(n_lines AS DOUBLE), 6) AS bullet_frac,
+                       round(n_ell / CAST(n_lines AS DOUBLE), 6) AS ellipsis_frac,
+                       round(n_alpha / CAST(n_tokens AS DOUBLE), 6) AS alpha_frac,
+                       stop_hits
+                FROM s WHERE n_tokens > 0
+            )
+            SELECT doc_id, n_tokens, mean_tok_len, symbol_ratio, bullet_frac,
+                   ellipsis_frac, alpha_frac, stop_hits,
+                   (n_tokens >= 40 AND n_tokens <= 100000) AS r_tokens,
+                   (mean_tok_len >= 3.0 AND mean_tok_len <= 10.0) AS r_tok_len,
+                   symbol_ratio <= 0.1 AS r_symbol,
+                   bullet_frac <= 0.9 AS r_bullet,
+                   ellipsis_frac <= 0.3 AS r_ellipsis,
+                   alpha_frac >= 0.8 AS r_alpha,
+                   stop_hits >= 2 AS r_stop,
+                   (n_tokens >= 40 AND n_tokens <= 100000
+                    AND mean_tok_len >= 3.0 AND mean_tok_len <= 10.0
+                    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+                    AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+                    AND stop_hits >= 2) AS passes
+            FROM sig
         """,
         # the composite cleaner: every stage's SQL is lifted verbatim from
         # its own gate's oracle (txt_langid / txt_quality / dd_exact /

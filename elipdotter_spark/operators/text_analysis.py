@@ -327,6 +327,119 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", cur.alias("text_clean"), *counts)
 
 
+# Gopher's required-stopword list (Rae et al. 2021, MassiveText filters):
+# a doc must contain at least min_stop_hits of these to count as prose.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    docs: DataFrame,
+    min_tokens: int = 50,
+    max_tokens: int = 100000,
+    min_mean_tok_len: float = 3.0,
+    max_mean_tok_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    stop_words: list = None,
+    digits: int = 6,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tokens, mean_tok_len, symbol_ratio, bullet_frac,
+    ellipsis_frac, alpha_frac, stop_hits, r_tokens, r_tok_len, r_symbol,
+    r_bullet, r_ellipsis, r_alpha, r_stop, passes) — the Gopher /
+    MassiveText web-text quality-rule battery as one auditable per-doc
+    table: every signal, every per-rule verdict, and the composite
+    ``passes``.  Production pipelines keep the full table (not just the
+    survivors) because the rule-level breakdown is how thresholds get
+    tuned and filter regressions get diagnosed.
+
+    The rules (defaults are Gopher's): token count within
+    [min_tokens, max_tokens]; mean token length within [3, 10];
+    symbol-to-word ratio ('#' chars + '...' runs, non-overlapping) at most
+    0.1; at most 90% of lines starting with an ASCII bullet ('- ' / '* ');
+    at most 30% of lines ending in '...'; at least 80% of tokens containing
+    an alphabetic character; at least ``min_stop_hits`` DISTINCT required
+    stopwords present (``GOPHER_STOPWORDS`` unless overridden — pass
+    corpus-appropriate words for non-English or synthetic corpora).
+
+    Plan: a single narrow whole-stage-codegen projection — the token array
+    is materialized once per row (its own select, the HOF-lambda lesson),
+    every other signal is a JVM regexp_count/length expression over the
+    text, and the rule verdicts are row-local comparisons AGAINST THE
+    ROUNDED signal (both engines compare identical 6-digit values, so
+    boundary docs agree).  No shuffle, no Python: scan-parallel at 100 TB,
+    the same shape as ``pii_redact``.  Zero-token docs are excluded (the
+    ``quality`` gate population; they fail any sane pipeline earlier)."""
+    words = GOPHER_STOPWORDS if stop_words is None else list(stop_words)
+    from ..functions.tokenizer import simple_terms_col
+
+    text = F.col(text_col)
+    toked = docs.select(
+        "doc_id", text.alias("_text"), simple_terms_col(text).alias("_toks")
+    )
+    toks = F.col("_toks")
+    t = F.col("_text")
+    lt = F.lower(t)
+    n_tokens = F.size(toks).cast("long")
+    sum_len = F.length(F.array_join(toks, ""))
+    n_lines = F.size(F.split(t, "\n")).cast("long")
+    stop_hits = None
+    for w in words:
+        hit = F.when(lt.rlike(rf"\b{w}\b"), 1).otherwise(0)
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    sig = toked.filter(n_tokens > 0).select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(sum_len / n_tokens, digits).alias("mean_tok_len"),
+        F.round(
+            (
+                F.regexp_count(t, F.lit("#"))
+                + F.regexp_count(t, F.lit(r"\.\.\."))
+            )
+            / n_tokens,
+            digits,
+        ).alias("symbol_ratio"),
+        F.round(F.regexp_count(t, F.lit(r"(?m)^[-*] ")) / n_lines, digits).alias(
+            "bullet_frac"
+        ),
+        F.round(F.regexp_count(t, F.lit(r"(?m)\.\.\.$")) / n_lines, digits).alias(
+            "ellipsis_frac"
+        ),
+        F.round(
+            F.regexp_count(lt, F.lit("[0-9]*[a-z][a-z0-9]*")) / n_tokens, digits
+        ).alias("alpha_frac"),
+        stop_hits.cast("long").alias("stop_hits"),
+    )
+    rules = sig.select(
+        "*",
+        ((F.col("n_tokens") >= min_tokens) & (F.col("n_tokens") <= max_tokens)).alias(
+            "r_tokens"
+        ),
+        (
+            (F.col("mean_tok_len") >= min_mean_tok_len)
+            & (F.col("mean_tok_len") <= max_mean_tok_len)
+        ).alias("r_tok_len"),
+        (F.col("symbol_ratio") <= max_symbol_ratio).alias("r_symbol"),
+        (F.col("bullet_frac") <= max_bullet_frac).alias("r_bullet"),
+        (F.col("ellipsis_frac") <= max_ellipsis_frac).alias("r_ellipsis"),
+        (F.col("alpha_frac") >= min_alpha_frac).alias("r_alpha"),
+        (F.col("stop_hits") >= min_stop_hits).alias("r_stop"),
+    )
+    return rules.withColumn(
+        "passes",
+        F.col("r_tokens")
+        & F.col("r_tok_len")
+        & F.col("r_symbol")
+        & F.col("r_bullet")
+        & F.col("r_ellipsis")
+        & F.col("r_alpha")
+        & F.col("r_stop"),
+    )
+
+
 def token_pos_ngrams(
     docs: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

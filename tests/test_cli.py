@@ -328,6 +328,35 @@ def test_cli_ngrams_decontam_pack(cli, tmp_path, capsys):
 
 
 @pytest.mark.spark
+def test_cli_gopher_rule_breakdown(cli, tmp_path, capsys):
+    inp = str(tmp_path / "gopher_docs")
+    cli.get_spark().createDataFrame(
+        [
+            (0, "the elephant and the giraffe have wandered with that herd"),
+            (1, "- alpha item here\n- beta item there\n- gamma item everywhere"),
+            (2, "111 222 333 444 zebra"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(inp)
+    outp = str(tmp_path / "kept")
+    assert cli.main([
+        "gopher", "--input", inp, "--min-tokens", "3", "--output", outp,
+    ]) == 0
+    s = _json_lines(capsys)[-1]
+    assert s["n_docs"] == 3 and s["n_pass"] == 1
+    assert s["fail_bullet"] == 1 and s["fail_alpha"] == 1
+    assert s["fail_stop"] == 2  # neither pathology doc has Gopher stopwords
+    kept = cli.get_spark().read.parquet(outp).collect()
+    assert [r["doc_id"] for r in kept] == [0]
+    # custom stopwords flip the synthetic corpus's r_stop
+    assert cli.main([
+        "gopher", "--input", inp, "--min-tokens", "3",
+        "--stop-words", "zebra,111,222",
+    ]) == 0
+    assert _json_lines(capsys)[-1]["fail_stop"] == 2  # docs 0 and 1 now fail
+
+
+@pytest.mark.spark
 def test_cli_spans_dup_passages(cli, tmp_path, capsys):
     inp = str(tmp_path / "span_docs")
     cli.get_spark().createDataFrame(

@@ -216,6 +216,71 @@ def test_plan_shapes(spark):
     assert "Exchange" not in pii_plan
 
 
+# ----------------------------------------------------------- gopher_rules
+
+
+def test_gopher_rules_per_rule_verdicts(spark):
+    """Each rule trips on its planted pathology and only there; the prose
+    doc passes everything; zero-token docs are excluded."""
+    rows = [
+        (0, "the elephant and the giraffe have wandered with that herd of animals"),
+        (1, "- alpha item here\n- beta item there\n- gamma item everywhere"),
+        (2, "one two three...\nfour five six...\nseven eight nine"),
+        (3, "# hash # mark # everywhere"),
+        (4, "111 222 333 444 zebra"),
+        (5, "abcdefghijklmnop qrstuvwxyzabcdefgh"),
+        (6, "###"),  # zero alnum tokens -> no row
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in text_analysis.gopher_rules(
+            _docs(spark, rows), min_tokens=3
+        ).collect()
+    }
+    assert set(got) == {0, 1, 2, 3, 4, 5}
+    assert got[0]["passes"] and got[0]["stop_hits"] == 6
+    assert got[0]["mean_tok_len"] == 4.75 and got[0]["alpha_frac"] == 1.0
+    assert got[1]["bullet_frac"] == 1.0 and not got[1]["r_bullet"]
+    assert got[2]["ellipsis_frac"] == 0.666667 and not got[2]["r_ellipsis"]
+    assert not got[2]["r_symbol"]  # the '...' runs also count as symbols
+    assert got[3]["symbol_ratio"] == 1.0 and not got[3]["r_symbol"]
+    assert got[4]["alpha_frac"] == 0.2 and not got[4]["r_alpha"]
+    assert not got[5]["r_tok_len"] and got[5]["mean_tok_len"] == 17.0
+    for d in (1, 2, 3, 4, 5):
+        assert not got[d]["passes"]
+
+
+def test_gopher_rules_boundaries_and_custom_stopwords(spark):
+    """Verdicts compare the ROUNDED signals (boundary docs land exactly on
+    the threshold), token bounds are inclusive, and the stopword list is
+    swappable for non-English/synthetic corpora."""
+    rows = [
+        (0, "aaa bbb ccc"),          # mean_tok_len exactly 3.0 -> passes
+        (1, "aa bb cc"),             # 2.0 -> fails
+        (2, "zebra wombat numbat"),  # custom stopwords: 2 hits
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in text_analysis.gopher_rules(
+            _docs(spark, rows),
+            min_tokens=3,
+            max_tokens=3,
+            stop_words=["zebra", "wombat", "aaa", "bbb"],
+        ).collect()
+    }
+    assert got[0]["r_tok_len"] and got[0]["r_tokens"]
+    assert not got[1]["r_tok_len"]
+    assert got[2]["stop_hits"] == 2 and got[2]["r_stop"]
+    assert got[0]["stop_hits"] == 2 and not got[1]["r_stop"]
+
+
+def test_gopher_rules_plan_is_single_stage(spark):
+    """One whole-stage-codegen projection, no shuffle — same posture as
+    pii_redact."""
+    docs = _docs(spark, [(i, "the words and more of that text") for i in range(5)])
+    assert "Exchange" not in _plan(text_analysis.gopher_rules(docs))
+
+
 # -------------------------------------------------------------- dup_spans
 
 
