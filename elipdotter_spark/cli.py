@@ -57,11 +57,23 @@ def cmd_build(args) -> int:
     from elipdotter_spark.sources.catalog import IndexStore
 
     spark = get_spark()
-    docs = spark.read.parquet(args.input)
+    extra = {}
+    if getattr(args, "format", "parquet") == "jsonl":
+        from elipdotter_spark.sources.corpus import read_docs_jsonl
+
+        docs, dead = read_docs_jsonl(spark, args.input)
+        if args.dead_letter:
+            dead.write.mode("overwrite").parquet(args.dead_letter)
+            extra["n_dead"] = spark.read.parquet(args.dead_letter).count()
+        else:
+            extra["n_dead"] = dead.count()
+        extra["dead_letter"] = args.dead_letter
+    else:
+        docs = spark.read.parquet(args.input)
     store = IndexStore(spark, args.output, gc_grace_sec=args.gc_grace_sec)
     rows = store.build_resumable(docs, n_segments=args.segments)
     info = store.publish()
-    print(json.dumps({"built_segments": len(rows), **info}))
+    print(json.dumps({"built_segments": len(rows), **info, **extra}))
     return 0
 
 
@@ -805,6 +817,12 @@ def main(argv=None) -> int:
                         "or the next publish).  Set >= the max query "
                         "duration on multi-reader clusters; 0 = delete "
                         "immediately (single-process default)")
+    b.add_argument("--format", choices=["parquet", "jsonl"], default="parquet",
+                   help="input corpus format; jsonl routes schema-bad "
+                        "lines to the dead letter instead of failing")
+    b.add_argument("--dead-letter", default=None, dest="dead_letter",
+                   help="with --format jsonl: write rejected lines "
+                        "(raw, reason) here as parquet")
     b.set_defaults(fn=cmd_build)
 
     q = sub.add_parser("query")

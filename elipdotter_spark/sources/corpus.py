@@ -145,3 +145,60 @@ def zipf_corpus(
         )
         .select("doc_id", "text")
     )
+
+
+# ------------------------------------------------------------- JSONL source
+
+# the documents-table shape (TESTDATA.md); JSONL carries it line-per-doc
+DOCS_JSONL_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def write_docs_jsonl(docs: DataFrame, path: str) -> None:
+    """Write a documents table as line-delimited JSON (one object per doc)
+    — the interchange format web-text corpora actually ship in (Common
+    Crawl derivatives, HF datasets dumps).  Pass a post-``repartition``
+    frame to control shard count/size; Spark applies codecs from the path
+    or ``spark.sql.json.compression`` as usual."""
+    docs.write.mode("overwrite").json(path)
+
+
+def read_docs_jsonl(spark: SparkSession, path: str, schema: str = DOCS_JSONL_SCHEMA):
+    """Read a line-delimited JSON documents corpus with DEAD-LETTER routing:
+    returns ``(docs, dead)`` where ``docs`` carries the schema-clean rows
+    and ``dead`` is ``(raw, reason)`` — one row per rejected input line,
+    preserving the original text for replay after a fix (the same posture
+    as the multimodal decode dead-letter: at 100 TB malformed lines are a
+    certainty, and silently dropping OR failing the job are both wrong).
+
+    Rejection reasons: ``corrupt_json`` (unparseable line, or a field whose
+    value can't convert to the declared type — Spark's PERMISSIVE reader
+    preserves the raw line in the corrupt column for both) and
+    ``missing_doc_id`` (valid JSON without the primary key; the raw line is
+    reconstructed from the parsed fields).  The reader is scan-parallel
+    (JSONL splits on line boundaries; .gz shards are whole-file tasks —
+    prefer many shards), the schema is enforced up front (no sampling
+    inference pass over 100 TB), and unknown extra fields are ignored by
+    construction."""
+    from pyspark.sql import functions as F
+
+    raw = (
+        spark.read.schema(schema + ", _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    bad = F.col("_corrupt_record").isNotNull() | F.col("doc_id").isNull()
+    docs = raw.filter(~bad).drop("_corrupt_record")
+    data_cols = [c for c in raw.columns if c != "_corrupt_record"]
+    dead = raw.filter(bad).select(
+        F.coalesce(
+            F.col("_corrupt_record"),
+            F.to_json(F.struct(*[F.col(c) for c in data_cols])),
+        ).alias("raw"),
+        F.when(F.col("_corrupt_record").isNotNull(), "corrupt_json")
+        .otherwise("missing_doc_id")
+        .alias("reason"),
+    )
+    return docs, dead

@@ -45,3 +45,89 @@ def test_source_mix_shares_sum_to_one(spark):
     total = sum(r.n_tokens for r in rows)
     for r in rows:
         assert abs(r.token_share - r.n_tokens / total) < 1e-6
+
+
+# ---------------------------------------------------------------- jsonl io
+
+
+@pytest.mark.spark
+def test_jsonl_roundtrip_lossless(spark, tmp_path):
+    """parquet -> jsonl -> read_docs_jsonl is lossless on the real sf
+    corpus, with an empty dead letter."""
+    from elipdotter_spark.sources import corpus
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = str(tmp_path / "docs_jsonl")
+    corpus.write_docs_jsonl(docs, p)
+    back, dead = corpus.read_docs_jsonl(spark, p)
+    assert dead.count() == 0
+    cols = sorted(docs.columns)
+    orig = sorted(tuple(r[c] for c in cols) for r in docs.collect())
+    got = sorted(tuple(r[c] for c in cols) for r in back.collect())
+    assert got == orig
+
+
+@pytest.mark.spark
+def test_jsonl_dead_letter_routing(spark, tmp_path):
+    """Malformed lines, type mismatches, and missing primary keys each
+    land in the dead letter with the raw line preserved; clean rows pass
+    through untouched; extra fields are ignored."""
+    from elipdotter_spark.sources import corpus
+
+    p = tmp_path / "corpus.jsonl"
+    lines = [
+        '{"doc_id": 1, "text": "good one", "lang": "en", "source": "s0", "n_chars": 8}',
+        '{"doc_id": 2, "text": "good two", "lang": "en", "source": "s0", "n_chars": 8, "extra": "ignored"}',
+        '{"doc_id": 3, "text": "truncated',
+        '{"doc_id": "not-a-number", "text": "bad type"}',
+        '{"text": "no id here", "lang": "en"}',
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    docs, dead = corpus.read_docs_jsonl(spark, str(p))
+    got = {r["doc_id"]: r for r in docs.collect()}
+    assert set(got) == {1, 2}
+    assert got[2]["text"] == "good two" and got[2]["n_chars"] == 8
+    dl = {(r["reason"], r["raw"]) for r in dead.collect()}
+    reasons = sorted(r for r, _ in dl)
+    assert reasons == ["corrupt_json", "corrupt_json", "missing_doc_id"]
+    raws = {raw for _, raw in dl}
+    assert lines[2] in raws and lines[3] in raws
+    assert any('"no id here"' in raw for raw in raws)
+
+
+@pytest.mark.spark
+def test_cli_build_from_jsonl(tmp_path):
+    """cli build --format jsonl indexes the clean rows and reports/writes
+    the dead letter; queries over the built store work as usual."""
+    import json as _json
+
+    from elipdotter_spark import cli
+    from elipdotter_spark.sources import corpus
+
+    spark = cli.get_spark()
+    src = str(tmp_path / "in_jsonl")
+    corpus.write_docs_jsonl(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50), src
+    )
+    # append one poisoned shard
+    (tmp_path / "in_jsonl" / "bad-extra.json").write_text('{"oops...\n')
+    idx = str(tmp_path / "idx")
+    dl = str(tmp_path / "dead")
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli.main([
+            "build", "--input", src, "--output", idx, "--segments", "2",
+            "--format", "jsonl", "--dead-letter", dl,
+        ])
+    assert rc == 0
+    out = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["n_dead"] == 1 and out["dead_letter"] == dl
+    dead = spark.read.parquet(dl).collect()
+    assert dead[0]["reason"] == "corrupt_json"
+    from elipdotter_spark.sources.catalog import IndexStore
+
+    store = IndexStore(spark, idx)
+    assert store.corpus_stats()[0] == 50
