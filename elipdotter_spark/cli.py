@@ -559,6 +559,20 @@ def cmd_sweep(args) -> int:
     return 0
 
 
+def cmd_backup(args) -> int:
+    """Consistent Sparkless store clone (IndexStore.export_snapshot): pin
+    one committed state, copy committed segments + meta-referenced
+    artifacts, verify nothing moved, publish the clone with one atomic
+    rename.  The clone IS a store — point a serving cluster (or a
+    restore) at it directly."""
+    from elipdotter_spark.sources.catalog import IndexStore
+
+    store = IndexStore(None, args.index)
+    out = store.export_snapshot(args.dest, retries=args.retries)
+    print(json.dumps({"index": args.index, "dest": args.dest, **out}))
+    return 0
+
+
 def cmd_pii(args) -> int:
     """PII scrub (text_analysis.pii_redact, gated by txt_pii_redact):
     replace emails / IPv4s / NNN-NNN-NNNN phones with typed placeholders.
@@ -994,6 +1008,16 @@ def main(argv=None) -> int:
     dc.add_argument("--output", default=None,
                     help="write the decontaminated training corpus here")
     dc.set_defaults(fn=cmd_decontam)
+
+    bk = sub.add_parser("backup")
+    bk.add_argument("--index", required=True)
+    bk.add_argument("--dest", required=True,
+                    help="clone destination (must not exist; one atomic "
+                         "rename publishes it)")
+    bk.add_argument("--retries", type=int, default=3,
+                    help="re-attempts when a concurrent publish moves the "
+                         "store mid-copy")
+    bk.set_defaults(fn=cmd_backup)
 
     gp = sub.add_parser("gopher")
     gp.add_argument("--input", required=True)

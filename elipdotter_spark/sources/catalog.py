@@ -370,6 +370,136 @@ class IndexStore:
             ]
         }
 
+    # ------------------------------------------------------------- backup
+
+    def _snapshot_manifest(self, meta: Optional[dict], rows: List[dict]):
+        """(copy_list, ledger_rows) for one committed store state: every
+        base-relative dir a reader of that state can touch — committed
+        segment dirs (tmp-recovered like :meth:`repair` when the final is
+        missing) plus the meta-referenced artifact + delta-family dirs
+        (the same enumeration :meth:`fsck` checks).  Orphans, claims,
+        retired dirs and in-flight tmps are invisible to readers and are
+        deliberately NOT part of a snapshot."""
+        copies: List[Tuple[str, str]] = []  # (src_rel, dest_rel)
+        led = []
+        for r in rows:
+            if r.get("status") != "done":
+                continue
+            rel = os.path.join("segments", r["segment_id"])
+            final = os.path.join(self.base, rel)
+            if os.path.exists(final):
+                copies.append((rel, rel))
+            elif r.get("seq") is not None and os.path.exists(
+                f"{final}.tmp-{r['seq']}"
+            ):
+                copies.append((f"{rel}.tmp-{r['seq']}", rel))
+            else:
+                raise ValueError(
+                    f"export: committed segment {r['segment_id']} has no "
+                    "data dir and no recoverable tmp — run fsck"
+                )
+            led.append(r)
+        if meta is not None:
+            narrow_cov = self._covered(meta, "covered_seqs", "max_seq")
+            blocks_cov = self._covered(
+                meta, "blocks_covered_seqs", "blocks_max_seq"
+            )
+            for kind in self._ARTIFACT_KINDS:
+                cov = narrow_cov if kind in ("terms", "docstats") else blocks_cov
+                if cov is None:
+                    continue  # family never published
+                rel = os.path.relpath(self._artifact_path(kind, meta), self.base)
+                copies.append((rel, rel))
+            fams = {
+                "terms_delta": self._narrow_delta_names(meta),
+                "docstats_delta": self._narrow_delta_names(meta),
+                "blocks_delta": self._blocks_delta_names(meta),
+                "doclen_delta": self._blocks_delta_names(meta),
+            }
+            for fam, names in fams.items():
+                for nm in names:
+                    rel = os.path.join(fam, nm)
+                    copies.append((rel, rel))
+        return copies, led
+
+    def export_snapshot(self, dest: str, retries: int = 3) -> dict:
+        """Consistent, self-contained clone of ONE committed store state
+        into ``dest`` (Sparkless, like fsck/sweep/repair) — the
+        backup/DR/promote-to-serving primitive: the clone IS an IndexStore
+        (open it with ``IndexStore(spark, dest)``), serving bit-identical
+        reads to the pinned source state, including staleness (export
+        copies state; it never publishes).
+
+        Consistency protocol: pin the meta bytes, enumerate the manifest
+        (committed segments + meta-referenced artifacts), copy, then
+        VERIFY the meta bytes are unchanged and every copied source dir
+        still exists — a concurrent publish/compact/GC that landed
+        mid-copy means some copied dir may be a torn mix of two versions,
+        so the attempt is discarded and retried against the new state
+        (bounded by ``retries``; pair with ``gc_grace_sec`` >= the export
+        duration on hot stores so source dirs outlive the copy).  The
+        dest meta is written LAST from the pinned bytes: a crashed export
+        leaves a store whose copied segments read via live derivation,
+        never a store claiming artifacts it doesn't have.  Interrupted
+        source segment commits (ledger row + tmp, no final) are exported
+        pre-repaired.  On Iceberg this is snapshot-pinned file copy /
+        ``expire_snapshots``-aware replication, per the module mapping."""
+        last_err = None
+        for _attempt in range(1, retries + 1):
+            raw = self._meta_raw()
+            meta = json.loads(raw) if raw is not None else None
+            try:
+                copies, led = self._snapshot_manifest(meta, self.ledger())
+            except ValueError as e:
+                last_err = str(e)
+                continue
+            stage = dest + ".tmp-export"
+            if os.path.exists(stage):
+                shutil.rmtree(stage)
+            os.makedirs(os.path.join(stage, "segments"))
+            os.makedirs(os.path.join(stage, "ledger"))
+            try:
+                n_bytes = 0
+                for src_rel, dest_rel in copies:
+                    src = os.path.join(self.base, src_rel)
+                    shutil.copytree(src, os.path.join(stage, dest_rel))
+                    n_bytes += _dir_bytes(os.path.join(stage, dest_rel))
+            except (OSError, shutil.Error) as e:
+                # a concurrent GC deleted a dir mid-copy — torn attempt
+                shutil.rmtree(stage, ignore_errors=True)
+                last_err = f"copy raced a concurrent writer: {e}"
+                continue
+            torn = self._meta_raw() != raw or any(
+                not os.path.exists(os.path.join(self.base, s))
+                for s, _ in copies
+            )
+            if torn:
+                shutil.rmtree(stage, ignore_errors=True)
+                last_err = "meta or manifest changed during copy"
+                continue
+            for r in led:
+                with open(
+                    os.path.join(stage, "ledger", f"{r['segment_id']}.json"),
+                    "w",
+                ) as fh:
+                    json.dump(r, fh)
+            if raw is not None:  # meta last: the export's own commit point
+                with open(os.path.join(stage, "blocks_meta.json"), "wb") as fh:
+                    fh.write(raw)
+            os.rename(stage, dest)  # one atomic publish of the whole clone
+            return {
+                "segments": len(led),
+                "artifact_dirs": len(copies) - len(led),
+                "bytes": n_bytes,
+                "attempts": _attempt,
+                "published": raw is not None,
+            }
+        raise ValueError(
+            f"export_snapshot: no stable state after {retries} attempts "
+            f"(last: {last_err}) — raise retries or export under "
+            "gc_grace_sec / a quiesced writer"
+        )
+
     def write_segment(self, segment_id: str, docs: DataFrame) -> dict:
         """Build + atomically commit one segment, record ledger metrics.
 
