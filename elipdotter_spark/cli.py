@@ -716,6 +716,15 @@ def cmd_spans(args) -> int:
     if args.output:
         spans.write.mode("overwrite").parquet(args.output)
         spans = spark.read.parquet(args.output)
+    excised = {}
+    if args.excise_output:
+        clean = dedup.excise_spans(docs, spans)
+        clean.write.mode("overwrite").parquet(args.excise_output)
+        ca = spark.read.parquet(args.excise_output).agg(
+            F.sum("n_tokens").alias("tokens_in"),
+            F.sum("n_removed").alias("tokens_removed"),
+        ).first()
+        excised = {**ca.asDict(), "excise_output": args.excise_output}
     agg = spans.agg(
         F.count("*").alias("n_spans"),
         F.countDistinct("doc_id").alias("n_docs_with_dups"),
@@ -727,7 +736,7 @@ def cmd_spans(args) -> int:
         ),
     ).first()
     out = {k: (0 if v is None else v) for k, v in agg.asDict().items()}
-    print(json.dumps({**out, "n": args.n, "min_docs": args.min_docs,
+    print(json.dumps({**out, **excised, "n": args.n, "min_docs": args.min_docs,
                       "output": args.output}))
     return 0
 
@@ -1041,6 +1050,10 @@ def main(argv=None) -> int:
     sp.add_argument("--output", default=None,
                     help="write the (doc_id, span_start, span_end, n_grams) "
                          "table here")
+    sp.add_argument("--excise-output", default=None, dest="excise_output",
+                    help="also excise the spans and write the cleaned "
+                         "(doc_id, n_tokens, n_removed, text_clean) corpus "
+                         "here")
     sp.set_defaults(fn=cmd_spans)
 
     pk = sub.add_parser("pack")

@@ -702,6 +702,14 @@ def q_dd_dup_spans(spark, sf_dir):
     return dedup.dup_spans(_tables(spark, sf_dir)["docs"], n=4, min_docs=2)
 
 
+def q_dd_excise_spans(spark, sf_dir):
+    """Span excision: remove the cross-document duplicated passages
+    dup_spans(n=4) found, keep the page — normalized token stream with the
+    covered positions dropped, order preserved, per-doc removal audit."""
+    docs = _tables(spark, sf_dir)["docs"]
+    return dedup.excise_spans(docs, dedup.dup_spans(docs, n=4, min_docs=2))
+
+
 def q_dd_components(spark, sf_dir):
     """Duplicate clustering: connected components over the strong
     (jaccard >= 0.8) near-dup pairs — the canonicalization step after pair
@@ -1370,6 +1378,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_pack_sequences": q_txt_pack_sequences,
         "dd_decontaminate": q_dd_decontaminate,
         "dd_dup_spans": q_dd_dup_spans,
+        "dd_excise_spans": q_dd_excise_spans,
         "mm_meta": q_mm_meta,
         "mm_decode_meta": q_mm_decode_meta,
         "mm_decode_errors": q_mm_decode_errors,
@@ -2018,6 +2027,54 @@ def oracle_sql() -> Dict[str, str]:
                    CAST(max(pos) + 3 AS BIGINT) AS span_end,
                    CAST(count(*) AS BIGINT) AS n_grams
             FROM d GROUP BY doc_id, island
+        """,
+        # dup_spans' CTE chain + covered-position explode + anti-tag +
+        # ordered filtered string_agg (Spark reassembles via per-group
+        # struct sort; both sides order by pos)
+        "dd_excise_spans": """
+            WITH l AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, i AS pos, array_to_string(l[i + 1:i + 4], ' ') AS gram
+                FROM (SELECT doc_id, l, unnest(range(len(l) - 3)) AS i
+                      FROM l WHERE len(l) >= 4)
+            ),
+            f AS (
+                SELECT gram FROM g GROUP BY gram
+                HAVING count(DISTINCT doc_id) >= 2
+            ),
+            d AS (
+                SELECT doc_id, pos,
+                       pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                FROM g JOIN f USING (gram)
+            ),
+            spans AS (
+                SELECT doc_id, min(pos) AS span_start, max(pos) + 3 AS span_end
+                FROM d GROUP BY doc_id, island
+            ),
+            cov AS (
+                SELECT DISTINCT doc_id,
+                       span_start + unnest(range(span_end - span_start + 1)) AS pos
+                FROM spans
+            ),
+            tok AS (
+                SELECT doc_id, i AS pos, l[i + 1] AS term
+                FROM (SELECT doc_id, l, unnest(range(len(l))) AS i
+                      FROM l WHERE len(l) > 0)
+            ),
+            tagged AS (
+                SELECT t.doc_id, t.pos, t.term, c.pos IS NOT NULL AS rm
+                FROM tok t LEFT JOIN cov c
+                  ON t.doc_id = c.doc_id AND t.pos = c.pos
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+                   coalesce(string_agg(term, ' ' ORDER BY pos)
+                            FILTER (WHERE NOT rm), '') AS text_clean
+            FROM tagged GROUP BY doc_id
         """,
         # Gopher quality-rule battery: every signal recomputed from the raw
         # text, rules compare the ROUNDED signals (so boundary docs agree

@@ -827,6 +827,63 @@ def dup_spans(
     ).drop("_island")
 
 
+def excise_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tokens, n_removed, text_clean) — remove the duplicated
+    passages ``dup_spans`` found and keep the page: the actionable half of
+    exact-substring dedup (dropping a whole doc over one syndicated
+    paragraph throws away its unique prose; excising the passage keeps it).
+    ``text_clean`` is the doc's NORMALIZED token stream (the alnum
+    tokenizer's lowercased tokens, space-joined — the representation every
+    downstream signature/training tokenizer here consumes) with all tokens
+    inside any span removed, original order preserved.  Accepts any span
+    table with (doc_id, span_start, span_end) inclusive token indices —
+    overlapping spans are fine (coverage is deduplicated).
+
+    Plan: positional tokens -> explode the spans into a covered
+    (doc_id, pos) set (span tables are small relative to the corpus: rows
+    ~ duplicated passages) -> one left join to tag -> one per-doc aggregate
+    that counts and reassembles in a single pass (the line_dedup shape:
+    per-group struct sort, never a global sort).  Docs with no tokens have
+    no row; docs whose every token is excised survive with
+    text_clean = '' (callers compose with quality()/gopher_rules)."""
+    from ..functions.tokenizer import simple_terms_col
+
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"),
+        simple_terms_col(F.col(text_col)).alias("_toks"),
+    ).filter(F.size("_toks") > 0)
+    toks = toked.select(
+        "doc_id", F.posexplode(F.col("_toks")).alias("pos", "term")
+    ).withColumn("pos", F.col("pos").cast("long"))
+    covered = spans.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end"))
+        ).alias("pos"),
+    ).distinct()
+    tagged = toks.join(
+        covered.withColumn("_rm", F.lit(True)), ["doc_id", "pos"], "left"
+    ).select(
+        "doc_id", "pos", "term", F.coalesce(F.col("_rm"), F.lit(False)).alias("_rm")
+    )
+    kept = F.filter(
+        F.array_sort(F.collect_list(F.struct("pos", "term", "_rm"))),
+        lambda s: ~s["_rm"],
+    )
+    return tagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.col("_rm").cast("int")).cast("long").alias("n_removed"),
+        F.array_join(F.transform(kept, lambda s: s["term"]), " ").alias(
+            "text_clean"
+        ),
+    )
+
+
 def preprocess_corpus(
     docs: DataFrame,
     line_max_docs: int = None,

@@ -368,17 +368,22 @@ def test_cli_spans_dup_passages(cli, tmp_path, capsys):
         "doc_id long, text string",
     ).write.parquet(inp)
     outp = str(tmp_path / "spans")
+    exc = str(tmp_path / "excised")
     assert cli.main([
         "spans", "--input", inp, "--n", "3", "--min-docs", "2",
-        "--output", outp,
+        "--output", outp, "--excise-output", exc,
     ]) == 0
     s = _json_lines(capsys)[-1]
     # docs 0 and 1 share the 4-token passage "a b c d" (two 3-gram runs)
     assert s["n_spans"] == 2 and s["n_docs_with_dups"] == 2
     assert s["dup_tokens_total"] == 8 and s["longest_span_tokens"] == 4
+    assert s["tokens_in"] == 18 and s["tokens_removed"] == 8
     spans = {(r["doc_id"], r["span_start"], r["span_end"], r["n_grams"])
              for r in cli.get_spark().read.parquet(outp).collect()}
     assert spans == {(0, 0, 3, 2), (1, 1, 4, 2)}
+    clean = {r["doc_id"]: r["text_clean"]
+             for r in cli.get_spark().read.parquet(exc).collect()}
+    assert clean == {0: "e f", 1: "x y", 2: "q r s t u v"}
 
 
 @pytest.mark.spark

@@ -307,6 +307,45 @@ def test_dup_spans_cross_doc_runs(spark):
     }
 
 
+def test_excise_spans_removes_passages_keeps_pages(spark):
+    """Composing dup_spans -> excise_spans removes exactly the shared
+    passages' tokens (order preserved), leaves clean docs intact, and
+    keeps fully-duplicated docs as empty survivors."""
+    rows = [
+        (0, "a b c d e f"),
+        (1, "x a b c d y"),
+        (2, "q r s t u v"),
+        (4, "a b c z1 z2 z3 b c d"),
+    ]
+    docs = _docs(spark, rows)
+    spans = dedup.dup_spans(docs, n=3, min_docs=2)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["text_clean"])
+        for r in dedup.excise_spans(docs, spans).collect()
+    }
+    assert got == {
+        0: (6, 4, "e f"),
+        1: (6, 4, "x y"),
+        2: (6, 0, "q r s t u v"),
+        4: (9, 6, "z1 z2 z3"),
+    }
+
+
+def test_excise_spans_overlaps_and_full_coverage(spark):
+    """Overlapping spans are coverage-deduplicated; a fully-covered doc
+    survives with empty text; zero-token docs produce no row."""
+    docs = _docs(spark, [(0, "a b c d e f"), (1, "w x"), (2, "...")])
+    spans = spark.createDataFrame(
+        [(0, 0, 3), (0, 2, 4), (1, 0, 1)],
+        "doc_id long, span_start long, span_end long",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["text_clean"])
+        for r in dedup.excise_spans(docs, spans).collect()
+    }
+    assert got == {0: (6, 5, "f"), 1: (2, 2, "")}
+
+
 def test_dup_spans_plan_shape(spark):
     """The islands window sorts per doc (hash partitioning on doc_id),
     never globally — no range partitioning anywhere in the plan."""
