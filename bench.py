@@ -383,6 +383,25 @@ def run_queries(spark, docs, postings, terms, docstats):
         .collect(),
         reps=3,
     )
+    # session-6 pipeline ops: the Gopher rule battery is a pure scan
+    # (whole-stage-codegen projection) and dup_spans is the heaviest gram
+    # op (two gram shuffles + per-doc islands window)
+    timed(
+        "q_gopher_rules",
+        lambda: text_analysis.gopher_rules(
+            docs, min_tokens=40, stop_words=["a", "table", "data", "scan"]
+        )
+        .agg(F.sum(F.col("passes").cast("long")))
+        .collect(),
+        reps=5,
+    )
+    timed(
+        "q_dup_spans",
+        lambda: dedup.dup_spans(docs, n=4, min_docs=2)
+        .agg(F.count("*"), F.sum("n_grams"))
+        .collect(),
+        reps=3,
+    )
     return timings, percentiles, prune
 
 
