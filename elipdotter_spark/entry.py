@@ -212,6 +212,97 @@ def _lines_docs(spark: SparkSession) -> DataFrame:
     )
 
 
+# Multi-line arithmetic corpus for the C4 cleaning battery: six line
+# classes exercising every rule — kept prose (cls<=20), too-short lines
+# (21-23), no terminal punctuation (24-26), "javascript" boilerplate
+# (27-29), page-poisoning "lorem ipsum" (30) and '{' (31; that line itself
+# PASSES the line rules, pinning line-vs-page independence).  ~27% of pages
+# carry no poison line, so keep_doc lands on both sides of the fence.
+
+C4_D = 200  # docs
+C4_L = 20  # lines per doc
+
+C4_TEXT_SQL = f"""
+c4raw AS (
+    SELECT doc_id, k, doc_id * {C4_L} + k AS idx,
+           (1103515245 * (doc_id * {C4_L} + k) + 12345) % 2147483648 AS x1
+    FROM (SELECT unnest(range({C4_D})) AS doc_id)
+    CROSS JOIN (SELECT unnest(range({C4_L})) AS k)
+),
+c4x AS (
+    SELECT doc_id, k, x1,
+           (1103515245 * x1 + 12345) % 2147483648 AS x2
+    FROM c4raw
+),
+c4line AS (
+    -- "thin" docs (doc_id % 13 = 5) get prose lines only at cls <= 1, so
+    -- their surviving line count lands under min_kept_lines and the page
+    -- rule fires on line scarcity, not just on poison substrings
+    SELECT doc_id, k,
+           CASE WHEN cls <= (CASE WHEN doc_id % 13 = 5 THEN 1 ELSE 20 END)
+                THEN 'the fast scan reads row ' || num || ' .'
+                WHEN cls <= 23 THEN 'short row ' || num || ' .'
+                WHEN cls <= 26 THEN 'the nav bar item ' || num
+                WHEN cls <= 29 THEN 'please enable javascript to view ' || num || ' .'
+                WHEN cls = 30 THEN 'lorem ipsum dolor sit amet ' || num || ' .'
+                ELSE 'config {{ key ' || num || ' }} .' END AS line
+    FROM (
+        SELECT doc_id, k,
+               CAST(floor(x1 / 65536) AS BIGINT) % 32 AS cls,
+               CAST(CAST(floor(x2 / 65536) AS BIGINT) % 1000 AS VARCHAR) AS num
+        FROM c4x)
+),
+c4docs AS (
+    SELECT doc_id, string_agg(line, chr(10) ORDER BY k) AS text
+    FROM c4line GROUP BY doc_id
+)
+"""
+
+
+def _c4_docs(spark: SparkSession) -> DataFrame:
+    """(doc_id, text) — the C4-battery arithmetic corpus above, all JVM
+    expressions (exact mirror of C4_TEXT_SQL)."""
+    ids = spark.range(0, C4_D, 1, 8).select(F.col("id").alias("doc_id"))
+    toks = ids.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(C4_L - 1))).alias("k"),
+    )
+    idx = F.col("doc_id") * C4_L + F.col("k")
+    x1 = (F.lit(1103515245).cast("long") * idx + 12345) % F.lit(2147483648).cast(
+        "long"
+    )
+    x2 = (F.lit(1103515245).cast("long") * x1 + 12345) % F.lit(2147483648).cast(
+        "long"
+    )
+    cls = F.floor(x1 / F.lit(65536)).cast("long") % 32
+    num = (F.floor(x2 / F.lit(65536)).cast("long") % 1000).cast("string")
+    good_cut = F.when(F.col("doc_id") % 13 == 5, F.lit(1)).otherwise(F.lit(20))
+    line = (
+        F.when(cls <= good_cut, F.concat(F.lit("the fast scan reads row "), num, F.lit(" .")))
+        .when(cls <= 23, F.concat(F.lit("short row "), num, F.lit(" .")))
+        .when(cls <= 26, F.concat(F.lit("the nav bar item "), num))
+        .when(
+            cls <= 29,
+            F.concat(F.lit("please enable javascript to view "), num, F.lit(" .")),
+        )
+        .when(cls == 30, F.concat(F.lit("lorem ipsum dolor sit amet "), num, F.lit(" .")))
+        .otherwise(F.concat(F.lit("config { key "), num, F.lit(" } .")))
+    )
+    return (
+        toks.select("doc_id", "k", line.alias("line"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("k", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text")
+        )
+    )
+
+
 def _zipf_docs(spark: SparkSession) -> DataFrame:
     """(doc_id, text) — the arithmetic corpus above, all JVM expressions."""
     ids = spark.range(0, ZIPF_D, 1, 32).select(F.col("id").alias("doc_id"))
@@ -839,6 +930,43 @@ def q_txt_clean_corpus(spark, sf_dir):
     ).select("doc_id")
 
 
+def q_txt_c4_rules(spark, sf_dir):
+    """C4 cleaning battery (Raffel et al. 2020) on the multi-line C4
+    corpus: line rules (terminal punctuation, >=5 words, no 'javascript')
+    + page rules ('lorem ipsum' / '{' poison, >=3 surviving lines), full
+    audit table with the reassembled clean text."""
+    return text_analysis.c4_rules(_c4_docs(spark), min_words=5, min_kept_lines=3)
+
+
+def q_txt_tfidf_topk(spark, sf_dir):
+    """Per-doc top-3 keywords by smoothed tf-idf, ties lexicographic;
+    ranking compares the ROUNDED score on both engines."""
+    return text_analysis.tfidf_topk(_tables(spark, sf_dir)["docs"], k=3)
+
+
+def q_txt_lm_score(spark, sf_dir):
+    """CCNet-style unigram-LM quality proxy: mean per-token negative
+    log-likelihood under the corpus's own unigram model (nats/token)."""
+    return text_analysis.unigram_logprob(_tables(spark, sf_dir)["docs"])
+
+
+def q_txt_sample_budget(spark, sf_dir):
+    """Token-budget mixture draw: per-source greedy fill in deterministic
+    sample-key order (src0 unbounded, src1 cut mid-source, src2 zeroed,
+    everything else a small default — all four regimes exercised)."""
+    return text_analysis.sample_to_budget(
+        _tables(spark, sf_dir)["docs"],
+        {"src0": 100000, "src1": 500, "src2": 0},
+        default_budget=300,
+    )
+
+
+def q_ann_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization audit: per-vector scale,
+    quantized checksums, max reconstruction error."""
+    return ann.quantize_int8(_embeddings(spark, sf_dir))
+
+
 # ------------------------------------------------------------- multimodal
 
 
@@ -1371,6 +1499,11 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_stratified_sample": q_txt_stratified_sample,
         "txt_clean_corpus": q_txt_clean_corpus,
         "txt_gopher_rules": q_txt_gopher_rules,
+        "txt_c4_rules": q_txt_c4_rules,
+        "txt_tfidf_topk": q_txt_tfidf_topk,
+        "txt_lm_score": q_txt_lm_score,
+        "txt_sample_budget": q_txt_sample_budget,
+        "ann_quantize": q_ann_quantize,
         "txt_line_stats": q_txt_line_stats,
         "txt_line_dedup": q_txt_line_dedup,
         "txt_pii_redact": q_txt_pii_redact,
@@ -2630,6 +2763,127 @@ def oracle_sql() -> Dict[str, str]:
                          / (SELECT count(*) FROM toks), 6) AS token_share
             FROM q JOIN documents d USING (doc_id)
             GROUP BY d.source
+        """,
+        "txt_c4_rules": f"""
+            WITH {C4_TEXT_SQL},
+            lns AS (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS line,
+                       generate_subscripts(string_split(text, chr(10)), 1) AS i
+                FROM c4docs
+            ),
+            tagged AS (
+                SELECT doc_id, i, line,
+                       (regexp_matches(line, '[.!?"]$')
+                        AND len(string_split(line, ' ')) >= 5
+                        AND NOT contains(lower(line), 'javascript')) AS keep,
+                       contains(lower(line), 'lorem ipsum') AS lorem,
+                       contains(line, '{{') AS brace
+                FROM lns
+            ),
+            agg AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_lines,
+                       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                       bool_or(lorem) AS has_lorem,
+                       bool_or(brace) AS has_brace,
+                       coalesce(string_agg(CASE WHEN keep THEN line END,
+                                           chr(10) ORDER BY i), '') AS text_clean
+                FROM tagged GROUP BY doc_id
+            )
+            SELECT doc_id, n_lines, n_kept, has_lorem, has_brace,
+                   (n_kept >= 3 AND NOT has_lorem AND NOT has_brace) AS keep_doc,
+                   text_clean
+            FROM agg
+        """,
+        "txt_tfidf_topk": f"""
+            WITH {TOKS_SQL},
+            tf AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM toks GROUP BY doc_id, term
+            ),
+            dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+            nd AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+            scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf,
+                       round(tf.tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+                FROM tf JOIN dfc USING (term) CROSS JOIN nd
+            ),
+            ranked AS (
+                SELECT doc_id, term, tf, tfidf,
+                       CAST(row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rank
+                FROM scored
+            )
+            SELECT doc_id, term, tf, tfidf, rank FROM ranked WHERE rank <= 3
+        """,
+        "txt_lm_score": f"""
+            WITH {TOKS_SQL},
+            cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY term),
+            tot AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM cnt),
+            probs AS (
+                SELECT term, ln(CAST(c AS DOUBLE) / tot) AS lp
+                FROM cnt CROSS JOIN tot
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(-avg(lp), 6) AS nll
+            FROM toks JOIN probs USING (term)
+            GROUP BY doc_id
+        """,
+        "txt_sample_budget": """
+            WITH t AS (
+                SELECT doc_id, source,
+                       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens,
+                       ((doc_id % 1000003 + 1000003) % 1000003) * 2654435761 % 10000 AS skey
+                FROM documents
+                WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0
+            ),
+            c AS (
+                SELECT doc_id, source, n_tokens,
+                       CAST(coalesce(sum(n_tokens) OVER (
+                            PARTITION BY source ORDER BY skey, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                            0) AS BIGINT) AS cum_before
+                FROM t
+            )
+            SELECT doc_id, source, n_tokens, cum_before,
+                   cum_before < CASE source WHEN 'src0' THEN 100000
+                                            WHEN 'src1' THEN 500
+                                            WHEN 'src2' THEN 0
+                                            ELSE 300 END AS kept
+            FROM c
+        """,
+        "ann_quantize": """
+            WITH base AS (
+                SELECT vec_id,
+                       CAST(len(embedding) AS BIGINT) AS dim,
+                       list_aggregate(list_transform(embedding,
+                           x -> abs(CAST(x AS DOUBLE))), 'max') AS maxabs,
+                       embedding
+                FROM embeddings
+            ),
+            q AS (
+                SELECT vec_id, dim, maxabs, maxabs / 127.0 AS scale,
+                       CASE WHEN maxabs = 0
+                            THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                            ELSE list_transform(embedding,
+                                 x -> CAST(floor(CAST(x AS DOUBLE)
+                                           / (maxabs / 127.0) + 0.5) AS BIGINT))
+                       END AS qv,
+                       embedding
+                FROM base
+            )
+            SELECT vec_id, dim, round(scale, 9) AS scale,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT), qv),
+                               (a, x) -> a + x) AS q_sum,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT), qv),
+                               (a, x) -> a + abs(x)) AS q_abs_sum,
+                   round(list_reduce(list_prepend(0.0,
+                         list_transform(range(len(qv)),
+                             i -> abs(qv[i+1] * scale
+                                      - CAST(embedding[i+1] AS DOUBLE)))),
+                         (a, x) -> CASE WHEN x > a THEN x ELSE a END), 9) AS max_err
+            FROM q
         """,
         "txt_stratified_sample": """
             SELECT doc_id, source FROM documents

@@ -440,6 +440,217 @@ def gopher_rules(
     )
 
 
+# C4's page-level poison substrings (Raffel et al. 2020, §2.2 "we removed
+# any page containing ..."): matched against the RAW page text.  Both
+# needles are newline-free, so the page-level `contains` is exactly the
+# OR of per-line `contains` — letting the flags ride the same explode
+# pass as the line rules instead of a join back to the raw text.
+C4_PAGE_BAD = [("lorem", "lorem ipsum"), ("brace", "{")]
+
+
+def c4_rules(
+    docs: DataFrame,
+    min_words: int = 5,
+    min_kept_lines: int = 3,
+    sep: str = "\n",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_lines, n_kept, has_lorem, has_brace, keep_doc, text_clean)
+    — the C4 cleaning battery (Raffel et al. 2020): line-level, keep only
+    lines that (a) end in a terminal punctuation mark ('.', '!', '?', '"'),
+    (b) contain at least ``min_words`` whitespace words, and (c) do not
+    mention "javascript" (case-insensitive); page-level, drop any page
+    containing "lorem ipsum" (case-insensitive) or a '{' anywhere, or whose
+    surviving line count is under ``min_kept_lines``.  Like ``gopher_rules``
+    the full audit table is returned (per-page signals + the composite
+    ``keep_doc``), with ``text_clean`` always carrying the line-filtered
+    text so threshold tuning can inspect near-miss pages.
+
+    Plan: ONE posexplode pass — per-line verdicts and the page-poison flags
+    are row-local JVM expressions on the exploded lines (the needles are
+    newline-free, so page-level `contains` == OR over lines), then a single
+    per-doc aggregate that counts, ORs the flags, and reassembles surviving
+    lines in original order (array_sort over per-group structs, never a
+    global sort).  No Python, no join, one shuffle keyed on doc_id —
+    scan-parallel at 100 TB exactly like ``line_dedup``."""
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    l = F.col("line")
+    ll = F.lower(l)
+    keep = (
+        l.rlike('[.!?"]$')
+        & (F.size(F.split(l, " ")) >= min_words)
+        & ~ll.contains("javascript")
+    )
+    tagged = lines.select(
+        "doc_id",
+        "pos",
+        "line",
+        keep.alias("keep"),
+        ll.contains("lorem ipsum").alias("_lorem"),
+        l.contains("{").alias("_brace"),
+    )
+    kept = F.filter(
+        F.array_sort(F.collect_list(F.struct("pos", "line", "keep"))),
+        lambda s: s["keep"],
+    )
+    agg = tagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.col("keep").cast("int")).cast("long").alias("n_kept"),
+        F.bool_or("_lorem").alias("has_lorem"),
+        F.bool_or("_brace").alias("has_brace"),
+        F.array_join(F.transform(kept, lambda s: s["line"]), sep).alias(
+            "text_clean"
+        ),
+    )
+    return agg.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        "has_lorem",
+        "has_brace",
+        (
+            (F.col("n_kept") >= min_kept_lines)
+            & ~F.col("has_lorem")
+            & ~F.col("has_brace")
+        ).alias("keep_doc"),
+        "text_clean",
+    )
+
+
+def tfidf_topk(docs: DataFrame, k: int = 3, digits: int = 6) -> DataFrame:
+    """(doc_id, term, tf, tfidf, rank) — each document's top-``k`` keywords
+    by smoothed tf-idf (``tf * (ln((N+1)/(df+1)) + 1)``), ties broken
+    lexicographically: keyword extraction / topic labeling over the indexed
+    corpus, and the per-doc salience signal mixture reports weight by.
+
+    Plan: per-(doc,term) counts and the document-frequency table are two
+    hash aggregates (map-side combined); the corpus size N rides in as a
+    broadcast 1-row cross join (no driver-side action, no collect); the
+    per-doc top-k window partitions by doc_id — per-group sorts over each
+    doc's distinct terms, never a global sort.  Ranking compares the
+    ROUNDED score (the ``gopher_rules`` lesson: both engines must order
+    identical 6-digit values or boundary ties flip)."""
+    tf = (
+        _tokens(docs)
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dfc = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    nd = tf.select(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(dfc, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                digits,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def unigram_logprob(docs: DataFrame, digits: int = 6) -> DataFrame:
+    """(doc_id, n_tokens, nll) — mean per-token negative log-likelihood
+    under the corpus's own unigram language model (nats/token): the
+    CCNet-style LM-quality proxy.  Low nll = stereotypical high-frequency
+    text; high nll = rare-token outliers (gibberish, codes, exotic
+    boilerplate) — pipelines bucket the corpus by this score and sample
+    each bucket differently.
+
+    Plan: one token pass feeds both the model and the scoring — a corpus
+    unigram count (hash aggregate, map-side combined), the corpus total as
+    a broadcast 1-row cross join, then a join of tokens to their term's
+    probability and one per-doc aggregate.  The term-count table is
+    vocabulary-sized (Zipf: tiny next to the corpus), so at 100 TB the
+    scoring join broadcasts; everything is JVM expressions."""
+    toks = _tokens(docs)
+    cnt = toks.groupBy("term").agg(F.count("*").cast("long").alias("c"))
+    tot = cnt.agg(F.sum("c").alias("tot"))
+    probs = cnt.crossJoin(F.broadcast(tot)).select(
+        "term", F.log(F.col("c") / F.col("tot")).alias("_lp")
+    )
+    return (
+        toks.join(F.broadcast(probs), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(-F.avg("_lp"), digits).alias("nll"),
+        )
+    )
+
+
+def sample_to_budget(
+    docs: DataFrame,
+    budgets: dict,
+    default_budget: int = 0,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, source, n_tokens, cum_before, kept) — draw a per-source
+    TOKEN budget from the corpus: within each source, documents are taken
+    in deterministic ``sample_key`` order (doc_id tie-break) until the
+    source's token budget is filled; the document that crosses the line is
+    kept (greedy fill, like concat-and-cut packing).  This is the "mix
+    2B tokens of src0 with 500M of src3" operation a pretraining data
+    recipe executes, made reproducible across engines and re-runs (no
+    ``rand()``; a backfill keeps the same docs).  The full audit table is
+    returned — ``kept`` plus the cumulative position that decided it.
+
+    Plan: one tokenize-count projection, then a cumulative-sum window
+    partitioned BY SOURCE in sample-key order — per-source sorts, shuffle
+    cardinality = #sources (sources are the natural unit a mixture is
+    specified over; a giant source can be pre-split by a key range on the
+    same sample key, which preserves the draw order).  Zero-token docs
+    carry no budget weight and are excluded (the ``quality`` population)."""
+    from ..functions.tokenizer import simple_terms_col
+
+    t = docs.select(
+        "doc_id",
+        F.col(source_col).alias("source"),
+        F.size(simple_terms_col(F.col(text_col))).cast("long").alias("n_tokens"),
+        sample_key().alias("_key"),
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    budget = None
+    for src, b in sorted(budgets.items()):
+        cond = F.col("source") == src
+        budget = F.when(cond, int(b)) if budget is None else budget.when(cond, int(b))
+    budget = (
+        F.lit(int(default_budget))
+        if budget is None
+        else budget.otherwise(int(default_budget))
+    )
+    return t.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long").alias(
+            "cum_before"
+        ),
+    ).withColumn("kept", F.col("cum_before") < budget)
+
+
 def token_pos_ngrams(
     docs: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
