@@ -782,6 +782,159 @@ def cmd_pack(args) -> int:
     return 0
 
 
+def cmd_c4(args) -> int:
+    """C4 cleaning battery (text_analysis.c4_rules, gated by txt_c4_rules):
+    line rules (terminal punctuation, >= min-words words, no 'javascript')
+    + page rules ('lorem ipsum' / '{' poison, >= min-kept-lines surviving
+    lines).  Prints the page/line removal audit; --output writes the
+    SURVIVING pages with their line-filtered text."""
+    from pyspark.sql import functions as F
+
+    from elipdotter_spark.operators import text_analysis
+
+    spark = get_spark()
+    docs = spark.read.parquet(args.input).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    rules = text_analysis.c4_rules(
+        docs, min_words=args.min_words, min_kept_lines=args.min_kept_lines
+    )
+    if args.output:
+        kept = docs.drop("text").join(
+            rules.filter(F.col("keep_doc")).select(
+                "doc_id", F.col("text_clean").alias("text")
+            ),
+            "doc_id",
+        )
+        kept.write.mode("overwrite").parquet(args.output)
+    agg = rules.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("keep_doc").cast("long")).alias("n_kept_docs"),
+        F.sum("n_lines").alias("n_lines"),
+        F.sum("n_kept").alias("n_kept_lines"),
+        F.sum(F.col("has_lorem").cast("long")).alias("docs_lorem"),
+        F.sum(F.col("has_brace").cast("long")).alias("docs_brace"),
+    ).first()
+    print(json.dumps({**agg.asDict(), "output": args.output}))
+    return 0
+
+
+def cmd_tfidf(args) -> int:
+    """Per-doc tf-idf keyword extraction (text_analysis.tfidf_topk, gated
+    by txt_tfidf_topk).  Prints the corpus's most-salient terms (summed
+    top-rank tf-idf); --output writes the full per-doc top-k table."""
+    from pyspark.sql import functions as F
+
+    from elipdotter_spark.operators import text_analysis
+
+    spark = get_spark()
+    docs = spark.read.parquet(args.input).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    top = text_analysis.tfidf_topk(docs, k=args.k)
+    if args.output:
+        top.write.mode("overwrite").parquet(args.output)
+        top = spark.read.parquet(args.output)
+    corpus = (
+        top.groupBy("term")
+        .agg(
+            F.count("*").alias("docs_ranked"),
+            F.round(F.sum("tfidf"), 6).alias("tfidf_sum"),
+        )
+        .orderBy(F.desc("tfidf_sum"), F.asc("term"))
+        .limit(10)
+        .collect()
+    )
+    print(json.dumps({
+        "k": args.k,
+        "n_rows": top.count(),
+        "top_terms": [r.asDict() for r in corpus],
+        "output": args.output,
+    }))
+    return 0
+
+
+def cmd_lmscore(args) -> int:
+    """Unigram-LM quality scoring (text_analysis.unigram_logprob, gated by
+    txt_lm_score): mean per-token negative log-likelihood under the
+    corpus's own unigram model.  Prints distribution stats (the numbers a
+    perplexity-bucketed sampler is tuned from); --output writes the
+    per-doc score table."""
+    from pyspark.sql import functions as F
+
+    from elipdotter_spark.operators import text_analysis
+
+    spark = get_spark()
+    docs = spark.read.parquet(args.input).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    scores = text_analysis.unigram_logprob(docs)
+    if args.output:
+        scores.write.mode("overwrite").parquet(args.output)
+        scores = spark.read.parquet(args.output)
+    agg = scores.agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.min("nll"), 6).alias("nll_min"),
+        F.round(F.avg("nll"), 6).alias("nll_mean"),
+        F.round(F.max("nll"), 6).alias("nll_max"),
+        F.round(F.expr("percentile_approx(nll, 0.95)"), 6).alias("nll_p95"),
+    ).first()
+    print(json.dumps({**agg.asDict(), "output": args.output}))
+    return 0
+
+
+def cmd_budget(args) -> int:
+    """Token-budget mixture draw (text_analysis.sample_to_budget, gated by
+    txt_sample_budget): per-source greedy fill in deterministic sample-key
+    order.  --budgets is src=tokens[,src=tokens...]; --default-budget
+    covers unlisted sources.  Prints the per-source draw audit; --output
+    writes the KEPT docs."""
+    from pyspark.sql import functions as F
+
+    from elipdotter_spark.operators import text_analysis
+
+    spark = get_spark()
+    docs = spark.read.parquet(args.input).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    budgets = {}
+    if args.budgets:
+        for pair in args.budgets.split(","):
+            src, _, b = pair.partition("=")
+            budgets[src] = int(b)
+    out = text_analysis.sample_to_budget(
+        docs, budgets, default_budget=args.default_budget
+    )
+    if args.output:
+        kept = docs.join(out.filter(F.col("kept")).select("doc_id"), "doc_id")
+        kept.write.mode("overwrite").parquet(args.output)
+    per_src = (
+        out.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(0)).alias(
+                "tokens_kept"
+            ),
+        )
+        .orderBy("source")
+        .collect()
+    )
+    total = out.agg(
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(0)).alias(
+            "tokens_kept"
+        ),
+    ).first()
+    print(json.dumps({
+        "n_kept": total["n_kept"],
+        "tokens_kept": total["tokens_kept"],
+        "sources": [r.asDict() for r in per_src[:10]],
+        "output": args.output,
+    }))
+    return 0
+
+
 def cmd_dedup(args) -> int:
     """Near-duplicate pipeline: minhash bands -> (bounded) candidate pairs
     -> jaccard verify -> connected components -> canonical docs.  Prints a
@@ -1065,6 +1218,38 @@ def main(argv=None) -> int:
     pk.add_argument("--output", default=None,
                     help="write the per-doc chunk assignment table here")
     pk.set_defaults(fn=cmd_pack)
+
+    c4 = sub.add_parser("c4")
+    c4.add_argument("--input", required=True)
+    c4.add_argument("--min-words", type=int, default=5)
+    c4.add_argument("--min-kept-lines", type=int, default=3)
+    c4.add_argument("--output", default=None,
+                    help="write surviving pages (line-filtered text) here")
+    c4.set_defaults(fn=cmd_c4)
+
+    tf = sub.add_parser("tfidf")
+    tf.add_argument("--input", required=True)
+    tf.add_argument("--k", type=int, default=3,
+                    help="keywords per document")
+    tf.add_argument("--output", default=None,
+                    help="write the per-doc top-k keyword table here")
+    tf.set_defaults(fn=cmd_tfidf)
+
+    lm = sub.add_parser("lmscore")
+    lm.add_argument("--input", required=True)
+    lm.add_argument("--output", default=None,
+                    help="write the per-doc (n_tokens, nll) table here")
+    lm.set_defaults(fn=cmd_lmscore)
+
+    bu = sub.add_parser("budget")
+    bu.add_argument("--input", required=True)
+    bu.add_argument("--budgets", default=None,
+                    help="per-source token budgets: src0=2000,src1=500")
+    bu.add_argument("--default-budget", type=int, default=0,
+                    help="token budget for sources not listed in --budgets")
+    bu.add_argument("--output", default=None,
+                    help="write the kept (drawn) docs here")
+    bu.set_defaults(fn=cmd_budget)
 
     d = sub.add_parser("dedup")
     d.add_argument("--input", required=True)

@@ -406,3 +406,65 @@ def test_cli_clean_front_door_flags(cli, tmp_path, capsys):
     assert s["n_docs"] == 3 and s["n_kept"] == 3
     assert s["n_lines"] == 6 and s["n_lines_kept"] == 3  # footer dropped
     assert s["pii_redactions"] == {"n_email": 1, "n_ipv4": 1, "n_phone": 0}
+
+
+@pytest.mark.spark
+def test_cli_c4_battery(cli, tmp_path, capsys):
+    inp = str(tmp_path / "docs")
+    good = "\n".join(f"a good prose line number {i} ." for i in range(3))
+    cli.get_spark().createDataFrame(
+        [
+            (0, good),
+            (1, good + "\nplease enable javascript to view this ."),
+            (2, good + "\nlorem ipsum dolor sit amet today ."),
+            (3, "too short .\nno punctuation in this line at all"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(inp)
+    outp = str(tmp_path / "kept")
+    assert cli.main(["c4", "--input", inp, "--output", outp]) == 0
+    s = _json_lines(capsys)[-1]
+    assert s["n_docs"] == 4 and s["n_kept_docs"] == 2  # docs 0 and 1
+    assert s["docs_lorem"] == 1 and s["docs_brace"] == 0
+    got = {r["doc_id"]: r["text"] for r in
+           cli.get_spark().read.parquet(outp).collect()}
+    assert set(got) == {0, 1}
+    assert got[1] == good  # the javascript line was filtered out
+
+
+@pytest.mark.spark
+def test_cli_tfidf_lmscore_budget(cli, tmp_path, capsys):
+    inp = str(tmp_path / "docs")
+    cli.get_spark().createDataFrame(
+        [
+            (0, "src0", "apple apple banana"),
+            (1, "src0", "apple cherry"),
+            (2, "src1", "durian durian durian durian"),
+        ],
+        "doc_id long, source string, text string",
+    ).write.parquet(inp)
+
+    assert cli.main(["tfidf", "--input", inp, "--k", "2"]) == 0
+    s = _json_lines(capsys)[-1]
+    assert s["n_rows"] == 5  # doc2 has one distinct term
+    assert s["top_terms"][0]["term"] == "durian"
+
+    assert cli.main(["lmscore", "--input", inp]) == 0
+    s = _json_lines(capsys)[-1]
+    assert s["n_docs"] == 3
+    assert s["nll_min"] <= s["nll_mean"] <= s["nll_max"]
+
+    outp = str(tmp_path / "drawn")
+    assert cli.main([
+        "budget", "--input", inp, "--budgets", "src0=4",
+        "--default-budget", "1", "--output", outp,
+    ]) == 0
+    s = _json_lines(capsys)[-1]
+    # src0: first doc in key order kept, cum 2-3 < 4 keeps the second too
+    # only if its cum_before < 4; src1: one doc at cum 0 < 1 kept (overflow)
+    per = {r["source"]: r for r in s["sources"]}
+    assert per["src1"]["n_kept"] == 1
+    assert 1 <= per["src0"]["n_kept"] <= 2
+    kept_ids = {r["doc_id"] for r in
+                cli.get_spark().read.parquet(outp).collect()}
+    assert 2 in kept_ids and s["n_kept"] == len(kept_ids)
