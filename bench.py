@@ -402,6 +402,23 @@ def run_queries(spark, docs, postings, terms, docstats):
         .collect(),
         reps=3,
     )
+    # session-7 pipeline ops: tf-idf keywords (two hash aggregates + a
+    # per-doc window) and the unigram-LM scorer (model aggregate +
+    # broadcast scoring join) — both token-stream-bound
+    timed(
+        "q_tfidf_topk",
+        lambda: text_analysis.tfidf_topk(docs, k=3)
+        .agg(F.count("*"), F.sum("tf"))
+        .collect(),
+        reps=5,
+    )
+    timed(
+        "q_lm_score",
+        lambda: text_analysis.unigram_logprob(docs)
+        .agg(F.count("*"), F.sum("n_tokens"))
+        .collect(),
+        reps=5,
+    )
     return timings, percentiles, prune
 
 

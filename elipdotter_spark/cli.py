@@ -321,9 +321,10 @@ def cmd_clean(args) -> int:
         stats=stats,
         cc_checkpoint_dir=args.cc_checkpoint_dir,
     )
-    if args.line_max_docs is not None or args.pii:
+    if args.line_max_docs is not None or args.pii or args.c4:
         cleaned = dedup.preprocess_corpus(
-            docs, line_max_docs=args.line_max_docs, pii=args.pii, **common
+            docs, line_max_docs=args.line_max_docs, pii=args.pii,
+            c4=args.c4, **common
         )
     else:
         cleaned = dedup.clean_corpus(docs, **common)
@@ -345,7 +346,8 @@ def cmd_clean(args) -> int:
     }
     # front-door stages report their own counters only when enabled, so
     # the base known-good JSON is byte-stable for flagless runs
-    for k in ("n_lines", "n_lines_kept", "pii_redactions"):
+    for k in ("c4_docs_in", "c4_docs_kept", "n_lines", "n_lines_kept",
+              "pii_redactions"):
         if k in stats:
             out[k] = stats[k]
     print(json.dumps(out))
@@ -1118,6 +1120,10 @@ def main(argv=None) -> int:
                    help="also scrub emails/IPv4s/phones (typed "
                         "placeholders) before the language/quality/dedup "
                         "stages")
+    c.add_argument("--c4", action="store_true",
+                   help="also run the C4 battery FIRST (line punctuation/"
+                        "word-count/javascript rules, lorem/brace page "
+                        "poison, min surviving lines)")
     c.set_defaults(fn=cmd_clean)
 
     ln = sub.add_parser("lines")

@@ -888,20 +888,24 @@ def preprocess_corpus(
     docs: DataFrame,
     line_max_docs: int = None,
     pii: bool = False,
+    c4: bool = False,
     stats: dict = None,
     **clean_kwargs,
 ) -> DataFrame:
     """The complete web-pipeline front door, in the order production
-    cleaners run it: (optional) line-granular boilerplate removal ->
-    (optional) PII scrub -> ``clean_corpus`` (langid -> quality -> exact
-    dedup -> near-dup canonicalization).  A pure composition of the
-    individually-gated operators — bit-identical to applying them one at a
-    time (pinned by test) — so each stage's correctness evidence carries
-    over.
+    cleaners run it: (optional) C4 battery -> (optional) line-granular
+    boilerplate removal -> (optional) PII scrub -> ``clean_corpus``
+    (langid -> quality -> exact dedup -> near-dup canonicalization).  A
+    pure composition of the individually-gated operators — bit-identical
+    to applying them one at a time (pinned by test) — so each stage's
+    correctness evidence carries over.
 
-    Stage order matters twice over at scale: line dedup first (boilerplate
-    lines would otherwise rescue low-quality pages past the quality filter
-    and glue near-dup pairs together), PII scrub before tokenization-heavy
+    Stage order matters twice over at scale: the C4 battery first (it is
+    the coarsest page filter AND rewrites pages line-level, so every
+    downstream signature sees the C4-cleaned text — C4 itself ran before
+    dedup in the original pipeline), line dedup next (boilerplate lines
+    would otherwise rescue low-quality pages past the quality filter and
+    glue near-dup pairs together), PII scrub before tokenization-heavy
     stages (scrubbed text is what every downstream signature should see),
     and the row-local scrub adds no shuffle of its own.  ``stats`` gains
     per-stage observability counters (one extra aggregate job per enabled
@@ -909,6 +913,21 @@ def preprocess_corpus(
     from . import text_analysis
 
     cur = docs
+    if c4:
+        rules = text_analysis.c4_rules(cur)
+        if stats is not None:
+            agg = rules.agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("keep_doc").cast("long")).alias("kept"),
+            ).first()
+            stats["c4_docs_in"] = agg["n"]
+            stats["c4_docs_kept"] = agg["kept"]
+        cur = cur.drop("text").join(
+            rules.filter(F.col("keep_doc")).select(
+                "doc_id", F.col("text_clean").alias("text")
+            ),
+            "doc_id",
+        )
     if line_max_docs is not None:
         ld = text_analysis.line_dedup(cur, max_docs=line_max_docs)
         if stats is not None:

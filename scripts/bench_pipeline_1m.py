@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""1M-doc scale probes for the pipeline operators (session-5 set).
+"""1M-doc scale probes for the pipeline operators (session-5 + session-7 sets).
 
 Replicates the sf0.1 documents corpus ~200x (offset ids, distinct text per
 replica suffix-free — the same deterministic replicate shape the bench's
@@ -10,6 +10,11 @@ reports per-op throughput:
   - ngram_freq: corpus bigram mining (map-side-combined agg + TakeOrdered)
   - decontaminate: 1M train vs a ~19k-doc eval split, broadcast gram join
   - pack_sequences: per-bucket cumsum windows, 64 buckets
+  - c4_rules: C4 battery (explode + one doc-keyed aggregate)
+  - tfidf_topk: two hash aggregates + per-doc top-k window
+  - lm_score: unigram model aggregate + broadcast scoring join
+  - sample_budget: per-source cumulative-sum windows (20 sources)
+  - quantize: int8 audit over ~1M replicated embedding vectors (no shuffle)
 
 Prints ONE JSON line.  Run standalone (never concurrently with the bench):
   PYTHONPATH=/root/repo python scripts/bench_pipeline_1m.py [replicas]
@@ -47,9 +52,14 @@ def main():
         .select(
             "doc_id",
             "text",
+            "source",
             F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("rep"),
         )
-        .select((F.col("doc_id") + F.col("rep") * n0).alias("doc_id"), "text")
+        .select(
+            (F.col("doc_id") + F.col("rep") * n0).alias("doc_id"),
+            "text",
+            "source",
+        )
     )
     # materialize once to parquet so every probe reads the same on-disk
     # input (array/cache pitfalls avoided; matches the production shape)
@@ -98,6 +108,69 @@ def main():
         "pack",
         lambda: text_analysis.pack_sequences(docs1m, budget=2048, n_buckets=64)
         .agg(F.max("chunk_last"), F.sum("n_tokens"))
+        .collect(),
+    )
+    # session-7 ops
+    timed(
+        "c4_rules",
+        lambda: text_analysis.c4_rules(docs1m)
+        .agg(F.sum(F.col("keep_doc").cast("long")), F.sum("n_kept"))
+        .collect(),
+    )
+    timed(
+        "tfidf_topk",
+        lambda: text_analysis.tfidf_topk(docs1m, k=3)
+        .agg(F.count("*"), F.sum("tf"))
+        .collect(),
+    )
+    timed(
+        "lm_score",
+        lambda: text_analysis.unigram_logprob(docs1m)
+        .agg(F.count("*"), F.sum("n_tokens"))
+        .collect(),
+    )
+    timed(
+        "sample_budget",
+        lambda: text_analysis.sample_to_budget(
+            docs1m, {"src0": 10**7}, default_budget=10**6
+        )
+        .agg(F.sum(F.col("kept").cast("long")), F.sum("n_tokens"))
+        .collect(),
+    )
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    ne0 = emb.count()
+    ke = max(1, (n + ne0 - 1) // ne0)
+    from elipdotter_spark.operators import ann
+
+    bige = (
+        emb.repartition(32)
+        .select(
+            "vec_id",
+            "embedding",
+            F.explode(F.sequence(F.lit(0), F.lit(ke - 1))).alias("rep"),
+        )
+        .select((F.col("vec_id") + F.col("rep") * ne0).alias("vec_id"), "embedding")
+    )
+    bige.write.mode("overwrite").parquet(root + "/emb")
+    emb1m = spark.read.parquet(root + "/emb")
+    ne = emb1m.count()
+    out["n_vectors"] = ne
+
+    def timed_vec(name, fn, reps=3):
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        med = samples[len(samples) // 2]
+        out[name + "_sec"] = round(med, 3)
+        out[name + "_vecs_per_sec"] = int(ne / med)
+
+    timed_vec(
+        "quantize",
+        lambda: ann.quantize_int8(emb1m)
+        .agg(F.sum("q_abs_sum"), F.max("max_err"))
         .collect(),
     )
 

@@ -468,3 +468,26 @@ def test_cli_tfidf_lmscore_budget(cli, tmp_path, capsys):
     kept_ids = {r["doc_id"] for r in
                 cli.get_spark().read.parquet(outp).collect()}
     assert 2 in kept_ids and s["n_kept"] == len(kept_ids)
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+def test_cli_clean_c4_stage(cli, tmp_path, capsys):
+    inp = str(tmp_path / "docs")
+    good = "\n".join(
+        f"the a of and prose line {i} ." for i in range(3)
+    )
+    cli.get_spark().createDataFrame(
+        [
+            (0, good),
+            (1, good + "\nlorem ipsum dolor sit amet ."),
+            (2, "the a of and single line only ."),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(inp)
+    assert cli.main([
+        "clean", "--input", inp, "--min-tokens", "3", "--c4",
+    ]) == 0
+    s = _json_lines(capsys)[-1]
+    assert s["c4_docs_in"] == 3 and s["c4_docs_kept"] == 1
+    assert s["n_kept"] == 1  # only doc 0 survives to the cleaner

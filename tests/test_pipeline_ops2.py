@@ -242,3 +242,187 @@ def test_new_ops_plan_shapes(spark):
     emb = spark.createDataFrame([(0, [1.0])], "vec_id long, embedding array<float>")
     plan = ann.quantize_int8(emb)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_quantize_codes_dequantize_search(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(100)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    codes = ann.quantize_codes(emb)
+    # codes are genuine int8: every value within [-127, 127]
+    mx = codes.select(
+        F.max(F.array_max(F.transform("qvec", lambda q: F.abs(q)))).alias("m")
+    ).first()["m"]
+    assert mx <= 127
+    # dequantize reconstruction error per vector == the audit's max_err
+    deq = ann.dequantize(codes)
+    joined = (
+        emb.alias("a")
+        .join(deq.alias("b"), "vec_id")
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("a.embedding"),
+                    F.col("b.embedding"),
+                    lambda x, y: F.abs(x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            ).alias("err"),
+        )
+    )
+    audit = {r["vec_id"]: r["max_err"] for r in ann.quantize_int8(emb).collect()}
+    for r in joined.collect():
+        assert abs(r["err"] - audit[r["vec_id"]]) < 1e-8
+    # quantized search: top-10 through the UNCHANGED brute-force path on
+    # the dequantized table recalls >= 9/10 of the exact neighbors
+    qvec = rows[0][1]
+    exact = {r["vec_id"] for r in ann.topk_bruteforce(emb, qvec, 10).collect()}
+    approx = {r["vec_id"] for r in ann.topk_bruteforce(deq, qvec, 10).collect()}
+    assert len(exact & approx) >= 9
+
+
+def test_preprocess_corpus_c4_stage_equals_staged(spark):
+    from elipdotter_spark.operators import dedup
+
+    good = "the fine line of words .\nthe good page of text .\nthe last bit of prose ."
+    good2 = "the other page of words .\nthe second body of text .\nthe final run of prose ."
+    rows = [
+        (0, good),
+        (1, good + "\nlorem ipsum dolor sit amet now ."),  # page poisoned
+        (2, good2 + "\nplease enable javascript to view it ."),  # line filtered
+        (3, "short .\nno punct line here at all"),  # too few kept lines
+    ]
+    docs = _docs(spark, rows)
+    kwargs = dict(
+        lang="en", min_tokens=3, min_stopword_ratio=0.0, jaccard=0.8,
+        max_ring=None,
+    )
+    stats = {}
+    got = sorted(
+        (r["doc_id"], r["text"])
+        for r in dedup.preprocess_corpus(docs, c4=True, stats=stats, **kwargs)
+        .select("doc_id", "text")
+        .collect()
+    )
+    # staged: apply c4_rules by hand, then clean_corpus
+    rules = text_analysis.c4_rules(docs)
+    from pyspark.sql import functions as F
+
+    staged_in = docs.drop("text").join(
+        rules.filter(F.col("keep_doc")).select(
+            "doc_id", F.col("text_clean").alias("text")
+        ),
+        "doc_id",
+    )
+    want = sorted(
+        (r["doc_id"], r["text"])
+        for r in dedup.clean_corpus(staged_in, **kwargs)
+        .select("doc_id", "text")
+        .collect()
+    )
+    assert got == want
+    assert stats["c4_docs_in"] == 4 and stats["c4_docs_kept"] == 2
+    # doc 2 survived WITH the javascript line excised
+    texts = dict(got)
+    assert 2 in texts and "javascript" not in texts[2]
+    assert 1 not in texts and 3 not in texts
+
+
+def test_c4_rules_matches_python_reference_randomized(spark):
+    import random
+
+    rng = random.Random(42)
+    pieces = [
+        "the quick scan reads row {} .",
+        "short {} .",
+        "no punctuation line number {}",
+        "please enable javascript to view {} .",
+        "lorem ipsum dolor sit amet {} .",
+        "config {{ key {} }} .",
+        "is this a question number {} ?",
+        'quoted words make five tokens {} "',
+        "",
+    ]
+    rows = []
+    for d in range(120):
+        n_lines = rng.randint(1, 8)
+        text = "\n".join(
+            pieces[rng.randrange(len(pieces))].format(rng.randrange(1000))
+            for _ in range(n_lines)
+        )
+        rows.append((d, text))
+
+    def ref(text):
+        import re
+
+        lines = text.split("\n")
+        keeps = [
+            bool(re.search(r'[.!?"]$', l))
+            and len(l.split(" ")) >= 5
+            and "javascript" not in l.lower()
+            for l in lines
+        ]
+        lorem = "lorem ipsum" in text.lower()
+        brace = "{" in text
+        n_kept = sum(keeps)
+        return {
+            "n_lines": len(lines),
+            "n_kept": n_kept,
+            "has_lorem": lorem,
+            "has_brace": brace,
+            "keep_doc": n_kept >= 3 and not lorem and not brace,
+            "text_clean": "\n".join(l for l, k in zip(lines, keeps) if k),
+        }
+
+    got = {r["doc_id"]: r for r in text_analysis.c4_rules(_docs(spark, rows)).collect()}
+    assert len(got) == len(rows)
+    for d, text in rows:
+        want = ref(text)
+        for k, v in want.items():
+            assert got[d][k] == v, (d, k, got[d][k], v, text)
+
+
+def test_sample_to_budget_matches_python_reference_randomized(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for d in range(200):
+        src = f"s{rng.randrange(5)}"
+        n = rng.randint(0, 12)
+        rows.append((d, src, " ".join(f"t{i}" for i in range(n))))
+    budgets = {"s0": 50, "s1": 0, "s2": 10}
+    default = 25
+
+    def key(d):
+        return ((d % 1000003) * 2654435761 % 10000, d)
+
+    # python reference: greedy per-source fill in key order
+    want = {}
+    per_src = {}
+    for d, src, text in rows:
+        n = len([t for t in text.split() if t])
+        if n > 0:
+            per_src.setdefault(src, []).append((key(d), d, n))
+    for src, docs_ in per_src.items():
+        docs_.sort()
+        cum = 0
+        b = budgets.get(src, default)
+        for _, d, n in docs_:
+            want[d] = (src, n, cum, cum < b)
+            cum += n
+
+    out = text_analysis.sample_to_budget(
+        _sdocs(spark, rows), budgets, default_budget=default
+    )
+    got = {
+        r["doc_id"]: (r["source"], r["n_tokens"], r["cum_before"], r["kept"])
+        for r in out.collect()
+    }
+    assert got == want
