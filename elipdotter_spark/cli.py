@@ -937,6 +937,100 @@ def cmd_budget(args) -> int:
     return 0
 
 
+def cmd_pipeline(args) -> int:
+    """End-to-end pretraining dataset build from ONE JSON config — the
+    composition a 100 TB corpus actually runs, each stage the gated
+    operator it names:
+
+      read (parquet | jsonl w/ dead letter)
+      -> preprocess: [c4] -> [line dedup] -> [pii] -> clean_corpus
+         (langid -> quality -> exact dedup -> near-dup canonicalization)
+      -> [decontaminate vs an eval set]
+      -> [token-budget mixture draw]
+      -> write <output>/docs  (+ [pack]: <output>/pack chunk assignments)
+
+    Config keys (all stages optional except input/output):
+      {"input": p, "format": "parquet"|"jsonl", "dead_letter": p,
+       "c4": true, "line_max_docs": N, "pii": true,
+       "clean": {lang, min_tokens, min_stopword_ratio, jaccard, max_ring,
+                 cc_checkpoint_dir},
+       "decontam": {"eval": p, "n": 5},
+       "budget": {"budgets": {src: tokens}, "default_budget": N},
+       "pack": {"budget": 512, "buckets": 8},
+       "output": dir}
+
+    Prints one JSON line with per-stage survivor counts."""
+    from pyspark.sql import functions as F
+
+    from elipdotter_spark.operators import dedup, text_analysis
+
+    with open(args.config) as f:
+        cfg = json.load(f)
+    spark = get_spark()
+    stats = {}
+    if cfg.get("format", "parquet") == "jsonl":
+        from elipdotter_spark.sources import corpus as corpus_src
+
+        docs, dead = corpus_src.read_docs_jsonl(spark, cfg["input"])
+        if cfg.get("dead_letter"):
+            dead.write.mode("overwrite").parquet(cfg["dead_letter"])
+        stats["n_dead_letter"] = dead.count()
+    else:
+        docs = spark.read.parquet(cfg["input"])
+    docs = docs.repartition(spark.sparkContext.defaultParallelism).cache()
+    stats["n_input"] = docs.count()
+
+    clean_kwargs = dict(cfg.get("clean", {}))
+    cur = dedup.preprocess_corpus(
+        docs,
+        line_max_docs=cfg.get("line_max_docs"),
+        pii=bool(cfg.get("pii")),
+        c4=bool(cfg.get("c4")),
+        stats=stats,
+        **clean_kwargs,
+    )
+    if "decontam" in cfg:
+        ev = spark.read.parquet(cfg["decontam"]["eval"])
+        flags = dedup.decontaminate(cur, ev, n=int(cfg["decontam"].get("n", 5)))
+        cur = cur.join(
+            flags.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
+        )
+        stats["after_decontam"] = cur.count()
+    if "budget" in cfg:
+        draw = text_analysis.sample_to_budget(
+            cur,
+            {k: int(v) for k, v in cfg["budget"].get("budgets", {}).items()},
+            default_budget=int(cfg["budget"].get("default_budget", 0)),
+        )
+        cur = cur.join(draw.filter(F.col("kept")).select("doc_id"), "doc_id")
+        agg = draw.filter(F.col("kept")).agg(
+            F.count("*").alias("n"), F.sum("n_tokens").alias("tok")
+        ).first()
+        stats["after_budget"] = agg["n"]
+        stats["tokens_drawn"] = agg["tok"]
+    out_dir = cfg["output"]
+    cur.write.mode("overwrite").parquet(out_dir + "/docs")
+    final = spark.read.parquet(out_dir + "/docs")
+    stats["n_output"] = final.count()
+    if "pack" in cfg:
+        packed = text_analysis.pack_sequences(
+            final,
+            budget=int(cfg["pack"].get("budget", 512)),
+            n_buckets=int(cfg["pack"].get("buckets", 8)),
+        )
+        packed.write.mode("overwrite").parquet(out_dir + "/pack")
+        stats["n_chunks"] = (
+            spark.read.parquet(out_dir + "/pack")
+            .groupBy("bucket")
+            .agg(F.max("chunk_last").alias("last"))
+            .agg(F.sum(F.col("last") + 1).alias("c"))
+            .first()["c"]
+        )
+    docs.unpersist()
+    print(json.dumps({**stats, "output": out_dir}))
+    return 0
+
+
 def cmd_dedup(args) -> int:
     """Near-duplicate pipeline: minhash bands -> (bounded) candidate pairs
     -> jaccard verify -> connected components -> canonical docs.  Prints a
@@ -1256,6 +1350,13 @@ def main(argv=None) -> int:
     bu.add_argument("--output", default=None,
                     help="write the kept (drawn) docs here")
     bu.set_defaults(fn=cmd_budget)
+
+    pl = sub.add_parser("pipeline")
+    pl.add_argument("--config", required=True,
+                    help="JSON config: input/format, preprocess toggles "
+                         "(c4, line_max_docs, pii, clean), decontam, "
+                         "budget, pack, output")
+    pl.set_defaults(fn=cmd_pipeline)
 
     d = sub.add_parser("dedup")
     d.add_argument("--input", required=True)

@@ -967,6 +967,17 @@ def q_ann_quantize(spark, sf_dir):
     return ann.quantize_int8(_embeddings(spark, sf_dir))
 
 
+def q_ann_quantized_topk(spark, sf_dir):
+    """Serve-time shape of an int8-stored ANN index: quantize -> dequantize
+    -> exact cosine top-10 through the UNCHANGED batch search path (query =
+    the dequantized vec 0, ranking on the 6-digit-rounded cosine)."""
+    deq = ann.dequantize(ann.quantize_codes(_embeddings(spark, sf_dir)))
+    q = deq.filter(F.col("vec_id") == 0).select(
+        F.lit(0).cast("long").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ann.cosine_topk_batch(deq, q, k=10, digits=6)
+
+
 # ------------------------------------------------------------- multimodal
 
 
@@ -1504,6 +1515,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_lm_score": q_txt_lm_score,
         "txt_sample_budget": q_txt_sample_budget,
         "ann_quantize": q_ann_quantize,
+        "ann_quantized_topk": q_ann_quantized_topk,
         "txt_line_stats": q_txt_line_stats,
         "txt_line_dedup": q_txt_line_dedup,
         "txt_pii_redact": q_txt_pii_redact,
@@ -2884,6 +2896,46 @@ def oracle_sql() -> Dict[str, str]:
                                       - CAST(embedding[i+1] AS DOUBLE)))),
                          (a, x) -> CASE WHEN x > a THEN x ELSE a END), 9) AS max_err
             FROM q
+        """,
+        "ann_quantized_topk": """
+            WITH base AS (
+                SELECT vec_id,
+                       list_aggregate(list_transform(embedding,
+                           x -> abs(CAST(x AS DOUBLE))), 'max') AS maxabs,
+                       embedding
+                FROM embeddings
+            ),
+            dq AS (
+                SELECT vec_id,
+                       CASE WHEN maxabs = 0
+                            THEN list_transform(embedding, x -> 0.0)
+                            ELSE list_transform(embedding,
+                                 x -> CAST(floor(CAST(x AS DOUBLE)
+                                           / (maxabs / 127.0) + 0.5) AS BIGINT)
+                                      * (maxabs / 127.0))
+                       END AS dv
+                FROM base
+            ),
+            q AS (SELECT dv AS qv FROM dq WHERE vec_id = 0),
+            scored AS (
+                SELECT d.vec_id,
+                       round(
+                         list_reduce(list_prepend(0.0, list_transform(range(len(d.dv)),
+                             i -> d.dv[i+1] * q.qv[i+1])), (a, x) -> a + x)
+                         / (sqrt(list_reduce(list_prepend(0.0, list_transform(d.dv,
+                               x -> x * x)), (a, y) -> a + y))
+                            * sqrt(list_reduce(list_prepend(0.0, list_transform(q.qv,
+                               x -> x * x)), (a, y) -> a + y))),
+                       6) AS cos
+                FROM dq d CROSS JOIN q
+            ),
+            ranked AS (
+                SELECT CAST(0 AS BIGINT) AS query_id, vec_id, cos,
+                       CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC)
+                            AS BIGINT) AS rnk
+                FROM scored
+            )
+            SELECT query_id, vec_id, cos, rnk FROM ranked WHERE rnk <= 10
         """,
         "txt_stratified_sample": """
             SELECT doc_id, source FROM documents

@@ -491,3 +491,53 @@ def test_cli_clean_c4_stage(cli, tmp_path, capsys):
     s = _json_lines(capsys)[-1]
     assert s["c4_docs_in"] == 3 and s["c4_docs_kept"] == 1
     assert s["n_kept"] == 1  # only doc 0 survives to the cleaner
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+def test_cli_pipeline_end_to_end(cli, tmp_path, capsys):
+    import json as _json
+
+    sp = cli.get_spark()
+    inp = str(tmp_path / "docs")
+    # 4 docs: one near-dup pair (exact), one PII carrier, one eval-contaminated
+    sp.createDataFrame(
+        [
+            (0, "srcA", "the a of and alpha beta gamma delta"),
+            (1, "srcA", "the a of and alpha beta gamma delta"),  # exact dup
+            (2, "srcB", "the a of and epsilon zeta mail x@y.org"),
+            (3, "srcB", "the a of and unique benchmark question one two three"),
+        ],
+        "doc_id long, source string, text string",
+    ).write.parquet(inp)
+    ev = str(tmp_path / "eval")
+    sp.createDataFrame(
+        [(9, "the unique benchmark question one two three here")],
+        "doc_id long, text string",
+    ).write.parquet(ev)
+    out = str(tmp_path / "out")
+    cfg = {
+        "input": inp,
+        "pii": True,
+        "clean": {"lang": "en", "min_tokens": 3, "min_stopword_ratio": 0.0,
+                  "jaccard": 0.8, "max_ring": None},
+        "decontam": {"eval": ev, "n": 5},
+        "budget": {"budgets": {"srcA": 1000}, "default_budget": 1000},
+        "pack": {"budget": 4, "buckets": 2},
+        "output": out,
+    }
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as f:
+        _json.dump(cfg, f)
+    assert cli.main(["pipeline", "--config", cfg_path]) == 0
+    s = _json_lines(capsys)[-1]
+    assert s["n_input"] == 4
+    assert s["after_exact_dedup"] == 3  # dup pair collapsed
+    assert s["after_decontam"] == 2  # doc 3 shares the eval 5-gram
+    assert s["after_budget"] == 2 and s["n_output"] == 2
+    assert s["pii_redactions"]["n_email"] == 1
+    got = {r["doc_id"]: r["text"] for r in sp.read.parquet(out + "/docs").collect()}
+    assert set(got) == {0, 2}
+    assert "[EMAIL]" in got[2]
+    pack = sp.read.parquet(out + "/pack")
+    assert pack.count() == 2 and s["n_chunks"] >= 2
