@@ -419,6 +419,18 @@ def run_queries(spark, docs, postings, terms, docstats):
         .collect(),
         reps=5,
     )
+    # session-8: URL canonicalization + dedup — one codegen projection over
+    # the synthesized crawl URLs, one hash aggregate on norm_url
+    from elipdotter_spark.operators import urls as _urls
+
+    url_docs = _urls.synth_urls(docs.select("doc_id"))
+    timed(
+        "q_url_dedup",
+        lambda: _urls.url_dedup(url_docs)
+        .agg(F.count("*"), F.sum("n_dups"))
+        .collect(),
+        reps=5,
+    )
     return timings, percentiles, prune
 
 

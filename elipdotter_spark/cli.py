@@ -937,6 +937,50 @@ def cmd_budget(args) -> int:
     return 0
 
 
+def cmd_urls(args) -> int:
+    """URL canonicalization + domain accounting (operators/urls.py, gated
+    by web_url_parse/web_url_dedup/web_domain_stats/web_domain_cap).
+    Input must carry a ``url`` column (the BASELINE input_hint pages
+    shape).  Prints the corpus-level audit: docs, canonical pages (dedup
+    ratio), domains, unparseable URLs; --output writes the URL-deduped
+    corpus (survivor rows, full original columns + norm_url); --cap N
+    additionally applies the per-domain doc cap."""
+    from pyspark.sql import Window, functions as F
+
+    from elipdotter_spark.operators import urls as u
+
+    spark = get_spark()
+    docs = spark.read.parquet(args.input).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    parsed = u.parse_urls(docs, url_col=args.url_col)
+    agg = parsed.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("norm_url").alias("n_pages"),
+        F.countDistinct("registered_domain").alias("n_domains"),
+        F.sum((F.col("norm_url") == "").cast("long")).alias("n_unparseable"),
+    ).first()
+    out = {**agg.asDict(), "output": args.output, "cap": args.cap}
+    if args.output:
+        keep = parsed.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("norm_url").orderBy(F.col(args.id_col).asc())
+            ),
+        ).filter((F.col("_rn") == 1) & (F.col("norm_url") != "")).drop("_rn")
+        if args.cap:
+            capped = u.domain_cap(
+                keep.drop("scheme", "host", "registered_domain",
+                          "path_depth", "n_params", "norm_url"),
+                cap=args.cap, url_col=args.url_col, id_col=args.id_col,
+            ).select(args.id_col)
+            keep = keep.join(capped, args.id_col)
+        keep.write.mode("overwrite").parquet(args.output)
+        out["n_written"] = spark.read.parquet(args.output).count()
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_pipeline(args) -> int:
     """End-to-end pretraining dataset build from ONE JSON config — the
     composition a 100 TB corpus actually runs, each stage the gated
@@ -1350,6 +1394,17 @@ def main(argv=None) -> int:
     bu.add_argument("--output", default=None,
                     help="write the kept (drawn) docs here")
     bu.set_defaults(fn=cmd_budget)
+
+    ur = sub.add_parser("urls")
+    ur.add_argument("--input", required=True,
+                    help="parquet with a url column (BASELINE input_hint shape)")
+    ur.add_argument("--url-col", default="url")
+    ur.add_argument("--id-col", default="doc_id")
+    ur.add_argument("--output", default=None,
+                    help="write the URL-deduped corpus (survivor rows)")
+    ur.add_argument("--cap", type=int, default=0,
+                    help="also cap docs per registered domain (0 = off)")
+    ur.set_defaults(fn=cmd_urls)
 
     pl = sub.add_parser("pipeline")
     pl.add_argument("--config", required=True,

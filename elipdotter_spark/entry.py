@@ -17,7 +17,7 @@ from typing import Callable, Dict
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .operators import ann, bm25, dedup, index_build, text_analysis, windows
+from .operators import ann, bm25, dedup, index_build, text_analysis, urls, windows
 from .core.parser import parse
 from .plans.compiler import QueryEngine
 
@@ -255,6 +255,100 @@ c4line AS (
 c4docs AS (
     SELECT doc_id, string_agg(line, chr(10) ORDER BY k) AS text
     FROM c4line GROUP BY doc_id
+)
+"""
+
+# Crawl-shaped synthetic URLs + the parse/normalize pipeline, shared by the
+# web_* oracles.  MUST stay expression-identical to operators/urls.py
+# (synth_urls + parse_urls): page identity = doc_id div 3; the three crawl
+# variants differ only in normalization-removed noise (case, userinfo,
+# default port, tracking params, param order, trailing slash, fragment).
+# Plain string (not an f-string): the regexes contain {2} braces.
+URLS_SQL = """
+uparts AS (
+    SELECT doc_id, doc_id // 3 AS p FROM documents
+),
+uess AS (
+    SELECT doc_id, p, p % 7 AS site,
+           CASE WHEN (p % 7) % 3 = 0 THEN 'com'
+                WHEN (p % 7) % 3 = 1 THEN 'co.uk' ELSE 'org' END AS tld,
+           CASE WHEN p % 4 = 0 THEN 'www.' WHEN p % 4 = 1 THEN ''
+                WHEN p % 4 = 2 THEN 'blog.' ELSE 'data.' END AS sub,
+           CASE WHEN p % 4 = 0 THEN ''
+                WHEN p % 4 = 1 THEN '/c' || CAST(p % 5 AS VARCHAR)
+                WHEN p % 4 = 2 THEN '/c' || CAST(p % 5 AS VARCHAR) || '/i' || CAST(p AS VARCHAR)
+                ELSE '/c' || CAST(p % 5 AS VARCHAR) || '/i' || CAST(p AS VARCHAR) || '/v1' END AS path_ess,
+           CASE WHEN p % 3 = 0 THEN ''
+                WHEN p % 3 = 1 THEN 'id=' || CAST(p AS VARCHAR)
+                ELSE 'id=' || CAST(p AS VARCHAR) || '&a=1' END AS qs_ess,
+           CASE WHEN p % 9 = 4 THEN ':8443'
+                WHEN doc_id % 6 = 2 THEN ':443' ELSE '' END AS port_raw
+    FROM uparts
+),
+unoise AS (
+    SELECT *,
+           sub || 'site' || CAST(site AS VARCHAR) || '.' || tld AS hostc,
+           CASE WHEN doc_id % 3 = 0 THEN 'utm_source=s' || CAST(doc_id AS VARCHAR)
+                WHEN doc_id % 3 = 1 THEN 'fbclid=f' || CAST(doc_id AS VARCHAR)
+                ELSE '' END AS trk
+    FROM uess
+),
+uurls AS (
+    SELECT doc_id,
+           (CASE WHEN doc_id % 5 = 0 THEN 'HTTPS' ELSE 'https' END)
+           || '://'
+           || (CASE WHEN doc_id % 13 = 5 THEN 'u' || CAST(doc_id AS VARCHAR) || '@' ELSE '' END)
+           || (CASE WHEN doc_id % 4 = 2 THEN upper(hostc) ELSE hostc END)
+           || port_raw
+           || path_ess || (CASE WHEN doc_id % 7 = 3 THEN '/' ELSE '' END)
+           || (CASE WHEN qs_ess = '' AND trk = '' THEN ''
+                    WHEN qs_ess = '' THEN '?' || trk
+                    WHEN trk = '' THEN '?' || qs_ess
+                    WHEN doc_id % 2 = 0 THEN '?' || trk || '&' || qs_ess
+                    ELSE '?' || qs_ess || '&' || trk END)
+           || (CASE WHEN doc_id % 2 = 0 THEN '#s' || CAST(doc_id % 4 AS VARCHAR) ELSE '' END)
+           AS url
+    FROM unoise
+),
+uparsed AS (
+    SELECT doc_id, url,
+           lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#(.*))?$', 1)) AS scheme,
+           regexp_replace(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#(.*))?$', 2), '^[^@]*@', '') AS auth,
+           regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#(.*))?$', 3) AS rawpath,
+           regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#(.*))?$', 4) AS query
+    FROM uurls
+),
+uderived AS (
+    SELECT doc_id, url, scheme,
+           lower(regexp_replace(auth, ':[0-9]+$', '')) AS host,
+           CASE WHEN (scheme = 'http' AND regexp_extract(auth, ':([0-9]+)$', 1) = '80')
+                  OR (scheme = 'https' AND regexp_extract(auth, ':([0-9]+)$', 1) = '443')
+                THEN '' ELSE regexp_extract(auth, ':([0-9]+)$', 1) END AS port,
+           CASE WHEN rawpath = '' THEN '/'
+                WHEN len(rawpath) > 1 AND rawpath LIKE '%/'
+                THEN substr(rawpath, 1, len(rawpath) - 1)
+                ELSE rawpath END AS path,
+           CASE WHEN query = '' THEN []
+                ELSE list_sort(list_filter(string_split(query, '&'),
+                     x -> NOT regexp_matches(x, '^(utm_[a-z0-9_]+|fbclid|gclid|msclkid|mc_[a-z]+|ref|ref_src)=')))
+           END AS kept
+    FROM uparsed
+),
+ucanon AS (
+    SELECT doc_id, url, scheme, host,
+           CASE WHEN regexp_matches(host, '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$') THEN host
+                ELSE regexp_extract(host, '([a-z0-9-]+\\.(?:co|ac|gov|net|org|com)\\.[a-z]{2}|[a-z0-9-]+\\.[a-z0-9-]+)$', 1)
+           END AS registered_domain,
+           CAST(len(list_filter(string_split(path, '/'), s -> s != '')) AS BIGINT) AS path_depth,
+           CAST(len(kept) AS BIGINT) AS n_params,
+           CASE WHEN scheme = '' THEN ''
+                ELSE scheme || '://' || host
+                     || (CASE WHEN port = '' THEN '' ELSE ':' || port END)
+                     || path
+                     || (CASE WHEN len(kept) = 0 THEN ''
+                          ELSE '?' || array_to_string(kept, '&') END)
+           END AS norm_url
+    FROM uderived
 )
 """
 
@@ -961,6 +1055,41 @@ def q_txt_sample_budget(spark, sf_dir):
     )
 
 
+def _url_docs(spark, sf_dir):
+    """documents + a deterministic crawl-shaped url column (urls.synth_urls;
+    SQL twin URLS_SQL) — 3 crawl variants per canonical page."""
+    return urls.synth_urls(_tables(spark, sf_dir)["docs"])
+
+
+def q_web_url_parse(spark, sf_dir):
+    """URL parse + canonicalization: scheme/host/registered-domain extraction
+    and the full normalization battery (case, userinfo, default port,
+    tracking params + param sort, trailing slash, fragment) — one
+    whole-stage-codegen projection, no shuffle."""
+    return urls.parse_urls(_url_docs(spark, sf_dir)).select(
+        "doc_id", "scheme", "host", "registered_domain",
+        "path_depth", "n_params", "norm_url",
+    )
+
+
+def q_web_url_dedup(spark, sf_dir):
+    """URL-level dedup: one survivor (min doc_id) per normalized URL — the
+    recrawl collapse every web corpus applies before any text-level dedup."""
+    return urls.url_dedup(_url_docs(spark, sf_dir))
+
+
+def q_web_domain_stats(spark, sf_dir):
+    """Per-registered-domain accounting (docs, distinct canonical pages,
+    chars, corpus doc share) — the domain-weighting/blocklist input."""
+    return urls.domain_stats(_url_docs(spark, sf_dir))
+
+
+def q_web_domain_cap(spark, sf_dir):
+    """FineWeb-style per-domain cap: at most 3 docs per registered domain,
+    picked in deterministic engine-portable sample-key order."""
+    return urls.domain_cap(_url_docs(spark, sf_dir), cap=3)
+
+
 def q_ann_quantize(spark, sf_dir):
     """Symmetric int8 embedding quantization audit: per-vector scale,
     quantized checksums, max reconstruction error."""
@@ -1514,6 +1643,10 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "txt_tfidf_topk": q_txt_tfidf_topk,
         "txt_lm_score": q_txt_lm_score,
         "txt_sample_budget": q_txt_sample_budget,
+        "web_url_parse": q_web_url_parse,
+        "web_url_dedup": q_web_url_dedup,
+        "web_domain_stats": q_web_domain_stats,
+        "web_domain_cap": q_web_domain_cap,
         "ann_quantize": q_ann_quantize,
         "ann_quantized_topk": q_ann_quantized_topk,
         "txt_line_stats": q_txt_line_stats,
@@ -2864,6 +2997,46 @@ def oracle_sql() -> Dict[str, str]:
                                             WHEN 'src2' THEN 0
                                             ELSE 300 END AS kept
             FROM c
+        """,
+        "web_url_parse": f"""
+            WITH {URLS_SQL}
+            SELECT doc_id, scheme, host, registered_domain,
+                   path_depth, n_params, norm_url
+            FROM ucanon
+        """,
+        "web_url_dedup": f"""
+            WITH {URLS_SQL}
+            SELECT min(doc_id) AS doc_id, norm_url,
+                   CAST(count(*) AS BIGINT) AS n_dups
+            FROM ucanon GROUP BY norm_url
+        """,
+        "web_domain_stats": f"""
+            WITH {URLS_SQL}
+            SELECT c.registered_domain,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT c.norm_url) AS BIGINT) AS n_pages,
+                   CAST(sum(len(d.text)) AS BIGINT) AS n_chars,
+                   round(count(*) / (SELECT CAST(count(*) AS DOUBLE)
+                                     FROM documents), 6) AS doc_share
+            FROM ucanon c JOIN documents d USING (doc_id)
+            GROUP BY c.registered_domain
+        """,
+        "web_domain_cap": f"""
+            WITH {URLS_SQL},
+            ukeyed AS (
+                SELECT doc_id, registered_domain,
+                       ((doc_id % 1000003 + 1000003) % 1000003)
+                       * 2654435761 % 10000 AS skey
+                FROM ucanon
+            ),
+            uranked AS (
+                SELECT doc_id, registered_domain,
+                       CAST(row_number() OVER (
+                            PARTITION BY registered_domain
+                            ORDER BY skey ASC, doc_id ASC) AS BIGINT) AS rk
+                FROM ukeyed
+            )
+            SELECT doc_id, registered_domain, rk FROM uranked WHERE rk <= 3
         """,
         "ann_quantize": """
             WITH base AS (
