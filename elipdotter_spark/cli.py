@@ -981,6 +981,37 @@ def cmd_urls(args) -> int:
     return 0
 
 
+def cmd_crawl(args) -> int:
+    """Crawl front door (operators/html.py, gated by web_html_extract /
+    web_recrawl_latest / web_crawl_ingest): input_hint-shaped pages
+    (url, warc_ts, html, ...) -> recrawl latest-wins collapse -> HTML text
+    extraction.  Prints the audit (pages in, canonical pages out, markup
+    leftovers = dead-letter candidates); --output writes the documents-
+    shaped result (doc_id, url, norm_url, warc_ts, lang, text_clean,
+    has_markup, n_crawls)."""
+    from pyspark.sql import functions as F
+
+    from elipdotter_spark.operators import html as h
+
+    spark = get_spark()
+    pages = spark.read.parquet(args.input).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    out_df = h.crawl_ingest(pages, url_col=args.url_col, id_col=args.id_col)
+    agg = out_df.agg(
+        F.count("*").alias("n_pages"),
+        F.sum("n_crawls").alias("n_crawls_in"),
+        F.sum(F.col("has_markup").cast("long")).alias("n_markup_leftover"),
+        F.sum(F.length("text_clean")).alias("n_chars"),
+    ).first()
+    out = {**agg.asDict(), "output": args.output}
+    if args.output:
+        out_df.write.mode("overwrite").parquet(args.output)
+        out["n_written"] = spark.read.parquet(args.output).count()
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_pipeline(args) -> int:
     """End-to-end pretraining dataset build from ONE JSON config — the
     composition a 100 TB corpus actually runs, each stage the gated
@@ -1405,6 +1436,15 @@ def main(argv=None) -> int:
     ur.add_argument("--cap", type=int, default=0,
                     help="also cap docs per registered domain (0 = off)")
     ur.set_defaults(fn=cmd_urls)
+
+    cr = sub.add_parser("crawl")
+    cr.add_argument("--input", required=True,
+                    help="parquet pages table (url, warc_ts, html, ...)")
+    cr.add_argument("--url-col", default="url")
+    cr.add_argument("--id-col", default="doc_id")
+    cr.add_argument("--output", default=None,
+                    help="write the extracted documents-shaped corpus")
+    cr.set_defaults(fn=cmd_crawl)
 
     pl = sub.add_parser("pipeline")
     pl.add_argument("--config", required=True,

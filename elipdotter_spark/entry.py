@@ -17,7 +17,7 @@ from typing import Callable, Dict
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .operators import ann, bm25, dedup, index_build, text_analysis, urls, windows
+from .operators import ann, bm25, dedup, html, index_build, text_analysis, urls, windows
 from .core.parser import parse
 from .plans.compiler import QueryEngine
 
@@ -349,6 +349,79 @@ ucanon AS (
                           ELSE '?' || array_to_string(kept, '&') END)
            END AS norm_url
     FROM uderived
+)
+"""
+
+# Crawl-page synthesis twin (operators/html.py synth_crawl_pages): a
+# deterministic warc_ts epoch (tie pages p % 13 == 5 share one epoch — the
+# id tie-break) and an html payload planting every extraction rule.
+# Plain string: the style block contains { } braces.
+HTML_SYNTH_SQL = """
+hparts AS (
+    SELECT doc_id, text, doc_id // 3 AS p FROM documents
+),
+hstruct AS (
+    SELECT doc_id, text, p,
+           CAST(CASE WHEN p % 13 = 5 THEN 1700000000
+                ELSE 1700000000 + (doc_id * 7 % 11) * 3600 END AS BIGINT) AS warc_epoch,
+           CASE WHEN doc_id % 5 = 0 THEN '<DIV>' ELSE '<p>' END AS tag_open,
+           CASE WHEN doc_id % 5 = 0 THEN '</DIV>' ELSE '</p>' END AS tag_close,
+           CASE WHEN doc_id % 4 = 1 THEN '<style>p { color: red; }</style>' ELSE '' END AS style,
+           CASE WHEN doc_id % 3 = 0 THEN '<script>var x = 1 < 2;</script>' ELSE '' END AS script,
+           CASE WHEN doc_id % 5 = 2 THEN '<!-- hidden' || chr(10) || 'note -->' ELSE '' END AS comm,
+           CASE WHEN doc_id % 2 = 0 THEN '<p>Tom &amp; Jerry&nbsp;rule &amp;lt;ok&amp;gt;</p>'
+                ELSE '<p>1 &lt; 2 &gt; 0 &quot;q&quot; &#39;a&#39;</p>' END AS entities,
+           CASE WHEN doc_id % 7 = 3 THEN '<ul><li>alpha</li><li>beta</li></ul>' ELSE '' END AS lst
+    FROM hparts
+),
+chtml AS (
+    SELECT doc_id, p, warc_epoch,
+           '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>'
+           || style || script || '</head><body>' || comm || tag_open || text
+           || tag_close || entities || lst || '</body></html>' AS html
+    FROM hstruct
+)
+"""
+
+
+def _html_sql_chain(expr: str, steps) -> str:
+    """Nested DuckDB regexp_replace chain generated from the SAME step
+    lists the Spark operator runs (operators/html.py) — patterns cannot
+    drift between engines."""
+    for pat, rep in steps:
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    return expr
+
+
+def _html_extract_ctes() -> str:
+    from .operators.html import HTML_DECODE_STEPS, HTML_STRIP_STEPS
+
+    return (
+        "hstripped AS (SELECT doc_id, warc_epoch, "
+        + _html_sql_chain("html", HTML_STRIP_STEPS)
+        + " AS stripped FROM chtml), hextract AS (SELECT doc_id, warc_epoch, "
+        "(contains(stripped, '<') OR contains(stripped, '>')) AS has_markup, "
+        "trim(" + _html_sql_chain("stripped", HTML_DECODE_STEPS) + ") AS extracted "
+        "FROM hstripped)"
+    )
+
+
+# recrawl latest-wins twin: canonical key (unparseable urls keyed raw:),
+# winner = max (warc_epoch, doc_id) per key, plus the crawl count
+RECRAWL_SQL = """
+rkey AS (
+    SELECT c.doc_id, c.url,
+           CASE WHEN c.norm_url = '' THEN 'raw:' || c.url ELSE c.norm_url END AS key,
+           c.norm_url, h.warc_epoch
+    FROM ucanon c JOIN hstruct h USING (doc_id)
+),
+rwin AS (
+    SELECT *, row_number() OVER (PARTITION BY key
+                                 ORDER BY warc_epoch DESC, doc_id DESC) AS rn,
+           CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS n_crawls
+    FROM rkey
 )
 """
 
@@ -1090,6 +1163,40 @@ def q_web_domain_cap(spark, sf_dir):
     return urls.domain_cap(_url_docs(spark, sf_dir), cap=3)
 
 
+def _crawl_pages(spark, sf_dir):
+    """input_hint-shaped pages: documents + synth urls + warc_ts epochs +
+    an html payload planting every extraction rule (html.synth_crawl_pages;
+    SQL twin HTML_SYNTH_SQL)."""
+    return html.synth_crawl_pages(_tables(spark, sf_dir)["docs"].select("doc_id", "text"))
+
+
+def q_web_html_extract(spark, sf_dir):
+    """HTML -> text extraction: comment/script/style/noscript removal, tag
+    strip, entity decode (&amp; last — the double-escape rule), whitespace
+    collapse; has_markup audits raw <> surviving the STRIP phase — one
+    whole-stage-codegen projection chain, no shuffle."""
+    return html.html_to_text(_crawl_pages(spark, sf_dir)).select(
+        "doc_id", "extracted", "has_markup"
+    )
+
+
+def q_web_recrawl_latest(spark, sf_dir):
+    """Recrawl collapse: one surviving crawl per canonical URL — latest
+    warc_ts, id tie-break — as ONE map-side-combined max_by aggregate
+    (no window, no per-group sort)."""
+    return html.recrawl_latest(_crawl_pages(spark, sf_dir)).select(
+        "doc_id", "norm_url", "warc_epoch", "n_crawls"
+    )
+
+
+def q_web_crawl_ingest(spark, sf_dir):
+    """The crawl front door composed: pages -> recrawl latest-wins ->
+    HTML text extraction -> documents shape."""
+    return html.crawl_ingest(_crawl_pages(spark, sf_dir)).select(
+        "doc_id", "url", "norm_url", "text_clean", "has_markup", "n_crawls"
+    )
+
+
 def q_ann_quantize(spark, sf_dir):
     """Symmetric int8 embedding quantization audit: per-vector scale,
     quantized checksums, max reconstruction error."""
@@ -1647,6 +1754,9 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_url_dedup": q_web_url_dedup,
         "web_domain_stats": q_web_domain_stats,
         "web_domain_cap": q_web_domain_cap,
+        "web_html_extract": q_web_html_extract,
+        "web_recrawl_latest": q_web_recrawl_latest,
+        "web_crawl_ingest": q_web_crawl_ingest,
         "ann_quantize": q_ann_quantize,
         "ann_quantized_topk": q_ann_quantized_topk,
         "txt_line_stats": q_txt_line_stats,
@@ -3037,6 +3147,31 @@ def oracle_sql() -> Dict[str, str]:
                 FROM ukeyed
             )
             SELECT doc_id, registered_domain, rk FROM uranked WHERE rk <= 3
+        """,
+        "web_html_extract": f"""
+            WITH {HTML_SYNTH_SQL}, {_html_extract_ctes()}
+            SELECT doc_id, extracted, has_markup FROM hextract
+        """,
+        "web_recrawl_latest": f"""
+            WITH {URLS_SQL}, {HTML_SYNTH_SQL}, {RECRAWL_SQL}
+            SELECT doc_id, norm_url, warc_epoch, n_crawls
+            FROM rwin WHERE rn = 1
+        """,
+        "web_crawl_ingest": f"""
+            WITH {URLS_SQL}, {HTML_SYNTH_SQL}, {RECRAWL_SQL},
+            winners AS (
+                SELECT doc_id, url, norm_url, n_crawls FROM rwin WHERE rn = 1
+            ),
+            wstripped AS (
+                SELECT w.doc_id, w.url, w.norm_url, w.n_crawls,
+                       {_html_sql_chain("c.html", html.HTML_STRIP_STEPS)} AS stripped
+                FROM winners w JOIN chtml c USING (doc_id)
+            )
+            SELECT doc_id, url, norm_url,
+                   trim({_html_sql_chain("stripped", html.HTML_DECODE_STEPS)}) AS text_clean,
+                   (contains(stripped, '<') OR contains(stripped, '>')) AS has_markup,
+                   n_crawls
+            FROM wstripped
         """,
         "ann_quantize": """
             WITH base AS (

@@ -1,0 +1,225 @@
+"""HTML text extraction + recrawl collapse for Common-Crawl-style pages.
+
+The BASELINE input_hint table is ``pages(url, warc_ts, html binary, text,
+lang)``.  Before any text-level work a crawl pipeline runs two steps this
+module provides:
+
+- ``html_to_text``: deterministic HTML -> text extraction (comment /
+  script / style / noscript removal, tag strip, core entity decode,
+  whitespace collapse) as ONE chain of whole-stage-codegen
+  ``regexp_replace`` expressions — no Python, no shuffle, rides the page
+  scan at 100 TB.  ``sources.corpus.extract_text`` remains the byte-
+  identity invariant path for the synthetic ``<html><body>`` wrapper; this
+  operator is the crawl-realistic path with its own documented
+  normalization (cross-engine gated: ``web_html_extract``).
+- ``recrawl_latest``: one surviving crawl per canonical URL — the LATEST
+  ``warc_ts`` (ties by highest doc id), computed as ONE map-side-combined
+  ``max_by`` hash aggregate on the normalized URL (no window, no sort;
+  the aggregation buffer holds one row per page).  Gated:
+  ``web_recrawl_latest``.
+- ``crawl_ingest``: the composed front door pages -> recrawl collapse ->
+  text extraction -> documents shape.  Gated: ``web_crawl_ingest``.
+
+Portability rules (the PII_PATTERNS discipline): every pattern is in the
+Java-regex ∩ RE2 subset — explicit character classes (never ``\\s``: Java
+and RE2 disagree on U+000B), inline ``(?si)`` flags, non-greedy ``.*?``;
+no lookaround, no backreferences (hence one pass PER removed element name
+instead of a backreferenced ``<(x)>.*?</\\1>``).
+
+Extraction spec (documented order; both engines implement exactly this):
+  1. ``<!-- ... -->`` comments removed (dotall)
+  2. ``<script>``/``<style>``/``<noscript>`` ELEMENTS removed including
+     their content (dotall + case-insensitive; one pass per name)
+  3. every remaining tag (``<`` + optional ``!``/``/`` + a LETTER, up to
+     the next ``>``) replaced by ONE space; a bare ``<`` not opening a
+     tag is text (browser behavior).  Attribute values containing a raw
+     ``>`` are out of scope — real crawls escape them; the ``has_markup``
+     audit column catches both that and stray ``<``/``>`` leftovers
+  4. core entities decoded: ``&lt; &gt; &quot; &#39; &apos; &nbsp;`` then
+     ``&amp;`` LAST (so ``&amp;lt;`` correctly yields literal ``&lt;``);
+     numeric entities beyond ``&#39;`` are left as-is (the production swap
+     is an Arrow UDF running html.unescape behind the same contract)
+  5. whitespace runs ``[ \\t\\n\\r\\f]+`` collapsed to one space, trimmed
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# step-ordered (pattern, replacement) batteries; applied top to bottom.
+# STRIP removes structure (spec steps 1-3); DECODE is entities then
+# whitespace (steps 4-5).  The markup audit reads BETWEEN the two: a
+# decoded ``&lt;`` is legitimate text, a raw ``<`` surviving the strip is
+# unescaped/truncated markup.
+HTML_STRIP_STEPS = [
+    (r"(?s)<!--.*?-->", ""),
+    (r"(?si)<script[^>]*>.*?</script>", ""),
+    (r"(?si)<style[^>]*>.*?</style>", ""),
+    (r"(?si)<noscript[^>]*>.*?</noscript>", ""),
+    # a tag starts with a letter, '/', or '!' (doctype) — a bare '<'
+    # followed by anything else is TEXT (browser behavior) and must not
+    # swallow content up to the next '>'; it surfaces via has_markup
+    (r"(?s)<[!/]?[A-Za-z][^>]*>", " "),
+]
+HTML_DECODE_STEPS = [
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"&apos;", "'"),
+    (r"&nbsp;", " "),
+    (r"&amp;", "&"),
+    (r"[ \t\n\r\f]+", " "),
+]
+
+
+def _chain(col: Column, steps) -> Column:
+    out = col
+    for pat, rep in steps:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def html_to_text(
+    pages: DataFrame, html_col: str = "html", out_col: str = "extracted"
+) -> DataFrame:
+    """Add ``out_col`` (extracted text) + ``has_markup`` (a raw ``<`` or
+    ``>`` survived the structural strip — unescaped attribute ``>`` or
+    truncated markup; route those to a dead letter / re-extraction like
+    the JSONL and multimodal readers do).  ``html_col`` may be binary
+    (decoded as UTF-8) or string.
+
+    Plan shape: the stripped intermediate is a NAMED multi-referenced
+    column (computed once per row — the HOF/CollapseProject lesson); the
+    whole operator is one whole-stage-codegen projection chain."""
+    dtype = dict(pages.dtypes)[html_col]
+    raw = (
+        F.decode(F.col(html_col), "utf-8")
+        if dtype == "binary"
+        else F.col(html_col)
+    )
+    return (
+        pages.withColumn("_stripped", _chain(raw, HTML_STRIP_STEPS))
+        .withColumn(
+            "has_markup",
+            F.col("_stripped").contains("<") | F.col("_stripped").contains(">"),
+        )
+        .withColumn(
+            out_col, F.trim(_chain(F.col("_stripped"), HTML_DECODE_STEPS))
+        )
+        .drop("_stripped")
+    )
+
+
+def recrawl_latest(
+    pages: DataFrame, url_col: str = "url", ts_col: str = "warc_ts",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One surviving crawl per canonical URL: the latest ``ts_col`` row
+    (ties broken by highest ``id_col`` — later-ingested wins), plus
+    ``n_crawls``.  Canonical identity is ``urls.parse_urls``'s
+    ``norm_url``; unparseable URLs (norm_url = '') are preserved as their
+    own rows keyed by the raw url (prefixed so they can't collide with a
+    real norm_url) so the dead-letter path still sees every doc.
+
+    Plan: one hash aggregate (map-side combined) via ``max_by`` on a
+    (ts, id) struct — no window, no per-group sort; the whole crawl
+    collapse is a single shuffle on the page key."""
+    from .urls import parse_urls
+
+    parsed = parse_urls(pages, url_col=url_col)
+    key = F.when(
+        F.col("norm_url") == "", F.concat(F.lit("raw:"), F.col(url_col))
+    ).otherwise(F.col("norm_url"))
+    data_cols = [c for c in pages.columns]
+    rows = parsed.withColumn("_key", key)
+    agg = rows.groupBy("_key").agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in data_cols] + [F.col("norm_url")]),
+            F.struct(F.col(ts_col), F.col(id_col)),
+        ).alias("w"),
+        F.count("*").alias("n_crawls"),
+    )
+    return agg.select(
+        *[F.col(f"w.{c}").alias(c) for c in data_cols],
+        F.col("w.norm_url").alias("norm_url"),
+        "n_crawls",
+    )
+
+
+def crawl_ingest(
+    pages: DataFrame, url_col: str = "url", ts_col: str = "warc_ts",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The crawl front door: recrawl collapse -> HTML text extraction ->
+    documents shape ``(doc_id, url, norm_url, warc_ts, lang, text_clean,
+    has_markup, n_crawls)``.  Pure composition of the two gated stages —
+    bit-identical to running them one at a time."""
+    latest = recrawl_latest(pages, url_col=url_col, ts_col=ts_col, id_col=id_col)
+    out = html_to_text(latest, html_col="html", out_col="text_clean")
+    keep = [
+        c
+        for c in [id_col, url_col, "norm_url", ts_col, "lang", "text_clean",
+                  "has_markup", "n_crawls"]
+        if c in out.columns
+    ]
+    return out.select(*keep)
+
+
+def synth_crawl_pages(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic input_hint-shaped crawl table for gates/tests:
+    ``urls.synth_urls`` crawl-variant URLs (3 variants per canonical page,
+    page p = doc_id div 3), a ``warc_ts`` with a distinct-per-variant
+    epoch except on tie pages (p % 13 == 5: all three variants share one
+    epoch — exercises the id tie-break), and an ``html`` payload wrapping
+    the document text with planted structures that hit every extraction
+    rule: title, conditional style/script/comment blocks (script contains
+    a raw ``<``), entity battery (incl. the ``&amp;lt;`` double-escape),
+    an occasional list, and uppercase tags on doc_id % 5 == 0.  The SQL
+    twin is entry.CRAWL_SQL; both must stay expression-identical."""
+    from .urls import synth_urls
+
+    d = F.col(id_col)
+    p = F.expr(f"{id_col} div 3")
+    epoch = F.when(
+        p % 13 == 5, F.lit(1700000000).cast("long")
+    ).otherwise((F.lit(1700000000) + (d * 7 % 11) * 3600).cast("long"))
+    tag_open = F.when(d % 5 == 0, "<DIV>").otherwise("<p>")
+    tag_close = F.when(d % 5 == 0, "</DIV>").otherwise("</p>")
+    style = F.when(
+        d % 4 == 1, "<style>p { color: red; }</style>"
+    ).otherwise("")
+    script = F.when(
+        d % 3 == 0, "<script>var x = 1 < 2;</script>"
+    ).otherwise("")
+    comment = F.when(d % 5 == 2, "<!-- hidden\nnote -->").otherwise("")
+    entities = F.when(
+        d % 2 == 0, "<p>Tom &amp; Jerry&nbsp;rule &amp;lt;ok&amp;gt;</p>"
+    ).otherwise("<p>1 &lt; 2 &gt; 0 &quot;q&quot; &#39;a&#39;</p>")
+    lst = F.when(
+        d % 7 == 3, "<ul><li>alpha</li><li>beta</li></ul>"
+    ).otherwise("")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        d.cast("string"),
+        F.lit("</title>"),
+        style,
+        script,
+        F.lit("</head><body>"),
+        comment,
+        tag_open,
+        F.col("text"),
+        tag_close,
+        entities,
+        lst,
+        F.lit("</body></html>"),
+    )
+    return synth_urls(docs, id_col=id_col).select(
+        d.alias(id_col),
+        "url",
+        F.timestamp_seconds(epoch).alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"),
+        F.col("text"),
+        F.lit("en").alias("lang"),
+        epoch.alias("warc_epoch"),
+    )
