@@ -1017,7 +1017,9 @@ def cmd_pipeline(args) -> int:
     composition a 100 TB corpus actually runs, each stage the gated
     operator it names:
 
-      read (parquet | jsonl w/ dead letter)
+      read (parquet | jsonl w/ dead letter | pages: recrawl collapse ->
+            HTML extraction w/ markup dead letter)
+      -> [per-domain doc cap] (pages/url-bearing inputs)
       -> preprocess: [c4] -> [line dedup] -> [pii] -> clean_corpus
          (langid -> quality -> exact dedup -> near-dup canonicalization)
       -> [decontaminate vs an eval set]
@@ -1025,7 +1027,8 @@ def cmd_pipeline(args) -> int:
       -> write <output>/docs  (+ [pack]: <output>/pack chunk assignments)
 
     Config keys (all stages optional except input/output):
-      {"input": p, "format": "parquet"|"jsonl", "dead_letter": p,
+      {"input": p, "format": "parquet"|"jsonl"|"pages", "dead_letter": p,
+       "domain_cap": N,
        "c4": true, "line_max_docs": N, "pii": true,
        "clean": {lang, min_tokens, min_stopword_ratio, jaccard, max_ring,
                  cc_checkpoint_dir},
@@ -1043,17 +1046,50 @@ def cmd_pipeline(args) -> int:
         cfg = json.load(f)
     spark = get_spark()
     stats = {}
-    if cfg.get("format", "parquet") == "jsonl":
+    fmt = cfg.get("format", "parquet")
+    ingested = None
+    if fmt == "jsonl":
         from elipdotter_spark.sources import corpus as corpus_src
 
         docs, dead = corpus_src.read_docs_jsonl(spark, cfg["input"])
         if cfg.get("dead_letter"):
             dead.write.mode("overwrite").parquet(cfg["dead_letter"])
         stats["n_dead_letter"] = dead.count()
+    elif fmt == "pages":
+        from elipdotter_spark.operators import html as html_ops
+
+        pages = spark.read.parquet(cfg["input"]).repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        ingested = html_ops.crawl_ingest(pages).cache()
+        bad = ingested.filter(F.col("has_markup"))
+        if cfg.get("dead_letter"):
+            bad.write.mode("overwrite").parquet(cfg["dead_letter"])
+        stats["n_crawls_in"] = pages.count()
+        stats["n_markup_dead"] = bad.count()
+        # page-level lang metadata deliberately dropped: clean_corpus
+        # recomputes langid from the extracted text (and a carried `lang`
+        # column would collide with its profile join)
+        keep_cols = [
+            c for c in ["doc_id", "url", "norm_url"] if c in ingested.columns
+        ]
+        docs = ingested.filter(~F.col("has_markup")).select(
+            *keep_cols, F.col("text_clean").alias("text")
+        )
     else:
         docs = spark.read.parquet(cfg["input"])
-    docs = docs.repartition(spark.sparkContext.defaultParallelism).cache()
+    docs = cached_input = docs.repartition(
+        spark.sparkContext.defaultParallelism
+    ).cache()
     stats["n_input"] = docs.count()
+    if ingested is not None:
+        ingested.unpersist()
+    if cfg.get("domain_cap"):
+        from elipdotter_spark.operators import urls as urls_ops
+
+        capped = urls_ops.domain_cap(docs, cap=int(cfg["domain_cap"]))
+        docs = docs.join(capped.select("doc_id"), "doc_id")
+        stats["after_domain_cap"] = docs.count()
 
     clean_kwargs = dict(cfg.get("clean", {}))
     cur = dedup.preprocess_corpus(
@@ -1101,7 +1137,7 @@ def cmd_pipeline(args) -> int:
             .agg(F.sum(F.col("last") + 1).alias("c"))
             .first()["c"]
         )
-    docs.unpersist()
+    cached_input.unpersist()
     print(json.dumps({**stats, "output": out_dir}))
     return 0
 

@@ -541,3 +541,52 @@ def test_cli_pipeline_end_to_end(cli, tmp_path, capsys):
     assert "[EMAIL]" in got[2]
     pack = sp.read.parquet(out + "/pack")
     assert pack.count() == 2 and s["n_chunks"] >= 2
+
+
+def test_cli_pipeline_pages_front_door(cli, tmp_path, capsys):
+    """pipeline --format pages: recrawl collapse -> HTML extraction ->
+    markup dead letter -> per-domain cap -> cleaner."""
+    import json as _json
+
+    sp = cli.get_spark()
+    inp = str(tmp_path / "pages")
+    text = "the a of and alpha beta gamma delta epsilon"
+    # docs 0+1: recrawl variants of ONE page (1 is later -> wins);
+    # doc 2: raw < leftover -> markup dead letter;
+    # docs 3+4: two pages on one domain -> domain_cap 1 keeps one
+    sp.createDataFrame(
+        [
+            (0, "https://a.example/p?utm_source=x", 10, f"<p>{text}</p>"),
+            (1, "https://A.EXAMPLE/p", 20, f"<p>{text} newer</p>"),
+            (2, "https://b.example/q", 10, f"<p>broken a < b {text}</p>"),
+            (3, "https://c.example/r1", 10, f"<p>{text} one</p>"),
+            (4, "https://c.example/r2", 10, f"<p>{text} two</p>"),
+        ],
+        "doc_id long, url string, warc_ts long, html string",
+    ).write.parquet(inp)
+    out = str(tmp_path / "out")
+    dead = str(tmp_path / "dead")
+    cfg = {
+        "input": inp,
+        "format": "pages",
+        "dead_letter": dead,
+        "domain_cap": 1,
+        "clean": {"lang": "en", "min_tokens": 3, "min_stopword_ratio": 0.0,
+                  "jaccard": 0.8, "max_ring": None},
+        "output": out,
+    }
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as f:
+        _json.dump(cfg, f)
+    assert cli.main(["pipeline", "--config", cfg_path]) == 0
+    s = _json_lines(capsys)[-1]
+    assert s["n_crawls_in"] == 5
+    assert s["n_markup_dead"] == 1
+    assert s["n_input"] == 3  # 4 canonical pages - 1 markup dead letter
+    assert s["after_domain_cap"] == 2  # c.example capped to one page
+    rows = {r["doc_id"]: r for r in sp.read.parquet(out + "/docs").collect()}
+    assert 1 in rows  # the later recrawl won
+    assert rows[1]["text"] == f"{text} newer"
+    assert rows[1]["norm_url"] == "https://a.example/p"
+    dl = sp.read.parquet(dead).collect()
+    assert [r["doc_id"] for r in dl] == [2] and dl[0]["has_markup"]
