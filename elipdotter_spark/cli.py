@@ -68,6 +68,27 @@ def cmd_build(args) -> int:
         else:
             extra["n_dead"] = dead.count()
         extra["dead_letter"] = args.dead_letter
+    elif getattr(args, "format", "parquet") == "pages":
+        # crawl front door: input_hint pages -> recrawl collapse -> HTML
+        # extraction; markup leftovers dead-letter instead of indexing
+        from pyspark.sql import functions as F
+
+        from elipdotter_spark.operators import html as html_ops
+
+        pages = spark.read.parquet(args.input).repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        ing = html_ops.crawl_ingest(pages)
+        bad = ing.filter(F.col("has_markup"))
+        if args.dead_letter:
+            bad.write.mode("overwrite").parquet(args.dead_letter)
+            extra["n_dead"] = spark.read.parquet(args.dead_letter).count()
+        else:
+            extra["n_dead"] = bad.count()
+        extra["dead_letter"] = args.dead_letter
+        docs = ing.filter(~F.col("has_markup")).select(
+            "doc_id", F.col("text_clean").alias("text"), "url", "norm_url"
+        )
     else:
         docs = spark.read.parquet(args.input)
     store = IndexStore(spark, args.output, gc_grace_sec=args.gc_grace_sec)
@@ -1200,9 +1221,12 @@ def main(argv=None) -> int:
                         "or the next publish).  Set >= the max query "
                         "duration on multi-reader clusters; 0 = delete "
                         "immediately (single-process default)")
-    b.add_argument("--format", choices=["parquet", "jsonl"], default="parquet",
+    b.add_argument("--format", choices=["parquet", "jsonl", "pages"],
+                   default="parquet",
                    help="input corpus format; jsonl routes schema-bad "
-                        "lines to the dead letter instead of failing")
+                        "lines to the dead letter instead of failing; "
+                        "pages runs the crawl front door (recrawl collapse "
+                        "+ HTML extraction, markup rows dead-lettered)")
     b.add_argument("--dead-letter", default=None, dest="dead_letter",
                    help="with --format jsonl: write rejected lines "
                         "(raw, reason) here as parquet")

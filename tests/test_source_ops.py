@@ -131,3 +131,61 @@ def test_cli_build_from_jsonl(tmp_path):
 
     store = IndexStore(spark, idx)
     assert store.corpus_stats()[0] == 50
+
+
+def test_cli_build_from_pages(tmp_path):
+    """cli build --format pages runs the crawl front door (recrawl collapse
+    + HTML extraction), dead-letters markup leftovers, and indexes the
+    extracted text; a query over the built store finds page content."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from elipdotter_spark import cli
+    from elipdotter_spark.operators import html as H
+
+    spark = cli.get_spark()
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .limit(60)
+        .select("doc_id", "text")
+    )
+    pages = H.synth_crawl_pages(docs).drop("warc_epoch")
+    # poison one page with a raw '<' leftover (unclosed, not a tag start)
+    pages = pages.withColumn(
+        "html",
+        F.when(
+            F.col("doc_id") == 1,  # doc 1 wins page 0's recrawl (epoch 7 > 3 > 0)
+            F.encode(F.lit("<p>broken a < b never closed"), "utf-8"),
+        ).otherwise(F.col("html")),
+    )
+    src = str(tmp_path / "pages")
+    pages.write.parquet(src)
+    idx = str(tmp_path / "idx")
+    dl = str(tmp_path / "dead")
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli.main([
+            "build", "--input", src, "--output", idx, "--segments", "2",
+            "--format", "pages", "--dead-letter", dl,
+        ])
+    assert rc == 0
+    out = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["n_dead"] == 1 and out["dead_letter"] == dl
+    dead = spark.read.parquet(dl).collect()
+    assert [r["doc_id"] for r in dead] == [1] and dead[0]["has_markup"]
+
+    from elipdotter_spark.sources.catalog import IndexStore
+
+    store = IndexStore(spark, idx)
+    # 60 crawls -> 20 canonical pages, minus the poisoned winner's page if
+    # doc 0 won its page (doc 0 is the tie/epoch loser or winner by
+    # arithmetic; just assert the collapse happened and the store serves)
+    n_docs = store.corpus_stats()[0]
+    assert n_docs in (19, 20)
+    # extracted title text ("doc" N) is indexed alongside the body
+    terms = store.published_terms().filter(F.col("term") == "doc").collect()
+    assert terms and terms[0]["df"] == n_docs
