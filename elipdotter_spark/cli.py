@@ -974,6 +974,11 @@ def cmd_urls(args) -> int:
     docs = spark.read.parquet(args.input).repartition(
         spark.sparkContext.defaultParallelism
     )
+    if args.block:
+        blocked = [b.strip() for b in args.block.split(",") if b.strip()]
+        audit = u.block_domains(docs, blocked, url_col=args.url_col)
+        n_blocked = audit.filter(F.col("blocked")).count()
+        docs = audit.filter(~F.col("blocked")).select(*docs.columns)
     parsed = u.parse_urls(docs, url_col=args.url_col)
     agg = parsed.agg(
         F.count("*").alias("n_docs"),
@@ -982,6 +987,8 @@ def cmd_urls(args) -> int:
         F.sum((F.col("norm_url") == "").cast("long")).alias("n_unparseable"),
     ).first()
     out = {**agg.asDict(), "output": args.output, "cap": args.cap}
+    if args.block:
+        out["n_blocked"] = n_blocked
     if args.output:
         keep = parsed.withColumn(
             "_rn",
@@ -1049,7 +1056,7 @@ def cmd_pipeline(args) -> int:
 
     Config keys (all stages optional except input/output):
       {"input": p, "format": "parquet"|"jsonl"|"pages", "dead_letter": p,
-       "domain_cap": N,
+       "block_domains": [d1, d2, ...], "domain_cap": N,
        "c4": true, "line_max_docs": N, "pii": true,
        "clean": {lang, min_tokens, min_stopword_ratio, jaccard, max_ring,
                  cc_checkpoint_dir},
@@ -1105,6 +1112,12 @@ def cmd_pipeline(args) -> int:
     stats["n_input"] = docs.count()
     if ingested is not None:
         ingested.unpersist()
+    if cfg.get("block_domains"):
+        from elipdotter_spark.operators import urls as urls_ops
+
+        audit = urls_ops.block_domains(docs, list(cfg["block_domains"]))
+        docs = audit.filter(~F.col("blocked")).select(*docs.columns)
+        stats["after_domain_block"] = docs.count()
     if cfg.get("domain_cap"):
         from elipdotter_spark.operators import urls as urls_ops
 
@@ -1495,6 +1508,10 @@ def main(argv=None) -> int:
                     help="write the URL-deduped corpus (survivor rows)")
     ur.add_argument("--cap", type=int, default=0,
                     help="also cap docs per registered domain (0 = off)")
+    ur.add_argument("--block", default=None,
+                    help="comma-separated domain blocklist (an entry "
+                         "blocks itself and all subdomains); blocked docs "
+                         "are dropped before the audit/dedup")
     ur.set_defaults(fn=cmd_urls)
 
     cr = sub.add_parser("crawl")

@@ -1163,6 +1163,16 @@ def q_web_domain_cap(spark, sf_dir):
     return urls.domain_cap(_url_docs(spark, sf_dir), cap=3)
 
 
+def q_web_domain_block(spark, sf_dir):
+    """Domain-blocklist audit: an entry blocks itself and every subdomain
+    (dot-suffix match); literal-list path — one codegen projection, no
+    shuffle, not even a broadcast."""
+    return urls.block_domains(
+        _url_docs(spark, sf_dir),
+        ["site0.com", "site5.org", "blog.site2.org"],
+    ).select("doc_id", "host", "registered_domain", "blocked")
+
+
 def _crawl_pages(spark, sf_dir):
     """input_hint-shaped pages: documents + synth urls + warc_ts epochs +
     an html payload planting every extraction rule (html.synth_crawl_pages;
@@ -1754,6 +1764,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_url_dedup": q_web_url_dedup,
         "web_domain_stats": q_web_domain_stats,
         "web_domain_cap": q_web_domain_cap,
+        "web_domain_block": q_web_domain_block,
         "web_html_extract": q_web_html_extract,
         "web_recrawl_latest": q_web_recrawl_latest,
         "web_crawl_ingest": q_web_crawl_ingest,
@@ -3147,6 +3158,22 @@ def oracle_sql() -> Dict[str, str]:
                 FROM ukeyed
             )
             SELECT doc_id, registered_domain, rk FROM uranked WHERE rk <= 3
+        """,
+        "web_domain_block": f"""
+            WITH {URLS_SQL},
+            bsuf AS (
+                SELECT doc_id, host, registered_domain,
+                       string_split(host, '.') AS labels
+                FROM ucanon
+            )
+            SELECT doc_id, host, registered_domain,
+                   len(list_intersect(
+                       list_transform(range(1, len(labels) + 1),
+                           i -> array_to_string(
+                               list_slice(labels, i, len(labels)), '.')),
+                       ['site0.com', 'site5.org', 'blog.site2.org'])) > 0
+                   AS blocked
+            FROM bsuf
         """,
         "web_html_extract": f"""
             WITH {HTML_SYNTH_SQL}, {_html_extract_ctes()}

@@ -189,6 +189,57 @@ def domain_cap(
     )
 
 
+def host_suffixes(host_col) -> "F.Column":
+    """All dot-suffixes of a host: ``a.b.co.uk -> [a.b.co.uk, b.co.uk,
+    co.uk, uk]`` — the matching unit for blocklists and public-suffix
+    rules (an entry blocks itself and every subdomain)."""
+    labels = F.split(host_col, r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n - i + 1), "."),
+    )
+
+
+def block_domains(
+    df: DataFrame,
+    blocked,
+    url_col: str = "url",
+) -> DataFrame:
+    """Domain-blocklist audit: adds ``blocked`` — true when ANY dot-suffix
+    of the host appears in the blocklist (entry ``example.com`` blocks
+    ``example.com`` and all subdomains) — the UT1/adult/malware blocklist
+    step every web pipeline runs before spending compute on a page.
+
+    ``blocked`` may be a Python list (≲ thousands of entries: compiled to
+    a literal array — pure whole-stage-codegen projection, NO shuffle, no
+    broadcast even) or a single-column DataFrame (PSL-scale lists: the
+    exploded host-suffix table left-semi-joins the list — Catalyst/AQE
+    broadcasts the megabyte side, the corpus never shuffles).  Both paths
+    produce identical verdicts (pytest-pinned)."""
+    parsed = parse_urls(df, url_col)
+    # host materialized by parse_urls; suffixes named once (HOF lesson)
+    withsuf = parsed.withColumn("_suf", host_suffixes(F.col("host")))
+    if isinstance(blocked, DataFrame):
+        bcol = blocked.columns[0]
+        hits = (
+            withsuf.select("doc_id", F.explode("_suf").alias("_s"))
+            .join(blocked.select(F.col(bcol).alias("_s")), "_s")
+            .select("doc_id")
+            .distinct()
+            .withColumn("blocked", F.lit(True))
+        )
+        return (
+            withsuf.join(hits, "doc_id", "left")
+            .withColumn("blocked", F.coalesce("blocked", F.lit(False)))
+            .drop("_suf")
+        )
+    arr = F.array(*[F.lit(b) for b in blocked])
+    return withsuf.withColumn(
+        "blocked", F.size(F.array_intersect("_suf", arr)) > 0
+    ).drop("_suf")
+
+
 def synth_urls(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic crawl-shaped URL per document for gates/tests: page
     identity is ``doc_id div 3`` (so 3 crawl variants share one canonical

@@ -106,3 +106,54 @@ def test_parse_plan_is_single_stage(spark):
     ids = spark.range(0, 10).select(F.col("id").alias("doc_id"))
     plan = urls.parse_urls(urls.synth_urls(ids))._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+@pytest.mark.spark
+def test_block_domains_suffix_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "https://ads.example.com/x"),    # subdomain of blocked
+            (1, "https://example.com/y"),        # exact blocked
+            (2, "https://notexample.com/z"),     # NOT a suffix match
+            (3, "https://sub.deep.bad.co.uk/w"), # deep subdomain
+            (4, "https://good.org/v"),
+            (5, "https://only.this.net/u"),      # entry is a subdomain
+            (6, "https://this.net/t"),           # parent of entry: NOT blocked
+        ],
+        "doc_id long, url string",
+    )
+    blocked = ["example.com", "bad.co.uk", "only.this.net"]
+    got = {
+        r.doc_id: r.blocked
+        for r in urls.block_domains(df, blocked).collect()
+    }
+    assert got == {0: True, 1: True, 2: False, 3: True, 4: False,
+                   5: True, 6: False}
+
+
+@pytest.mark.spark
+def test_block_domains_dataframe_path_matches_list(spark):
+    ids = spark.range(0, 150).select(F.col("id").alias("doc_id"))
+    docs = urls.synth_urls(ids)
+    blocked = ["site0.com", "blog.site2.org"]
+    lst = sorted(
+        (r.doc_id, r.blocked)
+        for r in urls.block_domains(docs, blocked).collect()
+    )
+    bdf = spark.createDataFrame([(b,) for b in blocked], "domain string")
+    dfp = sorted(
+        (r.doc_id, r.blocked)
+        for r in urls.block_domains(docs, bdf).collect()
+    )
+    assert lst == dfp
+    assert any(b for _, b in lst) and not all(b for _, b in lst)
+
+
+@pytest.mark.spark
+def test_block_domains_list_plan_no_shuffle(spark):
+    ids = spark.range(0, 10).select(F.col("id").alias("doc_id"))
+    plan = (
+        urls.block_domains(urls.synth_urls(ids), ["site0.com"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
