@@ -310,15 +310,26 @@ uurls AS (
            AS url
     FROM unoise
 ),
-uparsed AS (
+__URL_PARSE_TAIL__
+"""
+
+
+def _url_parse_ctes(src: str, x: str) -> str:
+    """DuckDB twin of operators/urls.py parse_urls over an arbitrary
+    ``(doc_id, url)`` CTE ``src`` — GENERATED (prefix ``x``) so the synth-
+    URL gates and the outlink-target parse share one chain that cannot
+    drift."""
+    rx = "'^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#(.*))?$'"
+    return f"""
+{x}parsed AS (
     SELECT doc_id, url,
-           lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#(.*))?$', 1)) AS scheme,
-           regexp_replace(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#(.*))?$', 2), '^[^@]*@', '') AS auth,
-           regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#(.*))?$', 3) AS rawpath,
-           regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#(.*))?$', 4) AS query
-    FROM uurls
+           lower(regexp_extract(url, {rx}, 1)) AS scheme,
+           regexp_replace(regexp_extract(url, {rx}, 2), '^[^@]*@', '') AS auth,
+           regexp_extract(url, {rx}, 3) AS rawpath,
+           regexp_extract(url, {rx}, 4) AS query
+    FROM {src}
 ),
-uderived AS (
+{x}derived AS (
     SELECT doc_id, url, scheme,
            lower(regexp_replace(auth, ':[0-9]+$', '')) AS host,
            CASE WHEN (scheme = 'http' AND regexp_extract(auth, ':([0-9]+)$', 1) = '80')
@@ -332,12 +343,12 @@ uderived AS (
                 ELSE list_sort(list_filter(string_split(query, '&'),
                      x -> NOT regexp_matches(x, '^(utm_[a-z0-9_]+|fbclid|gclid|msclkid|mc_[a-z]+|ref|ref_src)=')))
            END AS kept
-    FROM uparsed
+    FROM {x}parsed
 ),
-ucanon AS (
+{x}canon AS (
     SELECT doc_id, url, scheme, host,
            CASE WHEN regexp_matches(host, '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$') THEN host
-                ELSE regexp_extract(host, '([a-z0-9-]+\\.(?:co|ac|gov|net|org|com)\\.[a-z]{2}|[a-z0-9-]+\\.[a-z0-9-]+)$', 1)
+                ELSE regexp_extract(host, '([a-z0-9-]+\\.(?:co|ac|gov|net|org|com)\\.[a-z]{{2}}|[a-z0-9-]+\\.[a-z0-9-]+)$', 1)
            END AS registered_domain,
            CAST(len(list_filter(string_split(path, '/'), s -> s != '')) AS BIGINT) AS path_depth,
            CAST(len(kept) AS BIGINT) AS n_params,
@@ -348,9 +359,11 @@ ucanon AS (
                      || (CASE WHEN len(kept) = 0 THEN ''
                           ELSE '?' || array_to_string(kept, '&') END)
            END AS norm_url
-    FROM uderived
-)
-"""
+    FROM {x}derived
+)"""
+
+
+URLS_SQL = URLS_SQL.replace("__URL_PARSE_TAIL__", _url_parse_ctes("uurls", "u"))
 
 # Crawl-page synthesis twin (operators/html.py synth_crawl_pages): a
 # deterministic warc_ts epoch (tie pages p % 13 == 5 share one epoch — the
@@ -371,14 +384,27 @@ hstruct AS (
            CASE WHEN doc_id % 5 = 2 THEN '<!-- hidden' || chr(10) || 'note -->' ELSE '' END AS comm,
            CASE WHEN doc_id % 2 = 0 THEN '<p>Tom &amp; Jerry&nbsp;rule &amp;lt;ok&amp;gt;</p>'
                 ELSE '<p>1 &lt; 2 &gt; 0 &quot;q&quot; &#39;a&#39;</p>' END AS entities,
-           CASE WHEN doc_id % 7 = 3 THEN '<ul><li>alpha</li><li>beta</li></ul>' ELSE '' END AS lst
+           CASE WHEN doc_id % 7 = 3 THEN '<ul><li>alpha</li><li>beta</li></ul>' ELSE '' END AS lst,
+           '<a href="https://out' || CAST(p % 4 AS VARCHAR) || '.example/p'
+               || CAST(p AS VARCHAR) || '">more</a>' AS link1,
+           CASE WHEN doc_id % 2 = 0 THEN '<a href="/rel/x">rel</a>' ELSE '' END AS link2,
+           CASE WHEN doc_id % 9 = 4 THEN '<a href=''https://q.example/s'
+                || CAST(doc_id AS VARCHAR) || '''>q</a>' ELSE '' END AS link3,
+           CASE WHEN doc_id % 11 = 7
+                THEN '<meta name="robots" content="noindex,nofollow">'
+                ELSE '' END AS robots,
+           CASE WHEN doc_id % 6 = 1
+                THEN '<link rel="canonical" href="https://site' || CAST(p % 7 AS VARCHAR)
+                     || '.example/canon/' || CAST(p AS VARCHAR) || '">'
+                ELSE '' END AS canon
     FROM hparts
 ),
 chtml AS (
     SELECT doc_id, p, warc_epoch,
            '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>'
-           || style || script || '</head><body>' || comm || tag_open || text
-           || tag_close || entities || lst || '</body></html>' AS html
+           || robots || canon || style || script || '</head><body>' || comm
+           || tag_open || text || tag_close || entities || lst
+           || link1 || link2 || link3 || '</body></html>' AS html
     FROM hstruct
 )
 """
@@ -393,6 +419,22 @@ def _html_sql_chain(expr: str, steps) -> str:
         r = rep.replace("'", "''")
         expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
     return expr
+
+
+def _sql_pat(pat: str) -> str:
+    """Embed a shared Java∩RE2 pattern constant as a DuckDB string literal."""
+    return "'" + pat.replace("'", "''") + "'"
+
+
+def _href_sql(col: str) -> str:
+    """Anchor-href extraction twin, generated from the SAME pattern
+    constants the Spark operator uses (operators/html.py)."""
+    from .operators.html import HREF_DQ, HREF_SQ
+
+    return (
+        f"list_concat(regexp_extract_all({col}, {_sql_pat(HREF_DQ)}, 1), "
+        f"regexp_extract_all({col}, {_sql_pat(HREF_SQ)}, 1))"
+    )
 
 
 def _html_extract_ctes() -> str:
@@ -1207,6 +1249,27 @@ def q_web_crawl_ingest(spark, sf_dir):
     )
 
 
+def q_web_outlinks(spark, sf_dir):
+    """Webgraph edge list: absolute anchor hrefs (double- and single-
+    quoted) extracted in a codegen projection, targets canonicalized by
+    the same parse the page URLs use."""
+    return html.outlinks(_crawl_pages(spark, sf_dir))
+
+
+def q_web_link_stats(spark, sf_dir):
+    """Per-target-domain in-link accounting over the edge list — the
+    centrality-ish domain-quality signal."""
+    return html.link_stats(_crawl_pages(spark, sf_dir))
+
+
+def q_web_page_flags(spark, sf_dir):
+    """Crawl directives: robots-noindex flag + self-declared rel=canonical
+    target ('' when absent) — pure projection."""
+    return html.page_flags(_crawl_pages(spark, sf_dir)).select(
+        "doc_id", "noindex", "canonical_url"
+    )
+
+
 def q_ann_quantize(spark, sf_dir):
     """Symmetric int8 embedding quantization audit: per-vector scale,
     quantized checksums, max reconstruction error."""
@@ -1768,6 +1831,9 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_html_extract": q_web_html_extract,
         "web_recrawl_latest": q_web_recrawl_latest,
         "web_crawl_ingest": q_web_crawl_ingest,
+        "web_outlinks": q_web_outlinks,
+        "web_link_stats": q_web_link_stats,
+        "web_page_flags": q_web_page_flags,
         "ann_quantize": q_ann_quantize,
         "ann_quantized_topk": q_ann_quantized_topk,
         "txt_line_stats": q_txt_line_stats,
@@ -3178,6 +3244,43 @@ def oracle_sql() -> Dict[str, str]:
         "web_html_extract": f"""
             WITH {HTML_SYNTH_SQL}, {_html_extract_ctes()}
             SELECT doc_id, extracted, has_markup FROM hextract
+        """,
+        "web_outlinks": f"""
+            WITH {HTML_SYNTH_SQL},
+            lraw AS (
+                SELECT doc_id, unnest({_href_sql("html")}) AS url FROM chtml
+            ),
+            labs AS (
+                SELECT doc_id, url FROM lraw
+                WHERE url LIKE 'http://%' OR url LIKE 'https://%'
+            ),
+            {_url_parse_ctes("labs", "l")}
+            SELECT doc_id, url AS dst_url, norm_url AS dst_norm_url,
+                   registered_domain AS dst_domain
+            FROM lcanon
+        """,
+        "web_link_stats": f"""
+            WITH {HTML_SYNTH_SQL},
+            lraw AS (
+                SELECT doc_id, unnest({_href_sql("html")}) AS url FROM chtml
+            ),
+            labs AS (
+                SELECT doc_id, url FROM lraw
+                WHERE url LIKE 'http://%' OR url LIKE 'https://%'
+            ),
+            {_url_parse_ctes("labs", "l")}
+            SELECT registered_domain AS dst_domain,
+                   CAST(count(*) AS BIGINT) AS n_links,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_src_pages,
+                   CAST(count(DISTINCT norm_url) AS BIGINT) AS n_dst_pages
+            FROM lcanon GROUP BY 1
+        """,
+        "web_page_flags": f"""
+            WITH {HTML_SYNTH_SQL}
+            SELECT doc_id,
+                   regexp_matches(html, {_sql_pat(html.ROBOTS_NOINDEX)}) AS noindex,
+                   regexp_extract(html, {_sql_pat(html.CANONICAL_HREF)}, 1) AS canonical_url
+            FROM chtml
         """,
         "web_recrawl_latest": f"""
             WITH {URLS_SQL}, {HTML_SYNTH_SQL}, {RECRAWL_SQL}

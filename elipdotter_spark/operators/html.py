@@ -166,6 +166,97 @@ def crawl_ingest(
     return out.select(*keep)
 
 
+# anchor href: <a + whitespace, attrs, href = "..." or '...'; two variants
+# because a backref-free (RE2) pattern can't tie the quote pair
+HREF_DQ = r"(?si)<a[ \t\n\r\f][^>]*href[ \t\n\r\f]*=[ \t\n\r\f]*\"([^\"]+)\""
+HREF_SQ = r"(?si)<a[ \t\n\r\f][^>]*href[ \t\n\r\f]*=[ \t\n\r\f]*'([^']+)'"
+ROBOTS_NOINDEX = (
+    r"(?si)<meta[ \t\n\r\f][^>]*name[ \t\n\r\f]*=[ \t\n\r\f]*\"robots\""
+    r"[^>]*content[ \t\n\r\f]*=[ \t\n\r\f]*\"[^\"]*noindex[^\"]*\""
+)
+CANONICAL_HREF = (
+    r"(?si)<link[ \t\n\r\f][^>]*rel[ \t\n\r\f]*=[ \t\n\r\f]*\"canonical\""
+    r"[^>]*href[ \t\n\r\f]*=[ \t\n\r\f]*\"([^\"]+)\""
+)
+
+
+def _html_str(pages: DataFrame, html_col: str) -> Column:
+    dtype = dict(pages.dtypes)[html_col]
+    return (
+        F.decode(F.col(html_col), "utf-8")
+        if dtype == "binary"
+        else F.col(html_col)
+    )
+
+
+def outlinks(
+    pages: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """The webgraph edge list: one row per ABSOLUTE http(s) anchor href —
+    ``(doc_id, dst_url, dst_norm_url, dst_domain)`` with the target
+    canonicalized by ``urls.parse_urls`` (link identity must match page
+    identity or the graph joins miss).  Relative links are skipped (a
+    production run resolves them against the page URL first — same plan,
+    one concat).  Extraction is regexp_extract_all in a codegen
+    projection + one explode; double- and single-quoted hrefs are two
+    patterns because RE2 has no backreferences to tie the quote pair.
+    No shuffle — the edge list lands partitioned by source page."""
+    from .urls import parse_urls
+
+    raw = _html_str(pages, html_col)
+    # concat, not array_union: a page linking the same target twice is two
+    # edges (union would silently dedup and skew in-link counts)
+    hrefs = F.concat(
+        F.regexp_extract_all(raw, F.lit(HREF_DQ), 1),
+        F.regexp_extract_all(raw, F.lit(HREF_SQ), 1),
+    )
+    edges = (
+        pages.select(F.col(id_col), F.explode(hrefs).alias("dst_url"))
+        .filter(
+            F.col("dst_url").startswith("http://")
+            | F.col("dst_url").startswith("https://")
+        )
+    )
+    parsed = parse_urls(edges, url_col="dst_url")
+    return parsed.select(
+        id_col,
+        "dst_url",
+        F.col("norm_url").alias("dst_norm_url"),
+        F.col("registered_domain").alias("dst_domain"),
+    )
+
+
+def link_stats(
+    pages: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-target-domain in-link accounting over the outlink edge list:
+    in-links, distinct source pages, distinct target pages — the
+    centrality-ish quality signal web corpora rank domains by.  One
+    map-side-combined aggregate on the (small) domain key."""
+    e = outlinks(pages, html_col=html_col, id_col=id_col)
+    return e.groupBy("dst_domain").agg(
+        F.count("*").alias("n_links"),
+        F.countDistinct(id_col).alias("n_src_pages"),
+        F.countDistinct("dst_norm_url").alias("n_dst_pages"),
+    )
+
+
+def page_flags(
+    pages: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Crawl-directive flags: ``noindex`` (a robots meta whose content
+    contains ``noindex`` — such pages must be dropped before indexing)
+    and ``canonical_url`` (the page's self-declared rel=canonical target,
+    '' when absent — STRONGER dedup identity than URL normalization when
+    present).  Pure codegen projection, no shuffle."""
+    raw = _html_str(pages, html_col)
+    return pages.withColumn("_h", raw).select(
+        *pages.columns,
+        (F.regexp_count(F.col("_h"), F.lit(ROBOTS_NOINDEX)) > 0).alias("noindex"),
+        F.regexp_extract(F.col("_h"), CANONICAL_HREF, 1).alias("canonical_url"),
+    )
+
+
 def synth_crawl_pages(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic input_hint-shaped crawl table for gates/tests:
     ``urls.synth_urls`` crawl-variant URLs (3 variants per canonical page,
@@ -199,10 +290,44 @@ def synth_crawl_pages(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     lst = F.when(
         d % 7 == 3, "<ul><li>alpha</li><li>beta</li></ul>"
     ).otherwise("")
+    # webgraph structures: one absolute outlink per doc, a relative link
+    # (excluded by the absolute filter) on evens, a single-quoted href
+    # variant, robots-noindex meta, rel=canonical link
+    link1 = F.concat(
+        F.lit("<a href=\"https://out"),
+        (p % 4).cast("string"),
+        F.lit(".example/p"),
+        p.cast("string"),
+        F.lit("\">more</a>"),
+    )
+    link2 = F.when(d % 2 == 0, "<a href=\"/rel/x\">rel</a>").otherwise("")
+    link3 = F.when(
+        d % 9 == 4,
+        F.concat(
+            F.lit("<a href='https://q.example/s"),
+            d.cast("string"),
+            F.lit("'>q</a>"),
+        ),
+    ).otherwise("")
+    robots = F.when(
+        d % 11 == 7, "<meta name=\"robots\" content=\"noindex,nofollow\">"
+    ).otherwise("")
+    canon = F.when(
+        d % 6 == 1,
+        F.concat(
+            F.lit("<link rel=\"canonical\" href=\"https://site"),
+            (p % 7).cast("string"),
+            F.lit(".example/canon/"),
+            p.cast("string"),
+            F.lit("\">"),
+        ),
+    ).otherwise("")
     html = F.concat(
         F.lit("<html><head><title>Doc "),
         d.cast("string"),
         F.lit("</title>"),
+        robots,
+        canon,
         style,
         script,
         F.lit("</head><body>"),
@@ -212,6 +337,9 @@ def synth_crawl_pages(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         tag_close,
         entities,
         lst,
+        link1,
+        link2,
+        link3,
         F.lit("</body></html>"),
     )
     return synth_urls(docs, id_col=id_col).select(

@@ -136,3 +136,65 @@ def test_recrawl_unparseable_urls_preserved(spark):
     assert set(out) == {2, 3}
     assert out[2].n_crawls == 2 and out[2].norm_url == ""
     assert out[3].n_crawls == 1
+
+
+@pytest.mark.spark
+def test_outlinks_extraction(spark):
+    df = spark.createDataFrame(
+        [
+            (0, '<a href="https://a.example/x?utm_source=t">one</a>'
+                "<a href='https://b.example/y/'>two</a>"
+                '<a href="/relative">rel</a>'
+                '<a href="mailto:x@y.z">mail</a>'),
+            # same target twice = two edges; <area href> must NOT match <a
+            (1, '<a href="https://a.example/x">p</a>'
+                '<a class="b" href="https://a.example/x">q</a>'
+                '<area href="https://map.example/z">'),
+            (2, "no links here"),
+        ],
+        "doc_id long, html string",
+    )
+    rows = sorted(
+        (r.doc_id, r.dst_norm_url) for r in H.outlinks(df).collect()
+    )
+    assert rows == [
+        (0, "https://a.example/x"),   # tracking param normalized away
+        (0, "https://b.example/y"),   # trailing slash normalized
+        (1, "https://a.example/x"),
+        (1, "https://a.example/x"),   # multiplicity preserved
+    ]
+
+
+@pytest.mark.spark
+def test_page_flags(spark):
+    df = spark.createDataFrame(
+        [
+            (0, '<meta name="robots" content="noindex,nofollow"><p>x</p>'),
+            (1, '<meta name="robots" content="index,follow"><p>x</p>'),
+            (2, '<link rel="canonical" href="https://c.example/canon"><p>x</p>'),
+            (3, "<p>plain</p>"),
+            (4, '<META name="robots" content="NOINDEX">'),  # case-insens
+        ],
+        "doc_id long, html string",
+    )
+    got = {r.doc_id: (r.noindex, r.canonical_url)
+           for r in H.page_flags(df).collect()}
+    assert got[0] == (True, "")
+    assert got[1] == (False, "")
+    assert got[2] == (False, "https://c.example/canon")
+    assert got[3] == (False, "")
+    assert got[4][0] is True
+
+
+@pytest.mark.spark
+def test_link_stats_aggregation(spark):
+    docs = spark.range(0, 90).select(F.col("id").alias("doc_id"),
+                                     F.lit("t").alias("text"))
+    pages = H.synth_crawl_pages(docs)
+    stats = {r.dst_domain: r for r in H.link_stats(pages).collect()}
+    # every page links out{p%4}.example; q.example from d%9==4 variants
+    assert set(stats) == {"out0.example", "out1.example", "out2.example",
+                          "out3.example", "q.example"}
+    assert sum(r.n_links for r in stats.values()) == 90 + len(
+        [d for d in range(90) if d % 9 == 4]
+    )
