@@ -1040,6 +1040,35 @@ def cmd_crawl(args) -> int:
     return 0
 
 
+def cmd_rank(args) -> int:
+    """Domain PageRank over the crawl's outlink graph (operators/webgraph,
+    gated by web_domain_rank): pages table in, (domain, rank) out; prints
+    the top 10 + graph stats; --output writes the full rank table."""
+    from pyspark.sql import functions as F
+
+    from elipdotter_spark.operators import webgraph
+
+    spark = get_spark()
+    pages = spark.read.parquet(args.input).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    edges = webgraph.domain_edges(pages)
+    ranks = webgraph.domain_rank(edges, iters=args.iters, damping=args.damping)
+    n_edges = edges.count()
+    top = ranks.orderBy(F.col("rank").desc(), "domain").limit(10).collect()
+    out = {
+        "n_domains": ranks.count(),
+        "n_edges": n_edges,
+        "iters": args.iters,
+        "top": [{"domain": r.domain, "rank": r.rank} for r in top],
+        "output": args.output,
+    }
+    if args.output:
+        ranks.write.mode("overwrite").parquet(args.output)
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_pipeline(args) -> int:
     """End-to-end pretraining dataset build from ONE JSON config — the
     composition a 100 TB corpus actually runs, each stage the gated
@@ -1522,6 +1551,15 @@ def main(argv=None) -> int:
     cr.add_argument("--output", default=None,
                     help="write the extracted documents-shaped corpus")
     cr.set_defaults(fn=cmd_crawl)
+
+    rk = sub.add_parser("rank")
+    rk.add_argument("--input", required=True,
+                    help="parquet pages table (url + html columns)")
+    rk.add_argument("--iters", type=int, default=10)
+    rk.add_argument("--damping", type=float, default=0.85)
+    rk.add_argument("--output", default=None,
+                    help="write the (domain, rank) table")
+    rk.set_defaults(fn=cmd_rank)
 
     pl = sub.add_parser("pipeline")
     pl.add_argument("--config", required=True,

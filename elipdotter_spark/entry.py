@@ -450,6 +450,57 @@ def _html_extract_ctes() -> str:
     )
 
 
+def _domain_rank_sql(iters: int = 10, damping: float = 0.85) -> str:
+    """GENERATED per-iteration PageRank CTE chain (DuckDB twin of
+    operators/webgraph.py domain_rank) — one (dangling, contrib, rank)
+    CTE triple per iteration over the gedges/gnodes/gn/goutdeg graph
+    CTEs.  The contribution is written ``rank * (weight / od)`` to match
+    the Spark operator's FP association exactly."""
+    steps = []
+    for k in range(iters):
+        steps.append(f"""
+gd{k} AS MATERIALIZED (
+    SELECT coalesce(sum(rank), 0.0) AS dm FROM gr{k}
+    WHERE domain NOT IN (SELECT src_domain FROM goutdeg)
+),
+gc{k} AS MATERIALIZED (
+    SELECT e.dst_domain AS domain, sum(r.rank * (e.weight / o.od)) AS s
+    FROM gr{k} r
+    JOIN gedges e ON r.domain = e.src_domain
+    JOIN goutdeg o ON o.src_domain = e.src_domain
+    GROUP BY 1
+),
+gr{k + 1} AS MATERIALIZED (
+    SELECT n.domain,
+           (1 - {damping}) / (SELECT n FROM gn)
+           + {damping} * (coalesce(c.s, 0.0)
+                          + (SELECT dm FROM gd{k}) / (SELECT n FROM gn)) AS rank
+    FROM gnodes n LEFT JOIN gc{k} c USING (domain)
+)""")
+    return ",".join(steps)
+
+
+# weighted domain graph over the page-url parse (ucanon) x outlink-target
+# parse (lcanon): twin of webgraph.domain_edges
+GRAPH_SQL = """
+gedges AS MATERIALIZED (
+    SELECT u.registered_domain AS src_domain, l.registered_domain AS dst_domain,
+           CAST(count(*) AS DOUBLE) AS weight
+    FROM ucanon u JOIN lcanon l USING (doc_id)
+    WHERE u.registered_domain != '' AND l.registered_domain != ''
+    GROUP BY 1, 2
+),
+gnodes AS MATERIALIZED (
+    SELECT DISTINCT src_domain AS domain FROM gedges
+    UNION
+    SELECT DISTINCT dst_domain FROM gedges
+),
+gn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM gnodes),
+goutdeg AS MATERIALIZED (SELECT src_domain, sum(weight) AS od FROM gedges GROUP BY 1),
+gr0 AS MATERIALIZED (SELECT domain, 1.0 / (SELECT n FROM gn) AS rank FROM gnodes)
+"""
+
+
 # recrawl latest-wins twin: canonical key (unparseable urls keyed raw:),
 # winner = max (warc_epoch, doc_id) per key, plus the crawl count
 RECRAWL_SQL = """
@@ -1262,6 +1313,16 @@ def q_web_link_stats(spark, sf_dir):
     return html.link_stats(_crawl_pages(spark, sf_dir))
 
 
+def q_web_domain_rank(spark, sf_dir):
+    """Domain-level PageRank (10 iterations, d=0.85) over the weighted
+    outlink graph — iterative DataFrame loop with checkpointed lineage;
+    oracle is a generated per-iteration CTE chain; compared on
+    round(rank, 6)."""
+    from .operators import webgraph
+
+    return webgraph.domain_rank_pages(_crawl_pages(spark, sf_dir), iters=10)
+
+
 def q_web_page_flags(spark, sf_dir):
     """Crawl directives: robots-noindex flag + self-declared rel=canonical
     target ('' when absent) — pure projection."""
@@ -1834,6 +1895,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_outlinks": q_web_outlinks,
         "web_link_stats": q_web_link_stats,
         "web_page_flags": q_web_page_flags,
+        "web_domain_rank": q_web_domain_rank,
         "ann_quantize": q_ann_quantize,
         "ann_quantized_topk": q_ann_quantized_topk,
         "txt_line_stats": q_txt_line_stats,
@@ -3281,6 +3343,20 @@ def oracle_sql() -> Dict[str, str]:
                    regexp_matches(html, {_sql_pat(html.ROBOTS_NOINDEX)}) AS noindex,
                    regexp_extract(html, {_sql_pat(html.CANONICAL_HREF)}, 1) AS canonical_url
             FROM chtml
+        """,
+        "web_domain_rank": f"""
+            WITH {URLS_SQL}, {HTML_SYNTH_SQL},
+            lraw AS (
+                SELECT doc_id, unnest({_href_sql("html")}) AS url FROM chtml
+            ),
+            labs AS (
+                SELECT doc_id, url FROM lraw
+                WHERE url LIKE 'http://%' OR url LIKE 'https://%'
+            ),
+            {_url_parse_ctes("labs", "l")},
+            {GRAPH_SQL},
+            {_domain_rank_sql(iters=10, damping=0.85)}
+            SELECT domain, round(rank, 6) AS rank FROM gr10
         """,
         "web_recrawl_latest": f"""
             WITH {URLS_SQL}, {HTML_SYNTH_SQL}, {RECRAWL_SQL}
