@@ -15,6 +15,9 @@ reports per-op throughput:
   - lm_score: unigram model aggregate + broadcast scoring join
   - sample_budget: per-source cumulative-sum windows (20 sources)
   - quantize: int8 audit over ~1M replicated embedding vectors (no shuffle)
+  - html_extract / crawl_ingest / url_dedup / domain_block /
+    domain_rank_10: session-8 crawl front door + URL/webgraph ops over a
+    synthesized 1M-row input_hint pages table
 
 Prints ONE JSON line.  Run standalone (never concurrently with the bench):
   PYTHONPATH=/root/repo python scripts/bench_pipeline_1m.py [replicas]
@@ -137,6 +140,50 @@ def main():
         .agg(F.sum(F.col("kept").cast("long")), F.sum("n_tokens"))
         .collect(),
     )
+    # session-8 web ops: synthesize an input_hint pages table (1 crawl
+    # variant set per doc — 3 docs share a canonical page) and time the
+    # crawl front door + URL/graph ops over it
+    from elipdotter_spark.operators import html as html_ops
+    from elipdotter_spark.operators import urls as urls_ops
+    from elipdotter_spark.operators import webgraph
+
+    html_ops.synth_crawl_pages(docs1m.select("doc_id", "text")).drop(
+        "warc_epoch"
+    ).write.mode("overwrite").parquet(root + "/pages")
+    pages1m = spark.read.parquet(root + "/pages")
+    out["n_pages_in"] = pages1m.count()
+    timed(
+        "html_extract",
+        lambda: html_ops.html_to_text(pages1m)
+        .agg(F.sum(F.length("extracted")),
+             F.sum(F.col("has_markup").cast("long")))
+        .collect(),
+    )
+    timed(
+        "crawl_ingest",
+        lambda: html_ops.crawl_ingest(pages1m)
+        .agg(F.count("*"), F.sum(F.length("text_clean")))
+        .collect(),
+    )
+    timed(
+        "url_dedup",
+        lambda: urls_ops.url_dedup(pages1m)
+        .agg(F.count("*"), F.sum("n_dups"))
+        .collect(),
+    )
+    timed(
+        "domain_block",
+        lambda: urls_ops.block_domains(pages1m, ["site0.com", "site5.org"])
+        .agg(F.sum(F.col("blocked").cast("long")))
+        .collect(),
+    )
+    timed(
+        "domain_rank_10",
+        lambda: webgraph.domain_rank_pages(pages1m, iters=10)
+        .agg(F.sum("rank"), F.count("*"))
+        .collect(),
+    )
+
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     ne0 = emb.count()
     ke = max(1, (n + ne0 - 1) // ne0)
