@@ -68,14 +68,34 @@ def cmd_build(args) -> int:
         else:
             extra["n_dead"] = dead.count()
         extra["dead_letter"] = args.dead_letter
-    elif getattr(args, "format", "parquet") == "pages":
+    elif getattr(args, "format", "parquet") in ("pages", "warc"):
         # crawl front door: input_hint pages -> recrawl collapse -> HTML
-        # extraction; markup leftovers dead-letter instead of indexing
+        # extraction; markup leftovers dead-letter instead of indexing.
+        # --format warc first parses raw WARC shards into the pages shape
+        # (record-level parse errors join the dead letter).
         from pyspark.sql import functions as F
 
         from elipdotter_spark.operators import html as html_ops
 
-        pages = spark.read.parquet(args.input).repartition(
+        if args.format == "warc":
+            from elipdotter_spark.sources import warc as warc_src
+
+            records = warc_src.read_warc(spark, args.input)
+            pages, warc_dead = warc_src.warc_pages(records)
+            if args.dead_letter:
+                # record-level parse errors have their own schema; they
+                # land next to the markup dead letter, suffixed
+                warc_dead.write.mode("overwrite").parquet(
+                    args.dead_letter + "-warc"
+                )
+                extra["n_warc_dead"] = spark.read.parquet(
+                    args.dead_letter + "-warc"
+                ).count()
+            else:
+                extra["n_warc_dead"] = warc_dead.count()
+        else:
+            pages = spark.read.parquet(args.input)
+        pages = pages.repartition(
             spark.sparkContext.defaultParallelism
         )
         ing = html_ops.crawl_ingest(pages)
@@ -1040,6 +1060,55 @@ def cmd_crawl(args) -> int:
     return 0
 
 
+def cmd_warc(args) -> int:
+    """WARC shard surface (sources/warc.py, gated by web_warc_roundtrip).
+
+    ``warc unpack``: .warc[.gz] shards -> input_hint pages parquet
+    (response records only; parse errors -> --dead-letter).
+    ``warc pack``: pages parquet -> deterministic .warc.gz shards (one
+    gzip member per record, Common-Crawl layout) — the export twin, so a
+    corpus can round-trip through the archival format."""
+    from pyspark.sql import functions as F
+
+    from elipdotter_spark.sources import warc as warc_src
+
+    spark = get_spark()
+    if args.mode == "unpack":
+        records = warc_src.read_warc(spark, args.input)
+        pages, dead = warc_src.warc_pages(records)
+        out = {
+            "n_records": records.count(),
+            "n_pages": pages.count(),
+            "by_type": {
+                r["warc_type"]: r["n"]
+                for r in records.groupBy("warc_type")
+                .agg(F.count("*").alias("n")).collect()
+            },
+        }
+        if args.dead_letter:
+            dead.write.mode("overwrite").parquet(args.dead_letter)
+            out["n_dead"] = spark.read.parquet(args.dead_letter).count()
+        else:
+            out["n_dead"] = dead.count()
+        if args.output:
+            pages.write.mode("overwrite").parquet(args.output)
+            out["n_written"] = spark.read.parquet(args.output).count()
+    else:  # pack
+        if not args.output:
+            print(json.dumps({"error": "pack requires --output"}))
+            return 2
+        pages = spark.read.parquet(args.input)
+        if args.shards:
+            pages = pages.repartition(args.shards)
+        n = warc_src.write_warc(
+            pages, args.output, url_col=args.url_col,
+            compress=not args.no_gzip,
+        )
+        out = {"n_shards": n, "output": args.output}
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_rank(args) -> int:
     """Domain PageRank over the crawl's outlink graph (operators/webgraph,
     gated by web_domain_rank): pages table in, (domain, rank) out; prints
@@ -1263,12 +1332,14 @@ def main(argv=None) -> int:
                         "or the next publish).  Set >= the max query "
                         "duration on multi-reader clusters; 0 = delete "
                         "immediately (single-process default)")
-    b.add_argument("--format", choices=["parquet", "jsonl", "pages"],
+    b.add_argument("--format", choices=["parquet", "jsonl", "pages", "warc"],
                    default="parquet",
                    help="input corpus format; jsonl routes schema-bad "
                         "lines to the dead letter instead of failing; "
                         "pages runs the crawl front door (recrawl collapse "
-                        "+ HTML extraction, markup rows dead-lettered)")
+                        "+ HTML extraction, markup rows dead-lettered); "
+                        "warc parses raw .warc[.gz] shards into pages "
+                        "first (record parse errors dead-lettered too)")
     b.add_argument("--dead-letter", default=None, dest="dead_letter",
                    help="with --format jsonl: write rejected lines "
                         "(raw, reason) here as parquet")
@@ -1551,6 +1622,22 @@ def main(argv=None) -> int:
     cr.add_argument("--output", default=None,
                     help="write the extracted documents-shaped corpus")
     cr.set_defaults(fn=cmd_crawl)
+
+    wc = sub.add_parser("warc")
+    wc.add_argument("mode", choices=["pack", "unpack"],
+                    help="pack: pages parquet -> .warc.gz shards; "
+                         "unpack: .warc[.gz] shards -> pages parquet")
+    wc.add_argument("--input", required=True)
+    wc.add_argument("--output", default=None,
+                    help="unpack: pages parquet path; pack: shard dir")
+    wc.add_argument("--url-col", default="url")
+    wc.add_argument("--shards", type=int, default=None,
+                    help="pack: repartition to this many shards first")
+    wc.add_argument("--no-gzip", action="store_true",
+                    help="pack: write uncompressed .warc shards")
+    wc.add_argument("--dead-letter", default=None, dest="dead_letter",
+                    help="unpack: write parse-error records here")
+    wc.set_defaults(fn=cmd_warc)
 
     rk = sub.add_parser("rank")
     rk.add_argument("--input", required=True,

@@ -1331,6 +1331,69 @@ def q_web_page_flags(spark, sf_dir):
     )
 
 
+def q_web_warc_roundtrip(spark, sf_dir):
+    """WARC shard roundtrip (sources/warc.py): synth pages encoded into
+    multi-record gzip-member streams (one per bucket, warcinfo record
+    included — the Common-Crawl shard layout) and parsed back by the real
+    record-framing reader; the oracle recomputes the expected fields
+    straight from the page synthesis.  Writer and parser share no framing
+    code, so the gate verifies both directions of the format."""
+    import hashlib
+
+    import pandas as pd
+
+    from .sources import warc as warc_src
+
+    pages = _crawl_pages(spark, sf_dir).select(
+        F.pmod(F.col("doc_id"), F.lit(8)).alias("bucket"),
+        "doc_id", "url", "warc_epoch", "html",
+    )
+
+    def _roundtrip(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        stream = b"".join(
+            [warc_src.gzip_member(warc_src.encode_warcinfo("bucket.warc.gz"))]
+            + [
+                warc_src.gzip_member(
+                    warc_src.encode_response_record(
+                        u, int(e), bytes(h)
+                    )
+                )
+                for u, e, h in zip(
+                    pdf["url"], pdf["warc_epoch"], pdf["html"]
+                )
+            ]
+        )
+        out = []
+        for rec in warc_src.parse_warc_stream(stream, src="mem"):
+            if rec["error"] is not None or rec["warc_type"] != "response":
+                continue
+            body = rec["html"]
+            out.append(
+                {
+                    "url": rec["url"],
+                    "warc_epoch": int(rec["warc_ts"].timestamp()),
+                    "html_len": len(body),
+                    "html_md5": hashlib.md5(body).hexdigest(),
+                    "http_status": rec["http_status"],
+                }
+            )
+        return pd.DataFrame(
+            out,
+            columns=[
+                "url", "warc_epoch", "html_len", "html_md5", "http_status",
+            ],
+        )
+
+    return pages.groupBy("bucket").applyInPandas(
+        _roundtrip,
+        schema=(
+            "url string, warc_epoch long, html_len long, html_md5 string, "
+            "http_status int"
+        ),
+    )
+
+
 def q_ann_quantize(spark, sf_dir):
     """Symmetric int8 embedding quantization audit: per-vector scale,
     quantized checksums, max reconstruction error."""
@@ -1896,6 +1959,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_link_stats": q_web_link_stats,
         "web_page_flags": q_web_page_flags,
         "web_domain_rank": q_web_domain_rank,
+        "web_warc_roundtrip": q_web_warc_roundtrip,
         "ann_quantize": q_ann_quantize,
         "ann_quantized_topk": q_ann_quantized_topk,
         "txt_line_stats": q_txt_line_stats,
@@ -3378,6 +3442,15 @@ def oracle_sql() -> Dict[str, str]:
                    (contains(stripped, '<') OR contains(stripped, '>')) AS has_markup,
                    n_crawls
             FROM wstripped
+        """,
+        "web_warc_roundtrip": f"""
+            WITH {URLS_SQL}, {HTML_SYNTH_SQL}
+            SELECT u.url, c.warc_epoch,
+                   CAST(strlen(c.html) AS BIGINT) AS html_len,
+                   md5(c.html) AS html_md5,
+                   CAST(200 AS INT) AS http_status
+            FROM chtml c
+            JOIN uurls u USING (doc_id)
         """,
         "ann_quantize": """
             WITH base AS (
