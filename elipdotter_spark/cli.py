@@ -106,8 +106,15 @@ def cmd_build(args) -> int:
         else:
             extra["n_dead"] = bad.count()
         extra["dead_letter"] = args.dead_letter
+        text_col = "text_clean"
+        if getattr(args, "anchors", False):
+            # classic search-engine move: in-link anchor terms join the
+            # target page's indexable text (capped per source)
+            ing = html_ops.anchor_augment(ing, pages)
+            text_col = "text_indexed"
+            extra["anchors"] = True
         docs = ing.filter(~F.col("has_markup")).select(
-            "doc_id", F.col("text_clean").alias("text"), "url", "norm_url"
+            "doc_id", F.col(text_col).alias("text"), "url", "norm_url"
         )
     else:
         docs = spark.read.parquet(args.input)
@@ -1046,6 +1053,8 @@ def cmd_crawl(args) -> int:
         spark.sparkContext.defaultParallelism
     )
     out_df = h.crawl_ingest(pages, url_col=args.url_col, id_col=args.id_col)
+    if getattr(args, "anchors", False):
+        out_df = h.anchor_augment(out_df, pages, id_col=args.id_col)
     agg = out_df.agg(
         F.count("*").alias("n_pages"),
         F.sum("n_crawls").alias("n_crawls_in"),
@@ -1343,6 +1352,9 @@ def main(argv=None) -> int:
     b.add_argument("--dead-letter", default=None, dest="dead_letter",
                    help="with --format jsonl: write rejected lines "
                         "(raw, reason) here as parquet")
+    b.add_argument("--anchors", action="store_true",
+                   help="with --format pages/warc: append in-link anchor "
+                        "terms to each target page's indexed text")
     b.set_defaults(fn=cmd_build)
 
     q = sub.add_parser("query")
@@ -1621,6 +1633,9 @@ def main(argv=None) -> int:
     cr.add_argument("--id-col", default="doc_id")
     cr.add_argument("--output", default=None,
                     help="write the extracted documents-shaped corpus")
+    cr.add_argument("--anchors", action="store_true",
+                    help="append in-link anchor terms (anchor_text / "
+                         "text_indexed columns)")
     cr.set_defaults(fn=cmd_crawl)
 
     wc = sub.add_parser("warc")

@@ -386,7 +386,8 @@ hstruct AS (
                 ELSE '<p>1 &lt; 2 &gt; 0 &quot;q&quot; &#39;a&#39;</p>' END AS entities,
            CASE WHEN doc_id % 7 = 3 THEN '<ul><li>alpha</li><li>beta</li></ul>' ELSE '' END AS lst,
            '<a href="https://out' || CAST(p % 4 AS VARCHAR) || '.example/p'
-               || CAST(p AS VARCHAR) || '">more</a>' AS link1,
+               || CAST(p AS VARCHAR) || '">more <b>topic '
+               || CAST(p % 5 AS VARCHAR) || '</b> &amp; info</a>' AS link1,
            CASE WHEN doc_id % 2 = 0 THEN '<a href="/rel/x">rel</a>' ELSE '' END AS link2,
            CASE WHEN doc_id % 9 = 4 THEN '<a href=''https://q.example/s'
                 || CAST(doc_id AS VARCHAR) || '''>q</a>' ELSE '' END AS link3,
@@ -1331,6 +1332,14 @@ def q_web_page_flags(spark, sf_dir):
     )
 
 
+def q_web_anchor_terms(spark, sf_dir):
+    """Per-target anchor-term table (how the web describes each page):
+    complete <a href>...</a> elements -> inner text cleaned by the shared
+    strip/decode battery -> fast-path tokenization -> one (target, term)
+    hash aggregate with the distinct-source anti-spam denominator."""
+    return html.anchor_terms(_crawl_pages(spark, sf_dir))
+
+
 def q_web_warc_roundtrip(spark, sf_dir):
     """WARC shard roundtrip (sources/warc.py): synth pages encoded into
     multi-record gzip-member streams (one per bucket, warcinfo record
@@ -1959,6 +1968,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_link_stats": q_web_link_stats,
         "web_page_flags": q_web_page_flags,
         "web_domain_rank": q_web_domain_rank,
+        "web_anchor_terms": q_web_anchor_terms,
         "web_warc_roundtrip": q_web_warc_roundtrip,
         "ann_quantize": q_ann_quantize,
         "ann_quantized_topk": q_ann_quantized_topk,
@@ -3442,6 +3452,52 @@ def oracle_sql() -> Dict[str, str]:
                    (contains(stripped, '<') OR contains(stripped, '>')) AS has_markup,
                    n_crawls
             FROM wstripped
+        """,
+        "web_anchor_terms": f"""
+            WITH {HTML_SYNTH_SQL},
+            apairs AS MATERIALIZED (
+                SELECT doc_id, z[1] AS url, z[2] AS araw,
+                       CAST(z[3] AS BIGINT) AS idx
+                FROM (
+                    SELECT doc_id, unnest(list_zip(
+                        list_concat(
+                            regexp_extract_all(html, {_sql_pat(html.ANCHOR_DQ)}, 1),
+                            regexp_extract_all(html, {_sql_pat(html.ANCHOR_SQ)}, 1)),
+                        list_concat(
+                            regexp_extract_all(html, {_sql_pat(html.ANCHOR_DQ)}, 2),
+                            regexp_extract_all(html, {_sql_pat(html.ANCHOR_SQ)}, 2)),
+                        range(1, len(list_concat(
+                            regexp_extract_all(html, {_sql_pat(html.ANCHOR_DQ)}, 1),
+                            regexp_extract_all(html, {_sql_pat(html.ANCHOR_SQ)}, 1))) + 1)
+                    )) AS z
+                    FROM chtml
+                ) q
+                WHERE z[1] LIKE 'http://%' OR z[1] LIKE 'https://%'
+            ),
+            amap AS MATERIALIZED (
+                -- synthetic unique parse key: doc_id*64 + position (the
+                -- synth pages carry <= 4 anchors each; the generated
+                -- parse chain is keyed by a single doc_id column)
+                SELECT doc_id * 64 + idx AS akey, doc_id AS src_doc,
+                       url, araw
+                FROM apairs
+            ),
+            asrc AS (SELECT akey AS doc_id, url FROM amap),
+            {_url_parse_ctes("asrc", "a")},
+            aclean AS (
+                SELECT m.src_doc, c.norm_url,
+                       trim({_html_sql_chain("m.araw", html.ANCHOR_CLEAN_STEPS)}) AS anchor
+                FROM acanon c JOIN amap m ON c.doc_id = m.akey
+            ),
+            aterms AS (
+                SELECT src_doc, norm_url,
+                       unnest(regexp_extract_all(lower(anchor), '[a-z0-9]+')) AS term
+                FROM aclean
+            )
+            SELECT norm_url AS dst_norm_url, term,
+                   CAST(count(*) AS BIGINT) AS n_anchors,
+                   CAST(count(DISTINCT src_doc) AS BIGINT) AS n_src_docs
+            FROM aterms GROUP BY 1, 2
         """,
         "web_warc_roundtrip": f"""
             WITH {URLS_SQL}, {HTML_SYNTH_SQL}

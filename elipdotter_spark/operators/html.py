@@ -73,6 +73,13 @@ HTML_DECODE_STEPS = [
 ]
 
 
+# anchor-text cleanup = the page battery minus the element removals (an
+# anchor's inner text cannot span script/style/comment blocks): tag strip,
+# entity decode, whitespace collapse.  Shared by the Spark operator and
+# the generated DuckDB twin (entry.py) — single source of truth.
+ANCHOR_CLEAN_STEPS = [HTML_STRIP_STEPS[-1]] + HTML_DECODE_STEPS
+
+
 def _chain(col: Column, steps) -> Column:
     out = col
     for pat, rep in steps:
@@ -170,6 +177,17 @@ def crawl_ingest(
 # because a backref-free (RE2) pattern can't tie the quote pair
 HREF_DQ = r"(?si)<a[ \t\n\r\f][^>]*href[ \t\n\r\f]*=[ \t\n\r\f]*\"([^\"]+)\""
 HREF_SQ = r"(?si)<a[ \t\n\r\f][^>]*href[ \t\n\r\f]*=[ \t\n\r\f]*'([^']+)'"
+# href + inner text of a COMPLETE anchor element (non-greedy to the first
+# close tag; RE2-safe — no backreference ties the quote style, hence two
+# patterns).  Nested markup inside the anchor is stripped downstream.
+ANCHOR_DQ = (
+    r"(?si)<a[ \t\n\r\f][^>]*href[ \t\n\r\f]*=[ \t\n\r\f]*\"([^\"]+)\""
+    r"[^>]*>(.*?)</a[ \t\n\r\f]*>"
+)
+ANCHOR_SQ = (
+    r"(?si)<a[ \t\n\r\f][^>]*href[ \t\n\r\f]*=[ \t\n\r\f]*'([^']+)'"
+    r"[^>]*>(.*?)</a[ \t\n\r\f]*>"
+)
 ROBOTS_NOINDEX = (
     r"(?si)<meta[ \t\n\r\f][^>]*name[ \t\n\r\f]*=[ \t\n\r\f]*\"robots\""
     r"[^>]*content[ \t\n\r\f]*=[ \t\n\r\f]*\"[^\"]*noindex[^\"]*\""
@@ -223,6 +241,133 @@ def outlinks(
         "dst_url",
         F.col("norm_url").alias("dst_norm_url"),
         F.col("registered_domain").alias("dst_domain"),
+    )
+
+
+def anchor_texts(
+    pages: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Outlink edges WITH their anchor text — the classic web-search
+    relevance signal (the text other pages use to describe a target).
+
+    One row per complete absolute-``http(s)`` ``<a href=...>...</a>``
+    element: ``(doc_id, dst_url, dst_norm_url, dst_domain, anchor)``
+    where ``anchor`` is the element's inner text cleaned by the SAME
+    strip/decode battery the page extractor uses (inner tags stripped,
+    entities decoded, whitespace collapsed).  Anchors without a closing
+    tag are skipped (``outlinks`` still counts the edge).
+
+    Plan shape: the four ``regexp_extract_all`` arrays (dq/sq x
+    href/text) are materialized as NAMED columns in their own projection
+    (the HOF/CollapseProject lesson), zipped positionally, exploded once;
+    everything through tokenization is whole-stage codegen — no shuffle
+    until the caller aggregates."""
+    from .urls import parse_urls
+
+    raw = _html_str(pages, html_col)
+    arr = pages.select(
+        F.col(id_col),
+        F.concat(
+            F.regexp_extract_all(raw, F.lit(ANCHOR_DQ), 1),
+            F.regexp_extract_all(raw, F.lit(ANCHOR_SQ), 1),
+        ).alias("_hrefs"),
+        F.concat(
+            F.regexp_extract_all(raw, F.lit(ANCHOR_DQ), 2),
+            F.regexp_extract_all(raw, F.lit(ANCHOR_SQ), 2),
+        ).alias("_texts"),
+    )
+    pairs = (
+        arr.select(
+            id_col, F.explode(F.arrays_zip("_hrefs", "_texts")).alias("_z")
+        )
+        .select(
+            id_col,
+            F.col("_z._hrefs").alias("dst_url"),
+            F.col("_z._texts").alias("_araw"),
+        )
+        .filter(
+            F.col("dst_url").startswith("http://")
+            | F.col("dst_url").startswith("https://")
+        )
+    )
+    parsed = parse_urls(pairs, url_col="dst_url")
+    return parsed.select(
+        id_col,
+        "dst_url",
+        F.col("norm_url").alias("dst_norm_url"),
+        F.col("registered_domain").alias("dst_domain"),
+        F.trim(_chain(F.col("_araw"), ANCHOR_CLEAN_STEPS)).alias("anchor"),
+    )
+
+
+def anchor_terms(
+    pages: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-target anchor-term table: ``(dst_norm_url, term, n_anchors,
+    n_src_docs)`` — how the web describes each page, tokenized with the
+    engine's fast-path tokenizer.  ``n_src_docs`` (distinct linking
+    pages) is the anti-spam denominator: one page repeating an anchor a
+    thousand times still counts once there.  One hash aggregate on the
+    (target, term) key; map-side combine does the heavy lifting because
+    popular anchors repeat within partitions."""
+    from ..functions.tokenizer import simple_terms_col
+
+    at = anchor_texts(pages, html_col=html_col, id_col=id_col)
+    return (
+        at.select(
+            id_col,
+            "dst_norm_url",
+            F.explode(simple_terms_col(F.col("anchor"))).alias("term"),
+        )
+        .groupBy("dst_norm_url", "term")
+        .agg(
+            F.count("*").alias("n_anchors"),
+            F.countDistinct(id_col).alias("n_src_docs"),
+        )
+    )
+
+
+def anchor_augment(
+    docs: DataFrame, pages: DataFrame, html_col: str = "html",
+    id_col: str = "doc_id", max_repeat: int = 3,
+) -> DataFrame:
+    """Append in-link anchor terms to each document's indexable text —
+    the reference engine has no field weighting, so anchor evidence
+    enters the index the classic way: as appended text, each term
+    repeated ``min(n_src_docs, max_repeat)`` times (capped so one
+    link-farm cannot dominate a page's term stats).
+
+    ``docs`` is the ``crawl_ingest`` output (must carry ``norm_url`` +
+    ``text_clean``); returns it plus ``anchor_text`` (the deterministic
+    sorted blob) and ``text_indexed`` (text_clean + anchors).  The join
+    is an aggregated-anchor table onto docs by ``norm_url`` — at web
+    scale both sides are pre-shuffled on the same key, and the anchor
+    table is orders of magnitude smaller than the corpus."""
+    terms = anchor_terms(pages, html_col=html_col, id_col=id_col)
+    blob = (
+        terms.select(
+            "dst_norm_url",
+            F.expr(
+                f"array_repeat(term, int(least(n_src_docs, {int(max_repeat)})))"
+            ).alias("_rep"),
+        )
+        .groupBy("dst_norm_url")
+        .agg(
+            F.array_sort(F.flatten(F.collect_list("_rep"))).alias("_terms")
+        )
+        .select(
+            F.col("dst_norm_url").alias("norm_url"),
+            F.concat_ws(" ", F.col("_terms")).alias("anchor_text"),
+        )
+    )
+    out = docs.join(blob, "norm_url", "left")
+    return out.withColumn(
+        "anchor_text", F.coalesce(F.col("anchor_text"), F.lit(""))
+    ).withColumn(
+        "text_indexed",
+        F.when(F.col("anchor_text") == "", F.col("text_clean")).otherwise(
+            F.concat_ws(" ", F.col("text_clean"), F.col("anchor_text"))
+        ),
     )
 
 
@@ -298,7 +443,9 @@ def synth_crawl_pages(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         (p % 4).cast("string"),
         F.lit(".example/p"),
         p.cast("string"),
-        F.lit("\">more</a>"),
+        F.lit("\">more <b>topic "),
+        (p % 5).cast("string"),
+        F.lit("</b> &amp; info</a>"),
     )
     link2 = F.when(d % 2 == 0, "<a href=\"/rel/x\">rel</a>").otherwise("")
     link3 = F.when(

@@ -590,3 +590,37 @@ def test_cli_pipeline_pages_front_door(cli, tmp_path, capsys):
     assert rows[1]["norm_url"] == "https://a.example/p"
     dl = sp.read.parquet(dead).collect()
     assert [r["doc_id"] for r in dl] == [2] and dl[0]["has_markup"]
+
+
+@pytest.mark.spark
+def test_cli_build_pages_anchors(cli, spark, tmp_path, capsys):
+    """--anchors: in-link anchor terms become indexable text on the TARGET
+    page — a query for an anchor-only term must hit the target doc."""
+    from pyspark.sql import functions as F
+
+    pages = spark.createDataFrame(
+        [
+            (10, "https://src1.example/a", 1700000000,
+             '<html><body>alpha <a href="https://t.example/p">zzanchor engine</a></body></html>'),
+            (11, "https://src2.example/b", 1700000000,
+             '<html><body>beta <a href="https://t.example/p">zzanchor</a></body></html>'),
+            (12, "https://t.example/p", 1700000000,
+             "<html><body>the target page text</body></html>"),
+        ],
+        "doc_id long, url string, warc_ts long, html string",
+    ).withColumn("warc_ts", F.timestamp_seconds("warc_ts"))
+    pin = str(tmp_path / "pages")
+    idx = str(tmp_path / "idx")
+    pages.write.parquet(pin)
+    assert cli.main([
+        "build", "--input", pin, "--output", idx, "--segments", "1",
+        "--format", "pages", "--anchors",
+    ]) == 0
+    info = _json_lines(capsys)[-1]
+    assert info.get("anchors") is True
+    assert cli.main([
+        "query", "--index", idx, "--query", "zzanchor", "--k", "3",
+        "--algo", "exact",
+    ]) == 0
+    rows = _json_lines(capsys)
+    assert rows and rows[0]["doc_id"] == 12  # the TARGET, not the sources

@@ -198,3 +198,81 @@ def test_link_stats_aggregation(spark):
     assert sum(r.n_links for r in stats.values()) == 90 + len(
         [d for d in range(90) if d % 9 == 4]
     )
+
+
+@pytest.mark.spark
+def test_anchor_texts_extraction(spark):
+    df = spark.createDataFrame(
+        [
+            # inner markup stripped, entities decoded, ws collapsed
+            (0, '<a href="https://a.example/x">more <b>topic 3</b> &amp; info</a>'
+                "<a href='https://b.example/y'>  spaced\n words </a>"
+                '<a href="/relative">rel</a>'),
+            # unclosed anchor -> skipped (outlinks still counts the edge)
+            (1, '<a href="https://a.example/x">dangling'),
+            # same target twice: two anchor rows
+            (2, '<a href="https://a.example/x">one</a>'
+                '<a id="z" href="https://a.example/x">two</a>'),
+        ],
+        "doc_id long, html string",
+    )
+    rows = sorted(
+        (r.doc_id, r.dst_norm_url, r.anchor)
+        for r in H.anchor_texts(df).collect()
+    )
+    assert rows == [
+        (0, "https://a.example/x", "more topic 3 & info"),
+        (0, "https://b.example/y", "spaced words"),
+        (2, "https://a.example/x", "one"),
+        (2, "https://a.example/x", "two"),
+    ]
+    assert H.outlinks(df).filter("doc_id = 1").count() == 1
+
+
+@pytest.mark.spark
+def test_anchor_terms_aggregation(spark):
+    df = spark.createDataFrame(
+        [
+            (0, '<a href="https://t.example/p">fast search</a>'),
+            # one page spamming the same anchor: n_anchors grows,
+            # n_src_docs stays 1 per source page
+            (1, '<a href="https://t.example/p">fast</a>'
+                '<a href="https://t.example/p">fast</a>'),
+            (2, '<a href="https://t.example/p">FAST engine</a>'),
+        ],
+        "doc_id long, html string",
+    )
+    rows = {
+        (r.term): (r.n_anchors, r.n_src_docs)
+        for r in H.anchor_terms(df).collect()
+    }
+    assert rows == {
+        "fast": (4, 3),
+        "search": (1, 1),
+        "engine": (1, 1),
+    }
+
+
+@pytest.mark.spark
+def test_anchor_augment_appends_capped_terms(spark):
+    pages = spark.createDataFrame(
+        [
+            (10, "https://src1.example/a", 1700000000,
+             '<html><body>alpha <a href="https://t.example/p">great engine</a></body></html>'),
+            (11, "https://src2.example/b", 1700000000,
+             '<html><body>beta <a href="https://t.example/p">great</a></body></html>'),
+            (12, "https://t.example/p", 1700000000,
+             "<html><body>the target page text</body></html>"),
+        ],
+        "doc_id long, url string, warc_ts long, html string",
+    )
+    pages = pages.withColumn("warc_ts", F.timestamp_seconds("warc_ts"))
+    docs = H.crawl_ingest(pages)
+    out = H.anchor_augment(docs, pages, max_repeat=2)
+    by_url = {r.url: r for r in out.collect()}
+    tgt = by_url["https://t.example/p"]
+    # 'great' linked from 2 docs -> repeated min(2, cap=2) times
+    assert tgt.anchor_text == "engine great great"
+    assert tgt.text_indexed == "the target page text engine great great"
+    src = by_url["https://src1.example/a"]
+    assert src.anchor_text == "" and src.text_indexed == src.text_clean
