@@ -540,8 +540,14 @@ def _hit_clone(h: Hit) -> Hit:
 
 
 # doc ids >= SENTINEL_BASE are per-node end-of-doc sentinels (see
-# occurrences_pipeline docstring); they never collide with real ids.
-SENTINEL_BASE = 2**61
+# occurrences_pipeline docstring).  The base MUST exceed every real doc id:
+# ids are arbitrary signed int64 at web scale (xxhash64(norm_url) — the
+# hashed-id convention), so the base is 2^63, one past Long.MAX.  This is
+# kernel-internal pure Python (arbitrary-precision ints); sentinels are
+# dropped before hits reach the int64 Arrow schema.  The original 2^61 base
+# silently ATE one eighth of a hashed corpus: every doc with id >= 2^61 had
+# its hits filtered as "sentinels" by the guard below.
+SENTINEL_BASE = 2**63
 
 
 def iter_nodes(part: Part):
