@@ -125,6 +125,47 @@ def cmd_build(args) -> int:
     return 0
 
 
+def cmd_stream(args) -> int:
+    """Batch-incremental streaming ingest (availableNow trigger): drain
+    whatever new files --input holds into the store, one ledger segment
+    per micro-batch, exactly-once under replay via the content-digest
+    guard.  --format docs streams (doc_id, text) parquet; --format pages
+    streams raw crawl pages through the gated HTML front door with doc
+    identity = xxhash64(norm_url), so a re-crawled page in a later run is
+    an UPDATE under latest-wins.  Segments are left unpublished — run
+    `ingest`-style publish via `compact --force` or the library publish
+    paths; query paths fall back to live derivation meanwhile."""
+    from elipdotter_spark.sources.catalog import IndexStore
+    from elipdotter_spark.streaming import incremental
+
+    spark = get_spark()
+    store = IndexStore(spark, args.index)
+    before = len(store.completed_segments())
+    prefix = args.segment_prefix or (
+        "crawl" if args.format == "pages" else "stream"
+    )
+    if args.format == "pages":
+        q = incremental.start_crawl_ingest(
+            spark, args.input, store, args.checkpoint,
+            segment_prefix=prefix,
+            dead_letter_dir=args.dead_letter,
+        )
+    else:
+        q = incremental.start_ingest(
+            spark, args.input, store, args.checkpoint,
+            segment_prefix=prefix,
+        )
+    q.awaitTermination()
+    segs = store.completed_segments()
+    print(json.dumps({
+        "format": args.format,
+        "segments_before": before,
+        "segments_after": len(segs),
+        "published_stale": store.published_stale(),
+    }))
+    return 0
+
+
 def cmd_ingest(args) -> int:
     """Ingest a parquet of documents into an EXISTING store as one new
     segment (latest-wins on re-ingested doc ids), then refresh the
@@ -307,6 +348,23 @@ def cmd_bm25(args) -> int:
     else:
         n, avgdl = bm25.corpus_stats(docstats)
     qterms = args.terms.split(",")
+    if getattr(args, "prior", None):
+        # query-independent rank fusion: (doc_id, prior) table (PageRank /
+        # quality scores; `rank` writes one per domain — join it to docs
+        # upstream).  Fusion runs over the FULL score set, not an unfused
+        # top-k, so a high-prior doc outside it can still surface.
+        prior = spark.read.parquet(args.prior)
+        topk = bm25.bm25_topk_prior(
+            postings, docstats, terms, qterms, args.k,
+            prior=prior, prior_weight=args.prior_weight,
+            n=n, avgdl=avgdl,
+        )
+        for r in topk.collect():
+            print(json.dumps({
+                "doc_id": r.doc_id, "score": float(r.score),
+                "prior": float(r.prior), "fused": float(r.fused),
+            }))
+        return 0
     if args.wand:
         # one-job distributed block-max WAND over the compressed format —
         # read the published block tables when FRESH (publish() stamps the
@@ -1389,7 +1447,29 @@ def main(argv=None) -> int:
     m.add_argument("--k", type=int, default=10)
     m.add_argument("--wand", action="store_true",
                    help="single-job block-max WAND over the compressed format")
+    m.add_argument("--prior", default=None,
+                   help="parquet with (doc_id, prior): fuse a query-"
+                        "independent prior (PageRank, quality) into the "
+                        "ranking — fused = bm25 + w*ln(1+prior)")
+    m.add_argument("--prior-weight", type=float, default=1.0,
+                   dest="prior_weight")
     m.set_defaults(fn=cmd_bm25)
+
+    st = sub.add_parser("stream")
+    st.add_argument("--input", required=True,
+                    help="file-source glob/dir of incoming parquet")
+    st.add_argument("--index", required=True)
+    st.add_argument("--checkpoint", required=True,
+                    help="streaming checkpoint dir (OUTSIDE the store)")
+    st.add_argument("--format", choices=["docs", "pages"], default="docs")
+    st.add_argument("--segment-prefix", default=None, dest="segment_prefix",
+                    help="ingest-epoch prefix (default: stream/crawl by "
+                         "format); a fresh checkpoint lineage against the "
+                         "same store needs a distinct prefix")
+    st.add_argument("--dead-letter", default=None, dest="dead_letter",
+                    help="with --format pages: markup-leftover rows land "
+                         "here per batch")
+    st.set_defaults(fn=cmd_stream)
 
     i = sub.add_parser("ingest")
     i.add_argument("--input", required=True)

@@ -1340,6 +1340,37 @@ def q_web_anchor_terms(spark, sf_dir):
     return html.anchor_terms(_crawl_pages(spark, sf_dir))
 
 
+def q_web_ranked_bm25(spark, sf_dir):
+    """The full web-search ranking stack in one gate: crawl pages ->
+    recrawl collapse + HTML extraction -> inverted index over the
+    extracted text -> BM25 -> FUSED with the domain-PageRank prior
+    (fused = bm25 + w * ln(1 + rank), ordering on the ROUNDED fused
+    score).  This closes the loop the per-stage web gates leave open:
+    extraction, indexing, graph and scoring verified TOGETHER against
+    one DuckDB recomposition."""
+    from .operators import webgraph
+
+    pages = _crawl_pages(spark, sf_dir)
+    ing = html.crawl_ingest(pages)
+    docs = ing.filter(~F.col("has_markup")).select(
+        "doc_id", F.col("text_clean").alias("text"), "url"
+    )
+    postings = index_build.build_postings(docs.select("doc_id", "text"))
+    terms = index_build.build_terms(postings)
+    docstats = index_build.docstats_from_postings(postings)
+    ranks = webgraph.domain_rank_pages(pages, iters=10)
+    doc_dom = urls.parse_urls(docs.select("doc_id", "url"), url_col="url")
+    prior = doc_dom.join(
+        F.broadcast(ranks),
+        doc_dom["registered_domain"] == ranks["domain"],
+        "left",
+    ).select("doc_id", F.col("rank").alias("prior"))
+    return bm25.bm25_topk_prior(
+        postings, docstats, terms, ["table", "value", "fast"], 20,
+        prior=prior, prior_weight=8.0, default_prior=0.0,
+    )
+
+
 def q_web_warc_roundtrip(spark, sf_dir):
     """WARC shard roundtrip (sources/warc.py): synth pages encoded into
     multi-record gzip-member streams (one per bucket, warcinfo record
@@ -1969,6 +2000,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_page_flags": q_web_page_flags,
         "web_domain_rank": q_web_domain_rank,
         "web_anchor_terms": q_web_anchor_terms,
+        "web_ranked_bm25": q_web_ranked_bm25,
         "web_warc_roundtrip": q_web_warc_roundtrip,
         "ann_quantize": q_ann_quantize,
         "ann_quantized_topk": q_ann_quantized_topk,
@@ -3498,6 +3530,73 @@ def oracle_sql() -> Dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_anchors,
                    CAST(count(DISTINCT src_doc) AS BIGINT) AS n_src_docs
             FROM aterms GROUP BY 1, 2
+        """,
+        "web_ranked_bm25": f"""
+            WITH {URLS_SQL}, {HTML_SYNTH_SQL}, {RECRAWL_SQL},
+            winners AS (
+                SELECT doc_id, url, norm_url FROM rwin WHERE rn = 1
+            ),
+            wstripped AS (
+                SELECT w.doc_id,
+                       {_html_sql_chain("c.html", html.HTML_STRIP_STEPS)} AS stripped
+                FROM winners w JOIN chtml c USING (doc_id)
+            ),
+            wtext AS (
+                SELECT doc_id,
+                       trim({_html_sql_chain("stripped", html.HTML_DECODE_STEPS)}) AS text_clean,
+                       (contains(stripped, '<') OR contains(stripped, '>')) AS has_markup
+                FROM wstripped
+            ),
+            wtoks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text_clean), '[a-z0-9]+')) AS term
+                FROM wtext WHERE NOT has_markup
+            ),
+            wtf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                    FROM wtoks GROUP BY doc_id, term),
+            wdl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+                    FROM wtoks GROUP BY doc_id),
+            wstats AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM wdl),
+            wdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM wtf GROUP BY term),
+            wbm AS (
+                SELECT wtf.doc_id,
+                       sum(
+                         ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                         * tf * (1.2 + 1.0)
+                         / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                       ) AS score
+                FROM wtf
+                JOIN wdf USING (term)
+                JOIN wdl USING (doc_id)
+                CROSS JOIN wstats
+                WHERE term IN ('table', 'value', 'fast')
+                GROUP BY wtf.doc_id
+            ),
+            lraw AS (
+                SELECT doc_id, unnest({_href_sql("html")}) AS url FROM chtml
+            ),
+            labs AS (
+                SELECT doc_id, url FROM lraw
+                WHERE url LIKE 'http://%' OR url LIKE 'https://%'
+            ),
+            {_url_parse_ctes("labs", "l")},
+            {GRAPH_SQL},
+            {_domain_rank_sql(iters=10, damping=0.85)},
+            wprior AS (
+                -- the winner page's own domain rank, rounded to the same 6
+                -- digits the Spark operator publishes BEFORE the fusion ln
+                SELECT w.doc_id, coalesce(round(g.rank, 6), 0.0) AS prior
+                FROM winners w
+                JOIN ucanon u USING (doc_id)
+                LEFT JOIN gr10 g ON g.domain = u.registered_domain
+            )
+            SELECT doc_id, score, prior, fused FROM (
+                SELECT b.doc_id,
+                       round(b.score, 6) AS score,
+                       round(p.prior, 6) AS prior,
+                       round(b.score + 8.0 * ln(1.0 + p.prior), 6) AS fused
+                FROM wbm b JOIN wprior p USING (doc_id)
+            ) ORDER BY fused DESC, doc_id ASC LIMIT 20
         """,
         "web_warc_roundtrip": f"""
             WITH {URLS_SQL}, {HTML_SYNTH_SQL}

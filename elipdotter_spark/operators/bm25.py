@@ -106,6 +106,68 @@ def bm25_topk(
     )
 
 
+def bm25_topk_prior(
+    postings: DataFrame,
+    docstats: DataFrame,
+    terms: DataFrame,
+    query_terms: Sequence[str],
+    k: int,
+    prior: DataFrame,
+    prior_weight: float = 1.0,
+    default_prior: float = 0.0,
+    digits: int = 6,
+    **kw,
+) -> DataFrame:
+    """Web-style rank fusion: BM25 relevance + a query-INDEPENDENT document
+    prior (PageRank, domain quality, freshness — any per-doc signal):
+
+        ``fused = bm25 + prior_weight * ln(1 + prior)``
+
+    ``prior`` is a ``(doc_id, prior)`` DataFrame (prior >= 0); documents
+    missing from it get ``default_prior``.  The log damps heavy-tailed
+    priors (PageRank spans orders of magnitude) so relevance stays primary;
+    ``prior_weight`` trades the two signals.  Callers should pre-scale the
+    prior to O(1) (e.g. rank * n_nodes, mean 1) — at web scale a raw
+    PageRank is ~1/n and would vanish under the log.
+
+    Cross-engine determinism: ordering is on the ROUNDED fused score
+    (``digits``) with doc_id tiebreak — float `ln` ulps between engines
+    must not flip ranks (CLAUDE.md round-6/7 rounding discipline).  The
+    returned columns (score/prior/fused) are rounded the same way.
+
+    Plan shape: the BM25 aggregate as in :func:`bm25_scores`; the prior
+    joins AFTER the per-doc aggregate (k-sized vs postings-sized input) —
+    at 10^12 docs the prior table is doc-count-sized, so the join is an
+    ordinary co-partitioned hash join on doc_id, and the top-k compiles to
+    TakeOrderedAndProject (per-partition top-k, no global sort)."""
+    scores = bm25_scores(postings, docstats, terms, query_terms, **kw)
+    pr = prior.select("doc_id", F.col("prior").cast("double").alias("prior"))
+    fused = (
+        scores.join(pr, "doc_id", "left")
+        .withColumn(
+            "prior", F.coalesce(F.col("prior"), F.lit(float(default_prior)))
+        )
+        .withColumn(
+            "fused",
+            F.round(
+                F.col("score")
+                + F.lit(float(prior_weight)) * F.log(F.lit(1.0) + F.col("prior")),
+                digits,
+            ),
+        )
+    )
+    return (
+        fused.orderBy(F.desc("fused"), F.asc("doc_id"))
+        .limit(k)
+        .select(
+            "doc_id",
+            F.round("score", digits).alias("score"),
+            F.round("prior", digits).alias("prior"),
+            "fused",
+        )
+    )
+
+
 # ----------------------------------------------------------- batched querying
 #
 # A search evaluation / query-log workload runs THOUSANDS of queries against
