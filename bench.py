@@ -431,6 +431,27 @@ def run_queries(spark, docs, postings, terms, docstats):
         .collect(),
         reps=5,
     )
+    # session-9: the crawl front door — HTML->text extraction (regex
+    # strip/decode battery, pure codegen projection + one max_by
+    # aggregate) and per-target anchor-term mining (anchor extraction,
+    # clean, tokenize, one (target, term) hash aggregate)
+    from elipdotter_spark.operators import html as _html
+
+    crawl_pages = _html.synth_crawl_pages(docs.select("doc_id", "text"))
+    timed(
+        "q_html_extract",
+        lambda: _html.crawl_ingest(crawl_pages)
+        .agg(F.count("*"), F.sum("n_crawls"), F.sum(F.length("text_clean")))
+        .collect(),
+        reps=5,
+    )
+    timed(
+        "q_anchor_terms",
+        lambda: _html.anchor_terms(crawl_pages)
+        .agg(F.count("*"), F.sum("n_anchors"))
+        .collect(),
+        reps=5,
+    )
     return timings, percentiles, prune
 
 

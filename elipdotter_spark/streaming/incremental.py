@@ -56,55 +56,139 @@ def start_ingest(
         if batch_df.isEmpty():
             return
         seg_id = f"{segment_prefix}-{batch_id:06d}"
-        committed_row = next(
-            (r for r in store.ledger() if r["segment_id"] == seg_id), None
-        )
-        if committed_row is not None:
-            # foreachBatch may REPLAY a batch after a restart (the
-            # checkpoint advances after the sink returns) — the same id
-            # carries the same rows WITHIN one checkpoint lineage, so the
-            # committed segment is already correct and we skip.  But a
-            # batch id can also COLLIDE across checkpoints (wiped/fresh
-            # checkpoint dir against the same store): silently skipping
-            # would drop whatever the new batch 0 carries beyond the old
-            # one — including the SAME doc ids with UPDATED text.
-            # Distinguish by CONTENT, compared as one scalar row per side
-            # (never a driver-side collect of row sets): the ledger records
-            # the committed batch's (count, order-insensitive xxhash64-xor)
-            # over all input columns; recompute the same over the incoming
-            # batch.  Equal -> true replay, skip; different -> fail loudly.
-            if committed_row.get("doc_digest") is not None:
-                n, h = content_digest(batch_df)
-                if (
-                    n == committed_row["n_docs"]
-                    and h == committed_row["doc_digest"]
-                ):
-                    return  # idempotent replay (identical content)
-            else:
-                # legacy segment committed before digests were recorded:
-                # the raw text is gone, so compare the strongest thing both
-                # sides still share — the distinct doc-id digest (still
-                # in-plan, one row per side; misses same-id text edits,
-                # which post-legacy segments catch above)
-                committed_ids = (
-                    store.spark.read.parquet(store.segment_path(seg_id))
-                    .select("doc_id")
-                    .distinct()
-                )
-                if content_digest(committed_ids) == content_digest(
-                    batch_df.select("doc_id").distinct()
-                ):
-                    return  # idempotent replay (same doc-id set)
-            raise ValueError(
-                f"segment {seg_id!r} already committed with DIFFERENT "
-                "content — batch-id collision across checkpoints "
-                "(fresh/wiped checkpoint dir against an existing store?). "
-                "Use a new store, a distinct segment_prefix per ingest "
-                "epoch, or compact() and re-ingest."
+        _commit_segment(store, seg_id, batch_df, auto_compact_superseded)
+
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _commit_segment(
+    store: IndexStore,
+    seg_id: str,
+    batch_df: DataFrame,
+    auto_compact_superseded: float = None,
+) -> None:
+    """Idempotently commit one micro-batch as a ledger segment (the shared
+    foreachBatch tail of every streaming ingest variant): true replays are
+    skipped by content digest, cross-checkpoint batch-id collisions fail
+    loudly, then write-ahead segment commit + optional auto-compaction."""
+    committed_row = next(
+        (r for r in store.ledger() if r["segment_id"] == seg_id), None
+    )
+    if committed_row is not None:
+        # foreachBatch may REPLAY a batch after a restart (the
+        # checkpoint advances after the sink returns) — the same id
+        # carries the same rows WITHIN one checkpoint lineage, so the
+        # committed segment is already correct and we skip.  But a
+        # batch id can also COLLIDE across checkpoints (wiped/fresh
+        # checkpoint dir against the same store): silently skipping
+        # would drop whatever the new batch 0 carries beyond the old
+        # one — including the SAME doc ids with UPDATED text.
+        # Distinguish by CONTENT, compared as one scalar row per side
+        # (never a driver-side collect of row sets): the ledger records
+        # the committed batch's (count, order-insensitive xxhash64-xor)
+        # over all input columns; recompute the same over the incoming
+        # batch.  Equal -> true replay, skip; different -> fail loudly.
+        if committed_row.get("doc_digest") is not None:
+            n, h = content_digest(batch_df)
+            if (
+                n == committed_row["n_docs"]
+                and h == committed_row["doc_digest"]
+            ):
+                return  # idempotent replay (identical content)
+        else:
+            # legacy segment committed before digests were recorded:
+            # the raw text is gone, so compare the strongest thing both
+            # sides still share — the distinct doc-id digest (still
+            # in-plan, one row per side; misses same-id text edits,
+            # which post-legacy segments catch above)
+            committed_ids = (
+                store.spark.read.parquet(store.segment_path(seg_id))
+                .select("doc_id")
+                .distinct()
             )
-        store.write_segment(seg_id, batch_df)
-        if auto_compact_superseded is not None:
-            store.maybe_compact(auto_compact_superseded)
+            if content_digest(committed_ids) == content_digest(
+                batch_df.select("doc_id").distinct()
+            ):
+                return  # idempotent replay (same doc-id set)
+        raise ValueError(
+            f"segment {seg_id!r} already committed with DIFFERENT "
+            "content — batch-id collision across checkpoints "
+            "(fresh/wiped checkpoint dir against an existing store?). "
+            "Use a new store, a distinct segment_prefix per ingest "
+            "epoch, or compact() and re-ingest."
+        )
+    store.write_segment(seg_id, batch_df)
+    if auto_compact_superseded is not None:
+        store.maybe_compact(auto_compact_superseded)
+
+
+# the BASELINE input_hint pages shape (url, warc_ts, html[, text, lang]);
+# doc_id here is the CRAWL RECORD id, not the index identity
+PAGES_SCHEMA = "doc_id long, url string, warc_ts timestamp, html string"
+
+
+def start_crawl_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    store: IndexStore,
+    checkpoint_dir: str,
+    schema: str = PAGES_SCHEMA,
+    available_now: bool = True,
+    auto_compact_superseded: float = None,
+    segment_prefix: str = "crawl",
+    dead_letter_dir: str = None,
+):
+    """Streaming WEB-CRAWL front door: a file-source stream of raw pages
+    (``PAGES_SCHEMA``) is extracted and folded into the index, one segment
+    per micro-batch — the streaming twin of ``cli build --format pages``.
+
+    Per batch: recrawl latest-wins collapse + HTML->text extraction
+    (``html.crawl_ingest`` — the gated battery), markup-leftover rows
+    routed to ``dead_letter_dir/batch-<id>`` (overwrite: replay-idempotent),
+    then the index identity switch: **doc_id = xxhash64(norm_url)**
+    (``index_build.docmap_hashed`` convention).  A page re-crawled in a
+    LATER batch hashes to the same doc_id, so the new segment's higher seq
+    makes it an UPDATE under the store's latest-wins resolution — exactly
+    the reference's delete + re-digest semantics (S7/S8), no special
+    recrawl machinery.
+
+    Ordering contract: within a batch the newest ``warc_ts`` wins; across
+    batches INGEST order (segment seq) wins — feed files in crawl order
+    (an out-of-order feed would resurrect an older snapshot, the same
+    contract as the reference's synchronous ingest).  The replay digest is
+    computed on the TRANSFORMED docs, a deterministic function of the
+    batch, so checkpoint replays stay idempotent."""
+    from pyspark.sql import functions as F
+
+    from ..operators import html as html_ops
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ing = html_ops.crawl_ingest(batch_df)
+        if dead_letter_dir is not None:
+            (
+                ing.filter(F.col("has_markup"))
+                .select("doc_id", "url", "norm_url")
+                .write.mode("overwrite")
+                .parquet(f"{dead_letter_dir}/batch-{batch_id:06d}")
+            )
+        docs = ing.filter(~F.col("has_markup")).select(
+            F.xxhash64(F.col("norm_url")).alias("doc_id"),
+            F.col("text_clean").alias("text"),
+        )
+        if docs.isEmpty():
+            return
+        seg_id = f"{segment_prefix}-{batch_id:06d}"
+        _commit_segment(store, seg_id, docs, auto_compact_superseded)
 
     writer = (
         stream.writeStream.foreachBatch(sink)

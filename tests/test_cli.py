@@ -624,3 +624,67 @@ def test_cli_build_pages_anchors(cli, spark, tmp_path, capsys):
     ]) == 0
     rows = _json_lines(capsys)
     assert rows and rows[0]["doc_id"] == 12  # the TARGET, not the sources
+
+
+@pytest.mark.spark
+def test_cli_stream_pages(cli, spark, tmp_path, capsys):
+    """stream --format pages: crawl pages drain through the HTML front
+    door into ledger segments; a second drain with new files adds
+    segments; queries work against the live (unpublished) store."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    in_dir = str(tmp_path / "incoming")
+    os.makedirs(in_dir)
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    pages = spark.createDataFrame(
+        [
+            (1, "https://a.example/p", 100,
+             "<html><body>zzstream alpha words</body></html>"),
+            (2, "https://b.example/q", 100,
+             "<html><body>beta words</body></html>"),
+        ],
+        "doc_id long, url string, warc_ts long, html string",
+    ).withColumn("warc_ts", F.timestamp_seconds("warc_ts"))
+    pages.write.parquet(os.path.join(in_dir, "b1"))
+    assert cli.main([
+        "stream", "--input", in_dir + "/*", "--index", idx,
+        "--checkpoint", ckpt, "--format", "pages",
+    ]) == 0
+    info = _json_lines(capsys)[-1]
+    assert info["segments_after"] >= 1 and info["published_stale"]
+
+    assert cli.main([
+        "query", "--index", idx, "--query", "zzstream", "--k", "3",
+        "--algo", "exact",
+    ]) == 0
+    rows = _json_lines(capsys)
+    a_id = spark.sql("SELECT xxhash64('https://a.example/p') AS h").collect()[0].h
+    assert [r["doc_id"] for r in rows] == [a_id]
+
+    # second drain: a re-crawl of A must UPDATE, not duplicate
+    spark.createDataFrame(
+        [(7, "https://a.example/p", 300,
+          "<html><body>zzfresh alpha words</body></html>")],
+        "doc_id long, url string, warc_ts long, html string",
+    ).withColumn("warc_ts", F.timestamp_seconds("warc_ts")).write.parquet(
+        os.path.join(in_dir, "b2")
+    )
+    assert cli.main([
+        "stream", "--input", in_dir + "/*", "--index", idx,
+        "--checkpoint", ckpt, "--format", "pages",
+    ]) == 0
+    info2 = _json_lines(capsys)[-1]
+    assert info2["segments_after"] == info2["segments_before"] + 1
+    assert cli.main([
+        "query", "--index", idx, "--query", "zzstream", "--k", "3",
+        "--algo", "exact",
+    ]) == 0
+    assert _json_lines(capsys) == []  # old content superseded
+    assert cli.main([
+        "query", "--index", idx, "--query", "zzfresh", "--k", "3",
+        "--algo", "exact",
+    ]) == 0
+    assert [r["doc_id"] for r in _json_lines(capsys)] == [a_id]
