@@ -116,6 +116,18 @@ def cmd_build(args) -> int:
         docs = ing.filter(~F.col("has_markup")).select(
             "doc_id", F.col(text_col).alias("text"), "url", "norm_url"
         )
+        if getattr(args, "docmap", None):
+            # S3 surfaced for the web shape: the id <-> url map the query
+            # side needs for site: filtering and URL resolution (kept
+            # OUTSIDE the store dir — store dirs are meta-managed)
+            from elipdotter_spark.operators import urls as url_ops
+
+            url_ops.parse_urls(
+                docs.select("doc_id", "url"), url_col="url"
+            ).select(
+                "doc_id", "url", "norm_url", "host", "registered_domain"
+            ).write.mode("overwrite").parquet(args.docmap)
+            extra["docmap"] = args.docmap
     else:
         docs = spark.read.parquet(args.input)
     store = IndexStore(spark, args.output, gc_grace_sec=args.gc_grace_sec)
@@ -149,6 +161,7 @@ def cmd_stream(args) -> int:
             spark, args.input, store, args.checkpoint,
             segment_prefix=prefix,
             dead_letter_dir=args.dead_letter,
+            docmap_dir=getattr(args, "docmap", None),
         )
     else:
         q = incremental.start_ingest(
@@ -157,12 +170,22 @@ def cmd_stream(args) -> int:
         )
     q.awaitTermination()
     segs = store.completed_segments()
-    print(json.dumps({
+    out = {
         "format": args.format,
         "segments_before": before,
         "segments_after": len(segs),
-        "published_stale": store.published_stale(),
-    }))
+    }
+    if getattr(args, "publish", False) and len(segs) > before:
+        # same refresh contract as `ingest`: incremental delta publish,
+        # full-publish fallback for stores without block stats
+        try:
+            store.publish_delta()
+            out["publish_mode"] = "delta"
+        except ValueError:
+            store.publish()
+            out["publish_mode"] = "full"
+    out["published_stale"] = store.published_stale()
+    print(json.dumps(out))
     return 0
 
 
@@ -271,9 +294,38 @@ def cmd_query(args) -> int:
         algo=args.algo,
         word_count_limit=args.word_count_limit,
     )
-    rows = engine.topk(args.query, args.distance_threshold, args.k).collect()
+    from pyspark.sql import functions as F
+
+    restrict = None
+    docmap = None
+    if getattr(args, "docmap", None):
+        docmap = spark.read.parquet(args.docmap)
+    if getattr(args, "site", None):
+        if docmap is None:
+            raise SystemExit("--site requires --docmap (built with "
+                             "build --format pages --docmap)")
+        site = args.site.lower().lstrip(".")
+        # block_domains suffix semantics: the site and every subdomain
+        restrict = docmap.filter(
+            (F.col("host") == site) | F.col("host").endswith("." + site)
+        ).select("doc_id")
+    rows = engine.topk(
+        args.query, args.distance_threshold, args.k, restrict=restrict
+    ).collect()
+    url_by_id = {}
+    if docmap is not None and getattr(args, "resolve_urls", False) and rows:
+        ids = [int(r.doc_id) for r in rows]
+        url_by_id = {
+            r.doc_id: r.norm_url
+            for r in docmap.filter(F.col("doc_id").isin(ids))
+            .select("doc_id", "norm_url")
+            .collect()
+        }
     for r in rows:
-        print(json.dumps({"doc_id": r.doc_id, "start": r.start, "rating": float(r.rating)}))
+        out = {"doc_id": r.doc_id, "start": r.start, "rating": float(r.rating)}
+        if url_by_id:
+            out["url"] = url_by_id.get(r.doc_id)
+        print(json.dumps(out))
     return 0
 
 
@@ -1413,6 +1465,9 @@ def main(argv=None) -> int:
     b.add_argument("--anchors", action="store_true",
                    help="with --format pages/warc: append in-link anchor "
                         "terms to each target page's indexed text")
+    b.add_argument("--docmap", default=None,
+                   help="with --format pages/warc: write the doc_id <-> "
+                        "url map here (query --site/--resolve-urls input)")
     b.set_defaults(fn=cmd_build)
 
     q = sub.add_parser("query")
@@ -1423,6 +1478,14 @@ def main(argv=None) -> int:
     q.add_argument("--algo", default="hamming", choices=["exact", "hamming", "jaro"])
     q.add_argument("--threshold", type=float, default=0.85)
     q.add_argument("--word-count-limit", type=int, default=1000)
+    q.add_argument("--docmap", default=None,
+                   help="doc_id <-> url map parquet (build --docmap); "
+                        "enables --site and --resolve-urls")
+    q.add_argument("--site", default=None,
+                   help="restrict results to this host and its subdomains "
+                        "(requires --docmap)")
+    q.add_argument("--resolve-urls", action="store_true", dest="resolve_urls",
+                   help="attach norm_url to each hit (requires --docmap)")
     q.set_defaults(fn=cmd_query)
 
     qb = sub.add_parser("batch")
@@ -1469,6 +1532,14 @@ def main(argv=None) -> int:
     st.add_argument("--dead-letter", default=None, dest="dead_letter",
                     help="with --format pages: markup-leftover rows land "
                          "here per batch")
+    st.add_argument("--docmap", default=None,
+                    help="with --format pages: append the per-batch "
+                         "doc_id <-> url map here (query --site input; "
+                         "read with /batch-*)")
+    st.add_argument("--publish", action="store_true",
+                    help="refresh the published index after the drain "
+                         "(delta publish, full fallback — the ingest "
+                         "contract)")
     st.set_defaults(fn=cmd_stream)
 
     i = sub.add_parser("ingest")

@@ -1006,6 +1006,7 @@ class QueryEngine:
         k: int,
         prune: bool = True,
         stats_out: Optional[dict] = None,
+        restrict: Optional[DataFrame] = None,
     ) -> DataFrame:
         """Parse -> score -> top-k by rating desc (O2: TakeOrderedAndProject).
 
@@ -1043,11 +1044,32 @@ class QueryEngine:
         ast = parse(query)
         order = [F.desc("rating"), F.asc("doc_id"), F.asc("start")]
         exp = self.expansions(ast)
+        if restrict is not None:
+            # corpus restriction (site: filter, ACL subset, time slice):
+            # semantics are "run the engine over the sub-corpus" — the
+            # occurrence stream is cut BEFORE anything is computed, so the
+            # sentinel maxes / root sets / prune bounds all describe the
+            # restricted universe (identical to indexing only those docs).
+            # The futility memo stays engine-global: it describes the
+            # corpus shape, which a doc-subset rarely changes.
+            restrict = restrict.select("doc_id")
         if not prune or k <= 0 or self._prune_futile:
             if stats_out is not None:
                 stats_out["pruned"] = False
                 stats_out["futile"] = self._prune_futile
-            return self.hits(ast, distance_threshold, exp).orderBy(*order).limit(k)
+            if restrict is None:
+                return (
+                    self.hits(ast, distance_threshold, exp)
+                    .orderBy(*order)
+                    .limit(k)
+                )
+            occ_r = self._occ_base(exp).join(restrict, "doc_id", "left_semi")
+            sets_r = self._qword_sets(exp, occ=occ_r)
+            return (
+                self.hits(ast, distance_threshold, exp, occ=occ_r, sets=sets_r)
+                .orderBy(*order)
+                .limit(k)
+            )
 
         from pyspark import StorageLevel
 
@@ -1063,7 +1085,10 @@ class QueryEngine:
         # measured round 5 at 1M on BOTH 60-token and 600-token docs:
         # parity-to-slightly-worse (BENCH.md) — the array cache is not the
         # pruned path's bottleneck, so the simpler one-persist shape stays
-        occ = self._occ_base(exp).persist(StorageLevel.MEMORY_AND_DISK)
+        occ = self._occ_base(exp)
+        if restrict is not None:
+            occ = occ.join(restrict, "doc_id", "left_semi")
+        occ = occ.persist(StorageLevel.MEMORY_AND_DISK)
         kernel_occ = occ
         sets = self._qword_sets(exp, with_stats=True, occ=occ)
         ub = self._upper_bound_expr(ast, exp, distance_threshold)
@@ -1092,9 +1117,15 @@ class QueryEngine:
 
             def full():
                 # lazy: the unpersist below just means the caller's action
-                # recomputes the scan once — the pre-prune behavior
+                # recomputes the scan once — the pre-prune behavior.  Under
+                # a restriction the restricted occ/sets must feed the full
+                # path too (maxes describe the restricted universe).
                 return (
-                    self.hits(ast, distance_threshold, exp, maxes=maxes)
+                    self.hits(
+                        ast, distance_threshold, exp, maxes=maxes,
+                        occ=kernel_occ if restrict is not None else None,
+                        sets=sets if restrict is not None else None,
+                    )
                     .orderBy(*order)
                     .limit(k)
                 )

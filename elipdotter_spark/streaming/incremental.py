@@ -143,6 +143,7 @@ def start_crawl_ingest(
     auto_compact_superseded: float = None,
     segment_prefix: str = "crawl",
     dead_letter_dir: str = None,
+    docmap_dir: str = None,
 ):
     """Streaming WEB-CRAWL front door: a file-source stream of raw pages
     (``PAGES_SCHEMA``) is extracted and folded into the index, one segment
@@ -180,6 +181,25 @@ def start_crawl_ingest(
                 .select("doc_id", "url", "norm_url")
                 .write.mode("overwrite")
                 .parquet(f"{dead_letter_dir}/batch-{batch_id:06d}")
+            )
+        if docmap_dir is not None:
+            # id <-> url map for the query side (site: filter, URL
+            # resolution); per-batch overwrite = replay-idempotent.
+            # Readers take the LATEST row per doc_id (recrawled pages
+            # re-emit the same hashed id, possibly with a new raw url).
+            from ..operators import urls as url_ops
+
+            (
+                url_ops.parse_urls(
+                    ing.filter(~F.col("has_markup")).select("url"),
+                    url_col="url",
+                )
+                .select(
+                    F.xxhash64(F.col("norm_url")).alias("doc_id"),
+                    "url", "norm_url", "host", "registered_domain",
+                )
+                .write.mode("overwrite")
+                .parquet(f"{docmap_dir}/batch-{batch_id:06d}")
             )
         docs = ing.filter(~F.col("has_markup")).select(
             F.xxhash64(F.col("norm_url")).alias("doc_id"),

@@ -672,12 +672,18 @@ def test_cli_stream_pages(cli, spark, tmp_path, capsys):
     ).withColumn("warc_ts", F.timestamp_seconds("warc_ts")).write.parquet(
         os.path.join(in_dir, "b2")
     )
+    dm = str(tmp_path / "docmap")
     assert cli.main([
         "stream", "--input", in_dir + "/*", "--index", idx,
         "--checkpoint", ckpt, "--format", "pages",
+        "--docmap", dm, "--publish",
     ]) == 0
     info2 = _json_lines(capsys)[-1]
     assert info2["segments_after"] == info2["segments_before"] + 1
+    # --publish refreshes (full fallback: never-published store) and the
+    # store reads fresh afterward
+    assert info2["publish_mode"] in ("delta", "full")
+    assert info2["published_stale"] is False
     assert cli.main([
         "query", "--index", idx, "--query", "zzstream", "--k", "3",
         "--algo", "exact",
@@ -688,3 +694,7 @@ def test_cli_stream_pages(cli, spark, tmp_path, capsys):
         "--algo", "exact",
     ]) == 0
     assert [r["doc_id"] for r in _json_lines(capsys)] == [a_id]
+    # the per-batch docmap resolves the hashed id back to the page
+    m = {r.doc_id: r.norm_url
+         for r in spark.read.parquet(dm + "/batch-*").collect()}
+    assert m[a_id] == "https://a.example/p"
