@@ -1273,6 +1273,7 @@ def cmd_pipeline(args) -> int:
 
     Config keys (all stages optional except input/output):
       {"input": p, "format": "parquet"|"jsonl"|"pages", "dead_letter": p,
+       "anchors": true, "docmap": p,   # pages format only
        "block_domains": [d1, d2, ...], "domain_cap": N,
        "c4": true, "line_max_docs": N, "pii": true,
        "clean": {lang, min_tokens, min_stopword_ratio, jaccard, max_ring,
@@ -1318,8 +1319,25 @@ def cmd_pipeline(args) -> int:
         keep_cols = [
             c for c in ["doc_id", "url", "norm_url"] if c in ingested.columns
         ]
-        docs = ingested.filter(~F.col("has_markup")).select(
-            *keep_cols, F.col("text_clean").alias("text")
+        ing_src = ingested  # anchor_augment wraps; unpersist the CACHED one
+        text_col = "text_clean"
+        if cfg.get("anchors"):
+            # in-link anchor terms join the target page's indexable text
+            ing_src = html_ops.anchor_augment(ingested, pages)
+            text_col = "text_indexed"
+            stats["anchors"] = True
+        if cfg.get("docmap"):
+            from elipdotter_spark.operators import urls as urls_ops
+
+            urls_ops.parse_urls(
+                ingested.filter(~F.col("has_markup")).select("doc_id", "url"),
+                url_col="url",
+            ).select(
+                "doc_id", "url", "norm_url", "host", "registered_domain"
+            ).write.mode("overwrite").parquet(cfg["docmap"])
+            stats["docmap"] = cfg["docmap"]
+        docs = ing_src.filter(~F.col("has_markup")).select(
+            *keep_cols, F.col(text_col).alias("text")
         )
     else:
         docs = spark.read.parquet(cfg["input"])

@@ -1371,6 +1371,56 @@ def q_web_ranked_bm25(spark, sf_dir):
     )
 
 
+# linked-pages arithmetic corpus (anchor-augmentation gate): LINKED_D pages,
+# each linking two in-corpus targets — slot 1 (double-quoted href) maps
+# s -> (8s+3) % D (gcd 8: every hit target has 8 distinct sources, so the
+# per-source repeat CAP binds), slot 2 (single-quoted) is the bijection
+# s -> (13s+5) % D (n_src_docs = 1, uncapped regime).  Anchor texts are
+# single arithmetic tokens with disjoint prefixes (top<k> / ref<k>) so the
+# DuckDB oracle can recompute the augmented term stats from pure integer
+# arithmetic, independent of the extraction regexes.
+LINKED_D = 400
+
+
+def _linked_pages(spark: SparkSession) -> DataFrame:
+    d = F.col("doc_id")
+    ids = spark.range(0, LINKED_D, 1, 8).select(F.col("id").alias("doc_id"))
+    t1 = (d * 8 + 3) % LINKED_D
+    t2 = (d * 13 + 5) % LINKED_D
+    url = F.concat(F.lit("https://p"), d.cast("string"), F.lit(".example/"))
+    html_col = F.concat(
+        F.lit("<p>page word"), (d % 5).cast("string"), F.lit("</p> "),
+        F.lit('<a href="https://p'), t1.cast("string"),
+        F.lit('.example/">top'), (t1 % 7).cast("string"), F.lit("</a> "),
+        F.lit("<a href='https://p"), t2.cast("string"),
+        F.lit(".example/'>ref"), (d % 11).cast("string"), F.lit("</a>"),
+    )
+    return ids.select(
+        "doc_id",
+        url.alias("url"),
+        F.timestamp_seconds(F.lit(1700000000)).alias("warc_ts"),
+        html_col.alias("html"),
+    )
+
+
+def q_web_anchor_index(spark, sf_dir):
+    """Anchor augmentation INSIDE the index, cross-engine: linked pages ->
+    crawl_ingest -> anchor_augment (per-source repeats capped at 3) ->
+    postings over text_indexed -> (term, df, cf).  The oracle recomputes
+    the augmented term statistics from the link arithmetic alone (edge
+    lists + distinct-source counts + the repeat cap), so extraction,
+    anchor mining, capping, the norm_url join and tokenization are all
+    checked against an independent derivation."""
+    pages = _linked_pages(spark)
+    ing = html.crawl_ingest(pages)
+    aug = html.anchor_augment(ing, pages)
+    docs = aug.filter(~F.col("has_markup")).select(
+        "doc_id", F.col("text_indexed").alias("text")
+    )
+    postings = index_build.build_postings(docs)
+    return index_build.build_terms(postings)
+
+
 def q_web_warc_roundtrip(spark, sf_dir):
     """WARC shard roundtrip (sources/warc.py): synth pages encoded into
     multi-record gzip-member streams (one per bucket, warcinfo record
@@ -2001,6 +2051,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_domain_rank": q_web_domain_rank,
         "web_anchor_terms": q_web_anchor_terms,
         "web_ranked_bm25": q_web_ranked_bm25,
+        "web_anchor_index": q_web_anchor_index,
         "web_warc_roundtrip": q_web_warc_roundtrip,
         "ann_quantize": q_ann_quantize,
         "ann_quantized_topk": q_ann_quantized_topk,
@@ -3597,6 +3648,48 @@ def oracle_sql() -> Dict[str, str]:
                        round(b.score + 8.0 * ln(1.0 + p.prior), 6) AS fused
                 FROM wbm b JOIN wprior p USING (doc_id)
             ) ORDER BY fused DESC, doc_id ASC LIMIT 20
+        """,
+        "web_anchor_index": f"""
+            -- INDEPENDENT derivation: the augmented term stats from the
+            -- link arithmetic alone (never the extraction regexes).  Own
+            -- tokens per page s: page, word(s%5), top(t1%7), ref(s%11);
+            -- augment per target: slot-1 'top' terms from 8 distinct
+            -- sources (capped at 3 repeats), slot-2 'ref' terms from the
+            -- bijection (1 repeat).
+            WITH lown AS (
+                SELECT s AS d, (s * 8 + 3) % {LINKED_D} AS t1,
+                       (s * 13 + 5) % {LINKED_D} AS t2,
+                       s % 5 AS wk, s % 11 AS rk
+                FROM (SELECT unnest(range({LINKED_D})) AS s)
+            ),
+            lowntok AS (
+                SELECT d, 'page' AS term FROM lown
+                UNION ALL SELECT d, 'word' || CAST(wk AS VARCHAR) FROM lown
+                UNION ALL SELECT d, 'top' || CAST(t1 % 7 AS VARCHAR) FROM lown
+                UNION ALL SELECT d, 'ref' || CAST(rk AS VARCHAR) FROM lown
+            ),
+            la1 AS (
+                SELECT t1 AS tgt, 'top' || CAST(t1 % 7 AS VARCHAR) AS term,
+                       count(DISTINCT d) AS ns
+                FROM lown GROUP BY 1, 2
+            ),
+            la2 AS (
+                SELECT t2 AS tgt, 'ref' || CAST(rk AS VARCHAR) AS term,
+                       count(DISTINCT d) AS ns
+                FROM lown GROUP BY 1, 2
+            ),
+            laug AS (
+                SELECT tgt AS d, term, unnest(range(least(ns, 3))) AS _i
+                FROM (SELECT * FROM la1 UNION ALL SELECT * FROM la2)
+            ),
+            lalltok AS (
+                SELECT d, term FROM lowntok
+                UNION ALL
+                SELECT d, term FROM laug
+            )
+            SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+                   CAST(count(*) AS BIGINT) AS cf
+            FROM lalltok GROUP BY term
         """,
         "web_warc_roundtrip": f"""
             WITH {URLS_SQL}, {HTML_SYNTH_SQL}

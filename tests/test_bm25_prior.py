@@ -132,3 +132,40 @@ def test_cli_bm25_prior(cli, spark, tmp_path, capsys):
     assert abs(
         out[0]["fused"] - (out[0]["score"] + 8.0 * math.log(3.0))
     ) < 2e-6
+
+
+@pytest.mark.spark
+def test_prior_and_anchor_plan_shapes(spark):
+    """100-TB plan posture for the session-9 ops: the fused top-k compiles
+    to TakeOrderedAndProject (per-partition top-k, no global sort) and
+    anchor_terms reaches its aggregate with ONE shuffle (extraction/clean/
+    tokenize all ride the page scan)."""
+    from elipdotter_spark.operators import html as H
+
+    postings, terms, docstats = _index(
+        spark, [(1, "alpha beta"), (2, "alpha gamma")]
+    )
+    prior = spark.createDataFrame([(1, 0.5)], "doc_id long, prior double")
+    plan = (
+        bm25.bm25_topk_prior(
+            postings, docstats, terms, ["alpha"], 10, prior=prior
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+    pages = spark.createDataFrame(
+        [(1, '<a href="https://t.example/p">click here</a>')],
+        "doc_id long, html string",
+    )
+    at_plan = (
+        H.anchor_terms(pages)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one shuffle: the final (target, term) hash aggregate
+    assert at_plan.count("Exchange") <= 2  # partial->final agg exchange(s)
+    assert "SortMergeJoin" not in at_plan

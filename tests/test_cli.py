@@ -566,11 +566,14 @@ def test_cli_pipeline_pages_front_door(cli, tmp_path, capsys):
     ).write.parquet(inp)
     out = str(tmp_path / "out")
     dead = str(tmp_path / "dead")
+    dm = str(tmp_path / "docmap")
     cfg = {
         "input": inp,
         "format": "pages",
         "dead_letter": dead,
         "domain_cap": 1,
+        "anchors": True,   # no <a> in this synth: text must be unchanged
+        "docmap": dm,
         "clean": {"lang": "en", "min_tokens": 3, "min_stopword_ratio": 0.0,
                   "jaccard": 0.8, "max_ring": None},
         "output": out,
@@ -583,6 +586,10 @@ def test_cli_pipeline_pages_front_door(cli, tmp_path, capsys):
     assert s["n_crawls_in"] == 5
     assert s["n_markup_dead"] == 1
     assert s["n_input"] == 3  # 4 canonical pages - 1 markup dead letter
+    assert s["anchors"] is True and s["docmap"] == dm
+    dmap = {r.doc_id: r for r in sp.read.parquet(dm).collect()}
+    assert set(dmap) == {1, 3, 4}  # non-markup winners
+    assert dmap[1].host == "a.example"
     assert s["after_domain_cap"] == 2  # c.example capped to one page
     rows = {r["doc_id"]: r for r in sp.read.parquet(out + "/docs").collect()}
     assert 1 in rows  # the later recrawl won
