@@ -452,6 +452,28 @@ def run_queries(spark, docs, postings, terms, docstats):
         .collect(),
         reps=5,
     )
+    # session-9: rank fusion (BM25 + static prior joined AFTER the per-doc
+    # aggregate) and a corpus-restricted scored query (site:-filter shape:
+    # the occurrence stream is semi-joined to the subset before scoring)
+    prior_df = docs.select(
+        "doc_id", ((F.col("doc_id") % 100) / 100.0).alias("prior")
+    )
+    timed(
+        "q_bm25_prior",
+        lambda: bm25.bm25_topk_prior(
+            postings, docstats, terms, ["spark", "fast", "table"], 10,
+            prior=prior_df, prior_weight=2.0, n=n, avgdl=avgdl,
+        ).collect(),
+        reps=5,
+    )
+    site_subset = docs.select("doc_id").filter(F.col("doc_id") % 2 == 0)
+    timed(
+        "q_scored_hits_site",
+        lambda: engine.topk(
+            "table value -vector", 1000, 10, restrict=site_subset
+        ).collect(),
+        reps=3,
+    )
     return timings, percentiles, prune
 
 

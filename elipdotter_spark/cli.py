@@ -1253,6 +1253,29 @@ def cmd_rank(args) -> int:
     }
     if args.output:
         ranks.write.mode("overwrite").parquet(args.output)
+    if getattr(args, "prior_output", None):
+        # glue for `bm25 --prior`: per-DOC priors via the docmap — rank
+        # scaled by n_domains so the mean prior is O(1) (a raw PageRank is
+        # ~1/n and would vanish under the fusion's ln(1+prior))
+        if not getattr(args, "docmap", None):
+            raise SystemExit("--prior-output requires --docmap "
+                             "(build --format pages --docmap)")
+        dm = spark.read.parquet(args.docmap)
+        n_domains = ranks.count()
+        prior = (
+            dm.join(
+                F.broadcast(ranks),
+                dm["registered_domain"] == ranks["domain"],
+                "left",
+            )
+            .select(
+                "doc_id",
+                (F.coalesce(F.col("rank"), F.lit(0.0))
+                 * F.lit(float(n_domains))).alias("prior"),
+            )
+        )
+        prior.write.mode("overwrite").parquet(args.prior_output)
+        out["prior_output"] = args.prior_output
     print(json.dumps(out))
     return 0
 
@@ -1830,6 +1853,13 @@ def main(argv=None) -> int:
     rk.add_argument("--damping", type=float, default=0.85)
     rk.add_argument("--output", default=None,
                     help="write the (domain, rank) table")
+    rk.add_argument("--docmap", default=None,
+                    help="doc_id <-> url map (build --docmap); required "
+                         "for --prior-output")
+    rk.add_argument("--prior-output", default=None, dest="prior_output",
+                    help="write a per-DOC (doc_id, prior) table — rank * "
+                         "n_domains via the docmap — ready for "
+                         "`bm25 --prior`")
     rk.set_defaults(fn=cmd_rank)
 
     pl = sub.add_parser("pipeline")

@@ -124,3 +124,49 @@ def test_cli_docmap_site_and_resolve(cli, spark, tmp_path, capsys):
     rows = [json.loads(l) for l in capsys.readouterr().out.splitlines()
             if l.startswith("{")]
     assert {r["doc_id"] for r in rows} == {1, 2, 3}
+
+
+@pytest.mark.spark
+def test_cli_rank_prior_to_bm25(cli, spark, tmp_path, capsys):
+    """The full CLI ranking story: build --docmap -> rank --prior-output
+    -> bm25 --prior.  Heavily-linked hub's page outranks an equally-good
+    text match from an unlinked domain."""
+    rows = []
+    # hub.example is linked from 6 domains; lone.example from none
+    for i in range(6):
+        rows.append((10 + i, f"https://src{i}.example/p", 100,
+                     '<html><body>filler <a href="https://hub.example/x">'
+                     "hub</a></body></html>"))
+    rows.append((1, "https://hub.example/x", 100,
+                 "<html><body>zzranked words here</body></html>"))
+    rows.append((2, "https://lone.example/y", 100,
+                 "<html><body>zzranked words here</body></html>"))
+    pages = spark.createDataFrame(
+        rows, "doc_id long, url string, warc_ts long, html string"
+    ).withColumn("warc_ts", F.timestamp_seconds("warc_ts"))
+    pin = str(tmp_path / "pages")
+    idx = str(tmp_path / "idx")
+    dm = str(tmp_path / "docmap")
+    pr = str(tmp_path / "prior")
+    pages.write.parquet(pin)
+    assert cli.main([
+        "build", "--input", pin, "--output", idx, "--segments", "1",
+        "--format", "pages", "--docmap", dm,
+    ]) == 0
+    assert cli.main([
+        "rank", "--input", pin, "--docmap", dm, "--prior-output", pr,
+    ]) == 0
+    info = json.loads([l for l in capsys.readouterr().out.splitlines()
+                       if l.startswith("{")][-1])
+    assert info["prior_output"] == pr
+    priors = {r.doc_id: r.prior for r in spark.read.parquet(pr).collect()}
+    assert priors[1] > priors[2] >= 0.0  # the hub doc carries the mass
+    assert cli.main([
+        "bm25", "--index", idx, "--terms", "zzranked,words",
+        "--prior", pr, "--prior-weight", "4.0",
+    ]) == 0
+    out = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+           if l.startswith("{")]
+    # identical text, the prior breaks the tie toward the hub page
+    assert out[0]["doc_id"] == 1 and out[0]["fused"] > out[1]["fused"]
+    assert {o["doc_id"] for o in out[:2]} == {1, 2}
