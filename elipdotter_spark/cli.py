@@ -151,7 +151,9 @@ def cmd_stream(args) -> int:
     from elipdotter_spark.streaming import incremental
 
     spark = get_spark()
-    store = IndexStore(spark, args.index)
+    store = IndexStore(
+        spark, args.index, gc_grace_sec=getattr(args, "gc_grace_sec", 0.0)
+    )
     before = len(store.completed_segments())
     prefix = args.segment_prefix or (
         "crawl" if args.format == "pages" else "stream"
@@ -321,10 +323,29 @@ def cmd_query(args) -> int:
             .select("doc_id", "norm_url")
             .collect()
         }
+    snips = {}
+    if getattr(args, "snippets_docs", None) and rows:
+        # SERP excerpting — the occurrence starts exist exactly for this
+        # (byte offsets into the original text; snippet_extract)
+        from elipdotter_spark.operators import text_analysis
+
+        hits_df = spark.createDataFrame(
+            [(int(r.doc_id), int(r.start)) for r in rows],
+            "doc_id long, start long",
+        )
+        docs_df = spark.read.parquet(args.snippets_docs)
+        snips = {
+            (r.doc_id, r.start): r.snippet
+            for r in text_analysis.snippet_extract(
+                hits_df, docs_df, width=args.snippet_width
+            ).collect()
+        }
     for r in rows:
         out = {"doc_id": r.doc_id, "start": r.start, "rating": float(r.rating)}
         if url_by_id:
             out["url"] = url_by_id.get(r.doc_id)
+        if snips:
+            out["snippet"] = snips.get((r.doc_id, r.start))
         print(json.dumps(out))
     return 0
 
@@ -1527,6 +1548,11 @@ def main(argv=None) -> int:
                         "(requires --docmap)")
     q.add_argument("--resolve-urls", action="store_true", dest="resolve_urls",
                    help="attach norm_url to each hit (requires --docmap)")
+    q.add_argument("--snippets-docs", default=None, dest="snippets_docs",
+                   help="documents parquet (doc_id, text): attach a "
+                        "context snippet around each hit's start offset")
+    q.add_argument("--snippet-width", type=int, default=30,
+                   dest="snippet_width")
     q.set_defaults(fn=cmd_query)
 
     qb = sub.add_parser("batch")
@@ -1581,6 +1607,10 @@ def main(argv=None) -> int:
                     help="refresh the published index after the drain "
                          "(delta publish, full fallback — the ingest "
                          "contract)")
+    st.add_argument("--gc-grace-sec", type=float, default=0.0,
+                    dest="gc_grace_sec",
+                    help="reader-safe two-phase GC window for any publish "
+                         "this command triggers")
     st.set_defaults(fn=cmd_stream)
 
     i = sub.add_parser("ingest")

@@ -170,3 +170,28 @@ def test_cli_rank_prior_to_bm25(cli, spark, tmp_path, capsys):
     # identical text, the prior breaks the tie toward the hub page
     assert out[0]["doc_id"] == 1 and out[0]["fused"] > out[1]["fused"]
     assert {o["doc_id"] for o in out[:2]} == {1, 2}
+
+
+@pytest.mark.spark
+def test_cli_query_snippets(cli, spark, tmp_path, capsys):
+    docs = spark.createDataFrame(
+        [(1, "lead words before zzsnip trailing context words here"),
+         (2, "no match content")],
+        "doc_id long, text string",
+    )
+    din = str(tmp_path / "docs")
+    idx = str(tmp_path / "idx")
+    docs.write.parquet(din)
+    assert cli.main(["build", "--input", din, "--output", idx,
+                     "--segments", "1"]) == 0
+    capsys.readouterr()
+    assert cli.main([
+        "query", "--index", idx, "--query", "zzsnip", "--k", "3",
+        "--algo", "exact", "--snippets-docs", din, "--snippet-width", "12",
+    ]) == 0
+    rows = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+            if l.startswith("{")]
+    assert rows and rows[0]["doc_id"] == 1
+    assert "zzsnip" in rows[0]["snippet"]
+    # width honored: 2*12 chars max
+    assert len(rows[0]["snippet"]) <= 24
