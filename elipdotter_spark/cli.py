@@ -415,6 +415,38 @@ def cmd_bm25(args) -> int:
     from elipdotter_spark.operators import bm25, codec
 
     spark = get_spark()
+    if "," in args.index:
+        # FEDERATED: comma-separated shard stores (disjoint doc ids),
+        # global stats from meta counters, per-shard WAND scatter-gather
+        from elipdotter_spark.operators import federation
+        from elipdotter_spark.sources.catalog import IndexStore
+
+        stores = [IndexStore(spark, p) for p in args.index.split(",")]
+        qterms = args.terms.split(",")
+        if getattr(args, "prior", None):
+            postings, terms, docstats, n, avgdl = (
+                federation.federated_tables(stores)
+            )
+            topk = bm25.bm25_topk_prior(
+                postings, docstats, terms, qterms, args.k,
+                prior=spark.read.parquet(args.prior),
+                prior_weight=args.prior_weight, n=n, avgdl=avgdl,
+            )
+            for r in topk.collect():
+                print(json.dumps({
+                    "doc_id": r.doc_id, "score": float(r.score),
+                    "prior": float(r.prior), "fused": float(r.fused),
+                }))
+            return 0
+        if args.wand:
+            topk = federation.bm25_topk_wand_federated(
+                stores, qterms, args.k
+            )
+        else:
+            topk = federation.bm25_topk_federated(stores, qterms, args.k)
+        for r in topk.collect():
+            print(json.dumps({"doc_id": r.doc_id, "score": float(r.score)}))
+        return 0
     store, snap, postings, terms, docstats, _stale = _load(spark, args.index)
     if not _stale:
         n, avgdl = snap.corpus_stats()  # meta counters: zero Spark jobs

@@ -1819,6 +1819,41 @@ def q_zipf_delta_wand(spark, sf_dir):
     return topk.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def q_zipf_fed_wand(spark, sf_dir):
+    """Federated sharded-store retrieval cross-engine: the Zipf corpus
+    split by doc parity into TWO independently-published stores ->
+    scatter-gather block-max WAND under GLOBAL stats (meta-counter N /
+    weighted avgdl, re-aggregated global dictionary driving idf and the
+    stats-drift bounds) -> merged top-20 must equal the exhaustive DuckDB
+    BM25 on the WHOLE corpus.  The 10^12-doc serving shape: shard-local
+    pruning, global ranking."""
+    import tempfile
+
+    from .operators import federation
+    from .sources.catalog import IndexStore
+
+    key = f"zipf_fed_stores:{_spark_key(spark)}"
+    if key not in _CACHE:
+        import atexit
+        import shutil as _shutil
+
+        work = tempfile.mkdtemp(prefix="zipf_fed_gate_")
+        atexit.register(_shutil.rmtree, work, ignore_errors=True)
+        docs = _zipf_tables(spark)["docs"]
+        stores = []
+        for i in (0, 1):
+            st = IndexStore(spark, f"{work}/shard{i}")
+            st.write_segment("seg-0", docs.filter(F.col("doc_id") % 2 == i))
+            st.publish(doc_span=16)
+            stores.append(st)
+        _CACHE[key] = {"stores": stores, "_scratch_dirs": [work]}
+    stores = _CACHE[key]["stores"]
+    topk = federation.bm25_topk_wand_federated(
+        stores, ["w1", "w800", "w3000"], 20
+    )
+    return topk.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def q_zipf_merged_wand(spark, sf_dir):
     """LSM delta-merge cross-engine gate: base Zipf store -> full publish ->
     TWO OVERLAPPING delta publishes (docs 0..39 -> 'w1 w1 w999', then docs
@@ -2080,6 +2115,7 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_bm25_wand": q_zipf_bm25_wand,
         "zipf_delta_wand": q_zipf_delta_wand,
         "zipf_merged_wand": q_zipf_merged_wand,
+        "zipf_fed_wand": q_zipf_fed_wand,
     }
 
 
@@ -3235,6 +3271,30 @@ def oracle_sql() -> Dict[str, str]:
                 JOIN zdl USING (doc_id)
                 CROSS JOIN zstats
                 WHERE term IN ('w1', 'w999', 'w3')
+                GROUP BY ztf.doc_id
+                ORDER BY score DESC, doc_id ASC LIMIT 20
+            )
+        """,
+        "zipf_fed_wand": f"""
+            WITH {ZIPF_TOKS_SQL},
+            ztf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                    FROM ztok GROUP BY doc_id, term),
+            zdl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+                    FROM ztok GROUP BY doc_id),
+            zstats AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM zdl),
+            zdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM ztf GROUP BY term)
+            SELECT doc_id, round(score, 6) AS score FROM (
+                SELECT ztf.doc_id,
+                       sum(
+                         ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                         * tf * (1.2 + 1.0)
+                         / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                       ) AS score
+                FROM ztf
+                JOIN zdf USING (term)
+                JOIN zdl USING (doc_id)
+                CROSS JOIN zstats
+                WHERE term IN ('w1', 'w800', 'w3000')
                 GROUP BY ztf.doc_id
                 ORDER BY score DESC, doc_id ASC LIMIT 20
             )
