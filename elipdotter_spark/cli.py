@@ -287,7 +287,17 @@ def cmd_query(args) -> int:
     from elipdotter_spark.plans.compiler import QueryEngine
 
     spark = get_spark()
-    _store, _snap, postings, terms, _ds, _stale = _load(spark, args.index)
+    if "," in args.index:
+        # FEDERATED scored query: one engine over the unioned shard
+        # tables — the per-doc kernel only needs each doc's own rows plus
+        # the global qword-set aggregate, which the union provides
+        from elipdotter_spark.operators import federation
+        from elipdotter_spark.sources.catalog import IndexStore
+
+        stores = [IndexStore(spark, p) for p in args.index.split(",")]
+        postings, terms, _ds, _n, _avgdl = federation.federated_tables(stores)
+    else:
+        _store, _snap, postings, terms, _ds, _stale = _load(spark, args.index)
     engine = QueryEngine(
         spark,
         postings,

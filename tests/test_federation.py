@@ -122,3 +122,29 @@ def test_cli_federated_bm25(cli, spark, tmp_path, capsys):
     assert [(r["doc_id"], round(r["score"], 6)) for r in fed_w] == [
         (r["doc_id"], round(r["score"], 6)) for r in single
     ]
+
+
+@pytest.mark.spark
+def test_cli_federated_scored_query(cli, spark, tmp_path, capsys):
+    """Reference-rating scored queries federate too: one engine over the
+    unioned shard tables == the whole-corpus store, row for row."""
+    docs = _corpus(spark)
+    for name, flt in (("q1", "doc_id % 2 = 0"), ("q2", "doc_id % 2 = 1"),
+                      ("qw", "doc_id >= 0")):
+        dpath = str(tmp_path / ("in_" + name))
+        docs.filter(flt).write.parquet(dpath)
+        assert cli.main(["build", "--input", dpath,
+                         "--output", str(tmp_path / name),
+                         "--segments", "1"]) == 0
+    capsys.readouterr()
+
+    def run(index):
+        assert cli.main(["query", "--index", index, "--query",
+                         "alpha gamma -beta", "--k", "10",
+                         "--algo", "exact"]) == 0
+        return [json.loads(l) for l in capsys.readouterr().out.splitlines()
+                if l.startswith("{")]
+
+    fed = run(f"{tmp_path}/q1,{tmp_path}/q2")
+    single = run(f"{tmp_path}/qw")
+    assert fed == single and len(fed) > 0
