@@ -168,7 +168,18 @@ def candidate_pairs(bands: DataFrame, max_ring: int = None) -> DataFrame:
     mega-cluster of n near-identical docs then produces O(n*r) candidate
     pairs instead of O(n^2) — duplicate *groups* survive because chain edges
     keep every cluster connected — and the bucket's cost becomes one sort
-    instead of a quadratic self-join melting one reducer."""
+    instead of a quadratic self-join melting one reducer.
+
+    Ring plan shape (round 7): each doc's ring partners are exactly the
+    next ``r`` docs in its bucket's doc_id order, i.e. ``lead(doc_id, i)``
+    for i in 1..r over ONE (band, band_hash) window — no self-join at all.
+    The previous self-join was equi-keyed only on the bucket, so the
+    sort-merge join buffered each m-row bucket group and evaluated the
+    ring predicate over all m^2 row combinations — quadratic in bucket
+    size (measured 114 s at sf1.0, m ~ 5*10^4 per bucket on the
+    degenerate sf vocabulary, vs 4 s at sf0.1).  The window form is
+    O(m log m) sort + O(m*r) emitted rows; the pair SET is identical
+    (pinned by test_ann_dedup.py's exact-vs-bounded assertions)."""
     if max_ring is None:
         return (
             bands.alias("x")
@@ -180,17 +191,14 @@ def candidate_pairs(bands: DataFrame, max_ring: int = None) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("band", "band_hash").orderBy("doc_id")
-    ranked = bands.withColumn("rk", F.row_number().over(w))
+    partners = F.array_compact(
+        F.array(*[F.lead("doc_id", i).over(w) for i in range(1, max_ring + 1)])
+    )
+    # window expr in its own projection: a generator (explode) cannot
+    # contain a window function in the same operator
+    ringed = bands.select(F.col("doc_id").alias("a"), partners.alias("_ring"))
     return (
-        ranked.alias("x")
-        .join(
-            ranked.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.band_hash") == F.col("y.band_hash"))
-            & (F.col("y.rk") > F.col("x.rk"))
-            & (F.col("y.rk") <= F.col("x.rk") + max_ring),
-        )
-        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        ringed.select("a", F.explode("_ring").alias("b"))
         .distinct()
     )
 
