@@ -81,14 +81,18 @@ def distinct_tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
 def _bands_from_token_table(
     toks: DataFrame, n_minhash: int, rows_per_band: int
 ) -> DataFrame:
-    """Shared MinHash-banding plan over a (doc_id, term) table.
+    """Shared MinHash-banding plan over a (doc_id, term) table (duplicate
+    (doc_id, term) rows are fine — the aggregate dedups).
 
-    Plan shape (round 2): each token row computes its full k-vector of
-    seeded hashes as ONE array expression (JVM transform — the seed axis
-    never becomes rows), then a single doc-keyed aggregate folds the arrays
-    elementwise with zip_with(least).  One shuffle of |tokens| rows replaces
-    the round-1 explode (k x |tokens| rows through TWO hash aggregates);
-    band hashes are row-local array slices afterwards.
+    Plan shape (round 7): ONE doc-keyed ``collect_set(term)`` aggregate
+    (map-side partial dedup; the shuffle carries term STRINGS, ~6-10
+    bytes each), then everything else — per-term seeded hashes, the
+    elementwise-min signature fold, band hashes — is row-local on the
+    aggregated row.  The round-2 shape hashed per token row BEFORE the
+    aggregate, so the shuffle carried 16-long hash arrays (128 bytes per
+    token) through collect_list, and callers needed a separate
+    ``.distinct()`` (a second full shuffle) to dedup first; both costs
+    are gone (guide §2.3: shuffle fewer bytes / §2.4: remove shuffles).
 
     The k seeded hashes are derived from ONE character fold by polynomial
     linearity: folding ``acc*131 + cp (mod P)`` from init ``s`` over a
@@ -99,37 +103,51 @@ def _bands_from_token_table(
     O(term_len) to O(1) is the difference between k x len and k
     interpreted steps per token).  All intermediates stay < 2^39: exact
     in long, bit-identical to the direct per-seed fold (the gates pin
-    it)."""
-    cps = F.transform(F.split(F.col("term"), ""), lambda c: F.ascii(c))
-    coded = toks.select("doc_id", cps.alias("_cps")).select(
-        "doc_id",
-        F.aggregate(
-            F.col("_cps"),
-            F.lit(0).cast("long"),
-            lambda acc, cp: (acc * 131 + cp) % HASH_P,
-        ).alias("_h0"),
-        F.aggregate(
-            F.col("_cps"),
-            F.lit(1).cast("long"),
-            lambda acc, _cp: (acc * 131) % HASH_P,
-        ).alias("_pw"),
-    )
-    hs = F.transform(
-        F.sequence(F.lit(0), F.lit(n_minhash - 1)),
-        lambda seed: ((seed + 1).cast("long") * F.col("_pw") + F.col("_h0"))
-        % HASH_P,
-    )
+    it).  Each chained select's multi-referenced alias survives
+    CollapseProject, so ``_hp``/``sig`` compute once per row."""
+    sets = toks.groupBy("doc_id").agg(F.collect_set("term").alias("_terms"))
+
+    def _term_hp(t):
+        cps = F.transform(F.split(t, ""), lambda c: F.ascii(c))
+        return F.struct(
+            F.aggregate(
+                cps,
+                F.lit(0).cast("long"),
+                lambda acc, cp: (acc * 131 + cp) % HASH_P,
+            ).alias("h0"),
+            F.aggregate(
+                cps,
+                F.lit(1).cast("long"),
+                lambda acc, _cp: (acc * 131) % HASH_P,
+            ).alias("pw"),
+        )
+
     top = F.lit(HASH_P).cast("long")
     init = F.array_repeat(top, n_minhash)
+    seeds = F.sequence(F.lit(0), F.lit(n_minhash - 1))
     sigs = (
-        coded.select("doc_id", hs.alias("hs"))
-        .groupBy("doc_id")
-        .agg(
+        sets.select(
+            "doc_id",
+            F.transform(F.col("_terms"), _term_hp).alias("_hp"),
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                F.col("_hp"),
+                lambda hp: F.transform(
+                    seeds,
+                    lambda seed: ((seed + 1).cast("long") * hp["pw"] + hp["h0"])
+                    % HASH_P,
+                ),
+            ).alias("_hs"),
+        )
+        .select(
+            "doc_id",
             F.aggregate(
-                F.collect_list("hs"),
+                F.col("_hs"),
                 init,
                 lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
-            ).alias("sig")
+            ).alias("sig"),
         )
     )
     n_bands = n_minhash // rows_per_band
@@ -152,9 +170,15 @@ def minhash_bands(
     n_minhash: int = N_MINHASH,
     rows_per_band: int = ROWS_PER_BAND,
 ) -> DataFrame:
-    """(doc_id, band, band_hash) LSH signature bands."""
+    """(doc_id, band, band_hash) LSH signature bands.
+
+    Feeds the RAW token stream (no ``.distinct()``): the banding
+    aggregate's ``collect_set`` dedups map-side, so the pre-shuffle
+    distinct was a second full shuffle buying nothing (guide §2.4)."""
+    from . import index_build
+
     return _bands_from_token_table(
-        distinct_tokens(docs), n_minhash, rows_per_band
+        index_build.tokens_jvm(docs), n_minhash, rows_per_band
     )
 
 
