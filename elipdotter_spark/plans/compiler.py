@@ -611,20 +611,34 @@ class QueryEngine:
         sets: Optional[DataFrame] = None,
         candidates_are_root: bool = False,
         occ: Optional[DataFrame] = None,
+        partition_topk: Optional[int] = None,
     ) -> DataFrame:
         """Rank-identical occurrence scoring, distributed by document.
 
         Single Spark job (plus the expansion scan in fuzzy mode): the posting
-        rows for all expanded terms are pruned by the root doc set, joined
-        with the broadcast one-row node-max table (sentinel inputs), shuffled
-        once by doc_id and scored by the per-document reference kernel.
+        rows for all expanded terms are shuffled once by doc_id; each doc's
+        qword set (root-membership input) is computed by a window over that
+        SAME exchange (the kernel needs doc-clustered, doc-sorted rows
+        anyway), so the root filter costs no extra scan, aggregate or join
+        — the pre-round-7 plan scanned the postings a second time for the
+        qword-set aggregate and sort-merge-joined the positions-carrying
+        stream against it (guide §2.4).  The broadcast one-row node-max
+        table (sentinel inputs) still rides in as its own narrow subtree
+        when ``maxes`` isn't supplied.
 
         ``candidates``: optional (doc_id) DataFrame (or plain id list)
         restricting which docs enter the kernel — per-doc scoring is exactly
         separable given the sentinel maxes, which are ALWAYS computed from
         the full qword-set aggregate, so a candidate subset's ratings are
         bit-identical to the same docs' ratings in a full run (the top-k
-        prune in :meth:`topk` relies on this)."""
+        prune in :meth:`topk` relies on this).
+
+        ``partition_topk``: when set (the :meth:`topk` paths), each kernel
+        partition emits only its top ``partition_topk`` hits under the
+        (rating desc, doc_id asc, start asc) total order — exactly the
+        rows a global ``orderBy().limit(k)`` can keep, so the result is
+        unchanged while the per-hit ``matched`` assembly and Arrow
+        transfer happen for <= 32*k rows instead of every hit."""
         if exp is None:
             exp = self.expansions(ast)
         occ = (occ if occ is not None else self._occ_base(exp)).select(
@@ -637,19 +651,22 @@ class QueryEngine:
                 occ = occ.join(candidates.select("doc_id"), "doc_id", "left_semi")
             else:  # small collected id list: a pushed-down In predicate
                 occ = occ.filter(F.col("doc_id").isin([int(d) for d in candidates]))
-        # prune docs that cannot produce hits (root stream doc set): join the
-        # shared qword-set aggregate and filter on root-node membership — the
-        # same aggregate feeds the sentinel maxes, so the whole query costs
-        # O(1) posting scans regardless of word count
         exprs = self._node_member_exprs(ast)  # also validates stray NOTs
         skip_root_join = (
             candidates is not None and candidates_are_root and maxes is not None
         )
-        if sets is None and not skip_root_join:
+        if maxes is None and sets is None:
+            # only feeds the node-max (sentinel) aggregate below
             sets = self._qword_sets(exp)
         if not skip_root_join:
+            # prune docs that cannot produce hits (root stream doc set):
+            # row-local root-membership filter over the window-computed
+            # per-doc qword set, inside the kernel's own exchange
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("doc_id")
             occ = (
-                occ.join(sets.select("doc_id", "qws"), "doc_id")
+                occ.withColumn("qws", F.collect_set("qword").over(w))
                 .filter(exprs[0])
                 .select("qword", "term", "proximity", "doc_id", "positions")
             )
@@ -673,16 +690,29 @@ class QueryEngine:
 
         ast_json = ast_codec.dumps(ast)
         dist = int(distance_threshold)
+        pp_k = int(partition_topk) if partition_topk is not None else None
 
         def score_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            """Docs are contiguous within a partition (hash-repartitioned by
-            doc_id + sorted), so we stream Arrow batches, group rows per doc
+            """Docs are contiguous within a partition (hash-partitioned by
+            doc_id + sorted — by the root-filter window or the explicit
+            repartition), so we stream Arrow batches, group rows per doc
             in plain dicts (no per-group pandas overhead — the kernel itself
             is ~0.05 ms/doc) and run the reference kernel per doc."""
+            import heapq
+            import itertools
+
             part = ast_codec.loads(ast_json)
             f1 = np.float32(1.0)
             f4 = np.float32(4.0)
             maxes_l: List[int] = None  # read from the broadcast column below
+            # partition-local top-k state: a min-heap over the COMPONENT-WISE
+            # negation (rating, -doc, -start) of the ordering key
+            # (-rating, doc, start) — each component's order flips, so
+            # heap[0] is the worst kept hit under (rating desc, doc asc,
+            # start asc); the tie counter keeps Hit objects out of tuple
+            # comparison
+            heap: list = []
+            tie = itertools.count()
 
             def empty_out():
                 return {
@@ -693,6 +723,19 @@ class QueryEngine:
                     "merged": [],
                     "matched": [],
                 }
+
+            def out_append(out: dict, h) -> None:
+                out["doc_id"].append(h.doc_id)
+                out["start"].append(h.start)
+                out["rating"].append(np.float32(h.rating))
+                out["word_id"].append(h.word_id)
+                out["merged"].append(h.merged)
+                out["matched"].append(
+                    [
+                        {"start": int(s), "word_id": int(w)}
+                        for s, w in h.iter_occurrences()
+                    ]
+                )
 
             def emit(doc: int, rows: list, out: dict) -> None:
                 rows.sort(key=lambda r: (r[0], r[1]))  # (qword, term)
@@ -709,18 +752,20 @@ class QueryEngine:
                     sentinel_max=maxes_l,
                     current_doc=doc,
                 )
+                if pp_k is not None:
+                    for h in hits:
+                        n = (
+                            float(np.float32(h.rating)),
+                            -int(h.doc_id),
+                            -int(h.start),
+                        )
+                        if len(heap) < pp_k:
+                            heapq.heappush(heap, (n, next(tie), h))
+                        elif n > heap[0][0]:
+                            heapq.heapreplace(heap, (n, next(tie), h))
+                    return
                 for h in hits:
-                    out["doc_id"].append(h.doc_id)
-                    out["start"].append(h.start)
-                    out["rating"].append(np.float32(h.rating))
-                    out["word_id"].append(h.word_id)
-                    out["merged"].append(h.merged)
-                    out["matched"].append(
-                        [
-                            {"start": int(s), "word_id": int(w)}
-                            for s, w in h.iter_occurrences()
-                        ]
-                    )
+                    out_append(out, h)
 
             def to_pdf(out: dict) -> pd.DataFrame:
                 return pd.DataFrame(
@@ -755,14 +800,24 @@ class QueryEngine:
                             emit(int(cur_doc), cur_rows, out)
                         cur_doc, cur_rows = doc, []
                     cur_rows.append((qw, term, prox, positions))
-                yield to_pdf(out)
+                if pp_k is None:
+                    yield to_pdf(out)
             out = empty_out()
             if cur_doc is not None:
                 emit(int(cur_doc), cur_rows, out)
+            if pp_k is not None:
+                for _n, _t, h in heap:
+                    out_append(out, h)
             yield to_pdf(out)
 
-        occ_sorted = occ.repartition(F.col("doc_id")).sortWithinPartitions("doc_id")
-        return occ_sorted.mapInPandas(score_partition, schema=HIT_SCHEMA)
+        if skip_root_join:
+            # candidate-filtered rows come straight off the (possibly
+            # cached) occ scan: cluster+sort them for the kernel
+            occ = occ.repartition(F.col("doc_id")).sortWithinPartitions("doc_id")
+        # else: the root-filter window already hash-partitioned AND sorted
+        # the stream by doc_id — a repartition here would be a second
+        # full shuffle of the positions arrays for nothing
+        return occ.mapInPandas(score_partition, schema=HIT_SCHEMA)
 
     def hits_batch(
         self,
@@ -1059,14 +1114,17 @@ class QueryEngine:
                 stats_out["futile"] = self._prune_futile
             if restrict is None:
                 return (
-                    self.hits(ast, distance_threshold, exp)
+                    self.hits(ast, distance_threshold, exp, partition_topk=k)
                     .orderBy(*order)
                     .limit(k)
                 )
             occ_r = self._occ_base(exp).join(restrict, "doc_id", "left_semi")
             sets_r = self._qword_sets(exp, occ=occ_r)
             return (
-                self.hits(ast, distance_threshold, exp, occ=occ_r, sets=sets_r)
+                self.hits(
+                    ast, distance_threshold, exp, occ=occ_r, sets=sets_r,
+                    partition_topk=k,
+                )
                 .orderBy(*order)
                 .limit(k)
             )
@@ -1125,6 +1183,7 @@ class QueryEngine:
                         ast, distance_threshold, exp, maxes=maxes,
                         occ=kernel_occ if restrict is not None else None,
                         sets=sets if restrict is not None else None,
+                        partition_topk=k,
                     )
                     .orderBy(*order)
                     .limit(k)
@@ -1151,6 +1210,11 @@ class QueryEngine:
                         candidates=seed_ids,
                         candidates_are_root=True,
                         occ=kernel_occ,
+                        # partition top-k preserves the global k best hits,
+                        # and the theta derivation only reads seed_ratings
+                        # [k-1] (the k-th best) plus the >= k existence
+                        # check — both invariant under it
+                        partition_topk=k,
                     )
                     .select("rating")
                     .collect()
@@ -1175,6 +1239,7 @@ class QueryEngine:
                     candidates=cand,
                     candidates_are_root=True,
                     occ=kernel_occ,
+                    partition_topk=k,
                 )
                 .orderBy(*order)
                 .limit(k)
