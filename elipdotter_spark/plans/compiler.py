@@ -276,19 +276,27 @@ class QueryEngine:
             "qword", "term", "proximity", "doc_id", "positions", "tf"
         )
 
-    def _node_member_exprs(self, ast: Part) -> List:
+    def _node_member_exprs(self, ast: Part, leaf=None) -> List:
         """Per-node doc-set membership as boolean Columns over the ``qws``
         column, indexed in ``oracle.iter_nodes`` order (preorder; AND-NOT
         keeps the non-NOT side, src/query.rs:133-179).  Leaf = qword present;
         AND = conjunction (J1); OR = disjunction (J2); `a AND NOT b` =
-        member(a) (reference J6 identity — NOT applies at scoring only)."""
+        member(a) (reference J6 identity — NOT applies at scoring only).
+
+        ``leaf``: optional word-text -> boolean Column resolver replacing
+        the default ``array_contains(qws, w)`` — the flags-aggregate shape
+        (:meth:`_qword_flags`) evaluates membership over per-word int
+        flags instead of a collected string array (a NULL flag behaves
+        exactly like FALSE through when()/AND/OR)."""
         exprs: List = []
+        if leaf is None:
+            leaf = lambda text: F.array_contains(F.col("qws"), text)  # noqa: E731
 
         def ev(p: Part):
             idx = len(exprs)
             exprs.append(None)  # placeholder, same order as oracle.iter_nodes
             if isinstance(p, Word):
-                e = F.array_contains(F.col("qws"), p.text)
+                e = leaf(p.text)
             elif isinstance(p, And):
                 # the not-inner is still walked for stray-NOT detection and
                 # node-id alignment (src/query.rs:156-159,236)
@@ -344,7 +352,11 @@ class QueryEngine:
                 .select("doc_id")
                 .distinct()
             )
-        return self._qword_sets(exp).filter(exprs[0]).select("doc_id")
+        # flags aggregate instead of collect_set: same membership algebra
+        # through a codegen HashAggregate of ints (see _qword_flags)
+        flags, leaf = self._qword_flags(exp, self._occ_base(exp))
+        exprs_f = self._node_member_exprs(ast, leaf=leaf)
+        return flags.filter(exprs_f[0]).select("doc_id")
 
     # --------------------------------------------------- rating upper bound
 
@@ -601,6 +613,48 @@ class QueryEngine:
             ).alias("node_max_pairs")
         )
 
+    def _qword_flags(self, exp: Dict[str, Dict[str, np.float32]], occ: DataFrame):
+        """(flags_df, leaf_fn): per-doc presence flags for each query word
+        — ``max(when(qword = w, 1))`` per word in one doc-keyed aggregate.
+        Same membership information as :meth:`_qword_sets`'s ``qws`` array
+        but through a whole-stage-codegen HashAggregate of ints instead of
+        an ObjectHashAggregate collecting string arrays (guide §2.3:
+        narrower types through the exchange); an absent word's NULL flag
+        evaluates exactly like array_contains' FALSE through when()/AND/OR.
+        ``leaf_fn`` resolves a word text to its flag column for
+        :meth:`_node_member_exprs`."""
+        words = sorted(exp)
+        idx = {w: j for j, w in enumerate(words)}
+        flags = occ.groupBy("doc_id").agg(
+            *[
+                F.max(F.when(F.col("qword") == w, F.lit(1))).alias(f"__f{j}")
+                for j, w in enumerate(words)
+            ]
+        )
+        return flags, lambda text: F.col(f"__f{idx[text]}") == 1
+
+    def _node_max_pairs_from_occ(
+        self, occ: DataFrame, ast: Part, exp: Dict[str, Dict[str, np.float32]]
+    ) -> DataFrame:
+        """The sentinel one-row table derived from the raw occurrence
+        stream via the flags aggregate — replaces the collect_set-based
+        ``_qword_sets`` subtree when the caller has no sets at hand."""
+        flags, leaf = self._qword_flags(exp, occ)
+        exprs_f = self._node_member_exprs(ast, leaf=leaf)
+        return flags.agg(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("nid"),
+                        F.coalesce(
+                            F.max(F.when(e, F.col("doc_id"))), F.lit(-1)
+                        ).cast("long").alias("mx"),
+                    )
+                    for i, e in enumerate(exprs_f)
+                ]
+            ).alias("node_max_pairs")
+        )
+
     def hits(
         self,
         ast: Part,
@@ -644,6 +698,9 @@ class QueryEngine:
         occ = (occ if occ is not None else self._occ_base(exp)).select(
             "qword", "term", "proximity", "doc_id", "positions"
         )
+        # sentinel maxes must describe the PRE-candidate universe (the
+        # per-doc scoring separability contract)
+        occ_for_sentinels = occ
         if candidates is not None:
             if isinstance(candidates, DataFrame):
                 # no broadcast hint: Catalyst/AQE picks broadcast when the
@@ -655,9 +712,6 @@ class QueryEngine:
         skip_root_join = (
             candidates is not None and candidates_are_root and maxes is not None
         )
-        if maxes is None and sets is None:
-            # only feeds the node-max (sentinel) aggregate below
-            sets = self._qword_sets(exp)
         if not skip_root_join:
             # prune docs that cannot produce hits (root stream doc set):
             # row-local root-membership filter over the window-computed
@@ -673,7 +727,15 @@ class QueryEngine:
 
         n_nodes = len(list(oracle.iter_nodes(ast)))
         if maxes is None:
-            occ = occ.crossJoin(F.broadcast(self._node_max_pairs_df(sets, exprs)))
+            # callers with a materialized qword-set aggregate (the
+            # restricted paths) reuse it; otherwise derive the sentinels
+            # from the occurrence stream via the cheaper flags aggregate
+            nm = (
+                self._node_max_pairs_df(sets, exprs)
+                if sets is not None
+                else self._node_max_pairs_from_occ(occ_for_sentinels, ast, exp)
+            )
+            occ = occ.crossJoin(F.broadcast(nm))
         else:
             pairs = [(i, int(m)) for i, m in enumerate(maxes)]
             occ = occ.withColumn(
