@@ -1212,14 +1212,27 @@ class QueryEngine:
         kernel_occ = occ
         sets = self._qword_sets(exp, with_stats=True, occ=occ)
         ub = self._upper_bound_expr(ast, exp, distance_threshold)
+        # evaluate the node-membership booleans and the upper bound ONCE
+        # into a scalar-only per-doc table and persist THAT: the sentinel
+        # aggregate, seed selection and candidate cut each used to re-run
+        # the whole with_stats qword-set aggregate + bound expression over
+        # the cached occ rows (three evaluations per query — guide §1.2
+        # step 1: don't recompute what a phase already computed).  Scalar
+        # columns only, so the round-2 array-cache penalty doesn't apply.
+        proj = sets.select(
+            "doc_id",
+            *[e.alias(f"__m{i}") for i, e in enumerate(exprs)],
+            ub.alias("__ub"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        root = F.col("__m0")
         try:
-            agg_row = sets.agg(
+            agg_row = proj.agg(
                 *[
-                    F.max(F.when(e, F.col("doc_id"))).alias(f"m{i}")
-                    for i, e in enumerate(exprs)
+                    F.max(F.when(F.col(f"__m{i}"), F.col("doc_id"))).alias(f"m{i}")
+                    for i in range(len(exprs))
                 ],
-                F.sum(F.when(exprs[0], 1).otherwise(0)).alias("n_root"),
-                F.percentile_approx(F.when(exprs[0], ub), F.lit(0.5)).alias(
+                F.sum(F.when(root, 1).otherwise(0)).alias("n_root"),
+                F.percentile_approx(F.when(root, F.col("__ub")), F.lit(0.5)).alias(
                     "ub_p50"
                 ),
             ).collect()[0]
@@ -1244,7 +1257,6 @@ class QueryEngine:
                     self.hits(
                         ast, distance_threshold, exp, maxes=maxes,
                         occ=kernel_occ if restrict is not None else None,
-                        sets=sets if restrict is not None else None,
                         partition_topk=k,
                     )
                     .orderBy(*order)
@@ -1254,7 +1266,7 @@ class QueryEngine:
             if n_root <= 4 * k:  # pruning cannot pay for its extra phase
                 return full()
 
-            sets_ub = sets.filter(exprs[0]).select("doc_id", ub.alias("__ub"))
+            sets_ub = proj.filter(root).select("doc_id", "__ub")
             seed_ids = [
                 int(r.doc_id)
                 for r in sets_ub.orderBy(F.desc("__ub"), F.asc("doc_id"))
@@ -1314,3 +1326,4 @@ class QueryEngine:
             return self.spark.createDataFrame(rows, HIT_SCHEMA)
         finally:
             occ.unpersist()
+            proj.unpersist()
