@@ -1300,8 +1300,13 @@ class QueryEngine:
             theta = float(seed_ratings[k - 1])
             if ub_p50 is not None and theta <= float(ub_p50):
                 # >= half the root docs would survive: the bound cannot
-                # discriminate on this corpus — remember and stop probing
-                self._prune_futile = True
+                # discriminate on this corpus — remember and stop probing.
+                # Only an UNRESTRICTED probe may set the engine-global
+                # memo: a tiny homogeneous site:/ACL subset says nothing
+                # about the corpus shape, and memoizing it would disable
+                # pruning for every later unrestricted query (ADVICE r6).
+                if restrict is None:
+                    self._prune_futile = True
                 return full()
             cand = sets_ub.filter(F.col("__ub") >= theta)
             rows = (

@@ -218,3 +218,30 @@ def test_topk_spam_doc_long_merge_chain(spark):
     for qstr in ("spam", "spam ham", "spam -eggs"):
         for k in (1, 3):
             assert_topk_equivalent(engine, qstr, 100, k)
+
+
+@pytest.mark.spark
+def test_restricted_futile_probe_does_not_poison_global_memo(spark):
+    """A site:-restricted probe over a tiny homogeneous subset whose theta
+    cannot discriminate must NOT set the engine-global _prune_futile memo
+    (round-7 fix, ADVICE r6): a later UNRESTRICTED query on the same
+    engine — whose corpus shape the prune handles fine — must still
+    prune.  An unrestricted futile probe still memoizes (unchanged)."""
+    from pyspark.sql import functions as F
+
+    # prunable corpus: long low-bound tail + dense head (the
+    # skips-hopeless-docs shape)
+    texts = [(i, "alpha " + "filler " * 30 + "beta") for i in range(50)]
+    texts += [(100 + i, "alpha beta alpha beta") for i in range(5)]
+    engine = make_engine(spark, [(f"d{i}", t) for i, t in texts], 1.0, EXACT, 2500)
+    # restrict to a homogeneous slice of the DENSE docs only (ids 50..54
+    # by make_engine's positional assignment): every doc hits the same
+    # bound, so theta <= median ub -> futile for this restricted call
+    dense = spark.range(50, 55).select(F.col("id").alias("doc_id"))
+    rstats = {}
+    engine.topk("alpha beta", 100, 1, stats_out=rstats, restrict=dense).collect()
+    assert engine._prune_futile is False, rstats
+    # the unrestricted query still prunes
+    stats = assert_topk_equivalent(engine, "alpha beta", 100, 3)
+    assert stats["pruned"] is True, stats
+    assert stats["kernel_docs"] <= 10, stats
