@@ -526,22 +526,33 @@ def tfidf_topk(docs: DataFrame, k: int = 3, digits: int = 6) -> DataFrame:
     lexicographically: keyword extraction / topic labeling over the indexed
     corpus, and the per-doc salience signal mixture reports weight by.
 
-    Plan: per-(doc,term) counts and the document-frequency table are two
-    hash aggregates (map-side combined); the corpus size N rides in as a
-    broadcast 1-row cross join (no driver-side action, no collect); the
-    per-doc top-k window partitions by doc_id — per-group sorts over each
-    doc's distinct terms, never a global sort.  Ranking compares the
+    Plan (round 7): ONE evaluation of the tokenize -> (doc, term) count
+    lineage — the document frequency is a ``count(*)`` window over the
+    term partition of that same stream (not a second aggregate joined
+    back: the join shape evaluated the whole tokenize+aggregate lineage
+    once per consumer, three times in all), and the corpus size N is a
+    tokenize-only pass over the docs (distinct doc_ids with >= 1 token —
+    no (doc, term) shuffle) riding in as a broadcast 1-row cross join.
+    The per-doc top-k window partitions by doc_id — per-group sorts over
+    each doc's distinct terms, never a global sort.  Ranking compares the
     ROUNDED score (the ``gopher_rules`` lesson: both engines must order
     identical 6-digit values or boundary ties flip)."""
+    from ..functions.tokenizer import simple_terms_col
+
     tf = (
         _tokens(docs)
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("long").alias("tf"))
     )
-    dfc = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    nd = tf.select(F.countDistinct("doc_id").alias("n"))
+    wdf = Window.partitionBy("term")
+    # distinct docs holding >= 1 token == countDistinct(doc_id) over the
+    # (doc, term) table, without re-running its aggregate
+    nd = (
+        docs.filter(F.size(simple_terms_col(F.col("text"))) > 0)
+        .select(F.countDistinct("doc_id").alias("n"))
+    )
     scored = (
-        tf.join(dfc, "term")
+        tf.withColumn("df", F.count("*").over(wdf).cast("long"))
         .crossJoin(F.broadcast(nd))
         .select(
             "doc_id",
@@ -580,9 +591,16 @@ def unigram_logprob(docs: DataFrame, digits: int = 6) -> DataFrame:
     probability and one per-doc aggregate.  The term-count table is
     vocabulary-sized (Zipf: tiny next to the corpus), so at 100 TB the
     scoring join broadcasts; everything is JVM expressions."""
+    from ..functions.tokenizer import simple_terms_col
+
     toks = _tokens(docs)
     cnt = toks.groupBy("term").agg(F.count("*").cast("long").alias("c"))
-    tot = cnt.agg(F.sum("c").alias("tot"))
+    # corpus total = sum of per-doc token counts: a tokenize-only pass,
+    # instead of re-evaluating the whole term-count aggregate lineage
+    # (sum(c) over cnt is the same number by construction)
+    tot = docs.select(
+        F.sum(F.size(simple_terms_col(F.col("text"))).cast("long")).alias("tot")
+    )
     probs = cnt.crossJoin(F.broadcast(tot)).select(
         "term", F.log(F.col("c") / F.col("tot")).alias("_lp")
     )
