@@ -838,15 +838,25 @@ def dup_spans(
     ``text_analysis.repetition``'s job."""
     from .text_analysis import token_pos_ngrams
 
-    grams = token_pos_ngrams(docs, n, id_col=id_col, text_col=text_col)
-    dup_grams = (
-        grams.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("_gdocs"))
-        .filter(F.col("_gdocs") >= min_docs)
-        .select("gram")
-    )
-    marked = grams.join(dup_grams, "gram").select("doc_id", "pos")
     from pyspark.sql import Window
+
+    grams = token_pos_ngrams(docs, n, id_col=id_col, text_col=text_col)
+    # distinct-doc frequency IN the gram stream's own exchange (round 7):
+    # dense_rank over (gram, doc_id asc) counts distinct docs seen so far,
+    # its max over the gram partition is the gram's distinct-doc count —
+    # one shuffle of the gram stream replaces the former aggregate +
+    # join-back (which re-shuffled the full stream a second time; 2x on
+    # the marking phase at sf1.0, output bit-identical).  A boilerplate
+    # mega-gram is one window partition (disk-backed buffer, single task)
+    # — the same hot-key exposure the old reduce-side aggregate had.
+    wg = Window.partitionBy("gram").orderBy("doc_id")
+    wga = Window.partitionBy("gram")
+    marked = (
+        grams.withColumn("_dr", F.dense_rank().over(wg))
+        .withColumn("_gdocs", F.max("_dr").over(wga))
+        .filter(F.col("_gdocs") >= min_docs)
+        .select("doc_id", "pos")
+    )
 
     w = Window.partitionBy("doc_id").orderBy("pos")
     islands = marked.withColumn(
