@@ -579,6 +579,7 @@ def bm25_topk_wand(
     with_stats: bool = False,
     theta0: float = None,
     global_probe: bool = False,
+    idf_map: dict = None,
 ) -> DataFrame:
     """Single-job distributed block-max WAND — zero driver round-trips
     (the missing piece named by the round-1 verdict: per-partition theta).
@@ -611,12 +612,17 @@ def bm25_topk_wand(
     from .bm25 import _idf_col
 
     qterms = list(dict.fromkeys(query_terms))
-    idf_rows = (
-        terms.filter(F.col("term").isin(qterms))
-        .select("term", _idf_col(n).alias("idf"))
-        .collect()
-    )  # W rows — the query's own dimension, not data-sized
-    idf_map = {r.term: float(r.idf) for r in idf_rows}
+    if idf_map is None:
+        idf_rows = (
+            terms.filter(F.col("term").isin(qterms))
+            .select("term", _idf_col(n).alias("idf"))
+            .collect()
+        )  # W rows — the query's own dimension, not data-sized
+        idf_map = {r.term: float(r.idf) for r in idf_rows}
+    else:
+        # caller-supplied (term -> idf) under the SAME n — federation
+        # computes it once instead of one tiny collect job per shard
+        idf_map = {t: float(v) for t, v in idf_map.items() if t in set(qterms)}
     k1f, bf, avg = float(k1), float(b), float(avgdl)
 
     blk = qterm_blocks(compressed, qterms).unionByName(
@@ -637,7 +643,7 @@ def bm25_topk_wand(
             probe_top = bm25_topk_wand(
                 compressed.filter(F.col("block") == probe_rng),
                 doclen_blocks.filter(F.col("block") == probe_rng),
-                terms, qterms, k, n, avgdl, k1, b,
+                terms, qterms, k, n, avgdl, k1, b, idf_map=idf_map,
             ).collect()
             if len(probe_top) >= k:
                 theta0 = float(probe_top[-1].score)

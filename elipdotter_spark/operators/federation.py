@@ -32,21 +32,41 @@ scale-out of its query semantics.
 
 from __future__ import annotations
 
+import logging
 from functools import reduce
 from typing import List, Sequence, Tuple
 
 from pyspark.sql import DataFrame, functions as F
 
+log = logging.getLogger(__name__)
 
-def _shard_tables(store):
+
+def _shard_tables(store, allow_stale: bool = True):
     """One shard's (postings, terms, docstats, n, avgdl) through the
     published read path when fresh (meta-counter stats: zero jobs), live
-    derivation otherwise."""
+    derivation otherwise.
+
+    A stale shard's live fallback re-aggregates terms/docstats from the
+    merged postings — at a 100-TB shard that is a full postings aggregate
+    inside the query, so it is LOGGED, and ``allow_stale=False`` refuses
+    instead (production federations should publish shards before serving
+    them)."""
     from ..operators import bm25, index_build
 
     snap = store.snapshot()
     postings = store.merged_postings()
     if snap.stale:
+        if not allow_stale:
+            raise ValueError(
+                f"shard {store.base!r} is stale (unpublished segments); "
+                "publish it or pass allow_stale=True to derive its "
+                "terms/docstats live (a full postings aggregate)"
+            )
+        log.warning(
+            "federated shard %s is stale: deriving terms/docstats live "
+            "(full postings aggregate) — publish the shard to avoid this",
+            store.base,
+        )
         terms = index_build.build_terms(postings)
         docstats = index_build.docstats_from_postings(postings)
         n, avgdl = bm25.corpus_stats(docstats)
@@ -80,11 +100,13 @@ def federated_terms(parts) -> DataFrame:
     )
 
 
-def federated_tables(stores) -> Tuple[DataFrame, DataFrame, DataFrame, int, float]:
+def federated_tables(
+    stores, allow_stale: bool = True
+) -> Tuple[DataFrame, DataFrame, DataFrame, int, float]:
     """(postings, terms, docstats, n, avgdl) over all shards — the inputs
     every single-store operator (bm25_topk, batch, prior fusion) accepts
     unchanged; federation is table-level, not operator-level."""
-    parts = [_shard_tables(s) for s in stores]
+    parts = [_shard_tables(s, allow_stale=allow_stale) for s in stores]
     postings = reduce(
         lambda a, b: a.unionByName(b),
         [p[1].select("term", "doc_id", "positions", "tf") for p in parts],
@@ -98,20 +120,27 @@ def federated_tables(stores) -> Tuple[DataFrame, DataFrame, DataFrame, int, floa
 
 
 def bm25_topk_federated(
-    stores, query_terms: Sequence[str], k: int, **kw
+    stores, query_terms: Sequence[str], k: int, allow_stale: bool = True, **kw
 ) -> DataFrame:
     """Exhaustive federated BM25 top-k: ONE plan over the unioned
     term-pruned posting scans with global stats."""
     from ..operators import bm25
 
-    postings, terms, docstats, n, avgdl = federated_tables(stores)
+    postings, terms, docstats, n, avgdl = federated_tables(
+        stores, allow_stale=allow_stale
+    )
     return bm25.bm25_topk(
         postings, docstats, terms, query_terms, k, n=n, avgdl=avgdl, **kw
     )
 
 
 def bm25_topk_wand_federated(
-    stores, query_terms: Sequence[str], k: int, k1: float = 1.2, b: float = 0.75
+    stores,
+    query_terms: Sequence[str],
+    k: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+    allow_stale: bool = True,
 ) -> DataFrame:
     """Scatter-gather block-max WAND: each shard prunes and scores its own
     published blocks under the GLOBAL stats (global terms give the idf and
@@ -119,21 +148,60 @@ def bm25_topk_wand_federated(
     the shard), returns its local top-k, and the k-sized unions merge into
     the global top-k.  Equals the exhaustive federated ranking: a doc's
     score is shard-local given global stats, and the global k-th best is
-    within some shard's local top-k."""
-    from ..operators import codec
+    within some shard's local top-k.
 
-    parts = [_shard_tables(s) for s in stores]
+    Round-7 shape: the query's (term -> idf) map under the global stats is
+    collected ONCE and shared by every shard's scorer (the per-shard
+    collect serialized S driver round-trips before), so the driver does no
+    per-shard jobs — all shard scans execute inside the single merged
+    top-k job, whose tasks interleave across shards (latency ~ max(shard),
+    not sum).  A shard whose BLOCK tables are stale (ingested-but-not-
+    published segments: ``snap.blocks_stale``) would silently serve an
+    incomplete top-k through wand_tables — such shards fall back to the
+    exhaustive per-shard BM25 aggregate under the same global stats
+    (logged; the single-store CLI wand path guards the same way), so the
+    merged ranking stays complete."""
+    from ..operators import bm25, codec
+    from ..operators.bm25 import _idf_col
+
+    parts = [_shard_tables(s, allow_stale=allow_stale) for s in stores]
     n, avgdl = federated_stats(parts)
     gterms = federated_terms(parts)
     gterms = gterms.cache()  # scalar-shaped dictionary: reused per shard
     try:
+        qterms = list(dict.fromkeys(query_terms))
+        idf_map = {
+            r.term: float(r.idf)
+            for r in gterms.filter(F.col("term").isin(qterms))
+            .select("term", _idf_col(n).alias("idf"))
+            .collect()
+        }
         shard_topks = []
-        for p in parts:
+        for store, p in zip(stores, parts):
             snap = p[0]
+            if snap.blocks_stale:
+                # wand_tables only resolves PUBLISHED blocks — a blocks-
+                # stale shard would drop its unpublished docs from the
+                # top-k with no error.  Exhaustive aggregate over the
+                # shard's resolved postings under global stats instead.
+                log.warning(
+                    "federated shard %s has stale block tables: scoring "
+                    "it exhaustively (publish the shard to restore WAND "
+                    "pruning)",
+                    store.base,
+                )
+                shard_topks.append(
+                    bm25.bm25_topk(
+                        p[1], p[3], gterms, qterms, k, n=n, avgdl=avgdl,
+                        k1=k1, b=b,
+                    ).select("doc_id", "score")
+                )
+                continue
             comp, dlb = snap.wand_tables(gterms, n, avgdl)
             shard_topks.append(
                 codec.bm25_topk_wand(
-                    comp, dlb, gterms, query_terms, k, n, avgdl, k1=k1, b=b
+                    comp, dlb, gterms, qterms, k, n, avgdl, k1=k1, b=b,
+                    idf_map=idf_map,
                 )
             )
         merged = reduce(lambda a, b: a.unionByName(b), shard_topks)

@@ -148,3 +148,54 @@ def test_cli_federated_scored_query(cli, spark, tmp_path, capsys):
     fed = run(f"{tmp_path}/q1,{tmp_path}/q2")
     single = run(f"{tmp_path}/qw")
     assert fed == single and len(fed) > 0
+
+
+@pytest.mark.spark
+def test_federated_wand_blocks_stale_shard_falls_back(spark, tmp_path):
+    """ADVICE r6 (medium): a shard with segments ingested AFTER its publish
+    has stale BLOCK tables — wand_tables resolves only the published
+    blocks, so the round-6 federated WAND silently dropped the shard's
+    unpublished docs from the top-k.  The shard must now be scored
+    exhaustively under the same global stats, keeping the merged ranking
+    complete (== the whole-corpus exhaustive answer)."""
+    docs = _corpus(spark)
+    a = _store(spark, tmp_path, "wa", docs.filter("doc_id % 2 = 0"))
+    b = _store(spark, tmp_path, "wb", docs.filter("doc_id % 2 = 1"))
+    # ingest an extra segment into b AFTER its publish: blocks now stale,
+    # and the new docs (gamma-rich) MUST appear in the federated top-k
+    extra = spark.createDataFrame(
+        [(1001, "gamma gamma gamma alpha"), (1003, "gamma gamma beta")],
+        "doc_id long, text string",
+    )
+    b.write_segment("seg-extra", extra)
+    assert b.snapshot().blocks_stale
+    whole = _store(spark, tmp_path, "ww", docs.unionByName(extra))
+
+    q = ["alpha", "gamma"]
+    snap = whole.snapshot()
+    n, avgdl = snap.corpus_stats()
+    want = _scores(
+        bm25.bm25_topk(
+            whole.merged_postings(), snap.published_docstats(),
+            snap.published_terms(), q, 10, n=n, avgdl=avgdl,
+        )
+    )
+    got = _scores(federation.bm25_topk_wand_federated([a, b], q, 10))
+    assert got == want
+    assert 1001 in got  # the unpublished doc made it into the top-k
+
+
+@pytest.mark.spark
+def test_federated_allow_stale_guard(spark, tmp_path):
+    """allow_stale=False refuses a never-published shard instead of
+    silently running the full-postings live fallback (VERDICT r6 #3)."""
+    docs = _corpus(spark)
+    a = _store(spark, tmp_path, "ga", docs.filter("doc_id < 60"))
+    b = _store(spark, tmp_path, "gb", docs.filter("doc_id >= 60"),
+               publish=False)
+    with pytest.raises(ValueError, match="stale"):
+        federation.bm25_topk_federated(
+            [a, b], ["alpha"], 5, allow_stale=False
+        )
+    # default keeps the (now logged) live fallback working
+    assert len(federation.bm25_topk_federated([a, b], ["alpha"], 5).collect()) == 5
