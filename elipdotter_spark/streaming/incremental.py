@@ -77,6 +77,20 @@ def _commit_segment(
     foreachBatch tail of every streaming ingest variant): true replays are
     skipped by content digest, cross-checkpoint batch-id collisions fail
     loudly, then write-ahead segment commit + optional auto-compaction."""
+    if _segment_disposition(store, seg_id, batch_df) == "skip":
+        return
+    store.write_segment(seg_id, batch_df)
+    if auto_compact_superseded is not None:
+        store.maybe_compact(auto_compact_superseded)
+
+
+def _segment_disposition(store: IndexStore, seg_id: str, batch_df: DataFrame) -> str:
+    """"skip" for a true checkpoint replay (identical content already
+    committed), "write" for a new segment; raises on a cross-checkpoint
+    batch-id collision.  Split from :func:`_commit_segment` so sinks with
+    side-writes (dead letter, docmap) can run the collision check FIRST —
+    otherwise a collision raises only after the batch dirs were already
+    overwritten with the rejected batch's content (ADVICE r6)."""
     committed_row = next(
         (r for r in store.ledger() if r["segment_id"] == seg_id), None
     )
@@ -100,7 +114,7 @@ def _commit_segment(
                 n == committed_row["n_docs"]
                 and h == committed_row["doc_digest"]
             ):
-                return  # idempotent replay (identical content)
+                return "skip"  # idempotent replay (identical content)
         else:
             # legacy segment committed before digests were recorded:
             # the raw text is gone, so compare the strongest thing both
@@ -115,7 +129,7 @@ def _commit_segment(
             if content_digest(committed_ids) == content_digest(
                 batch_df.select("doc_id").distinct()
             ):
-                return  # idempotent replay (same doc-id set)
+                return "skip"  # idempotent replay (same doc-id set)
         raise ValueError(
             f"segment {seg_id!r} already committed with DIFFERENT "
             "content — batch-id collision across checkpoints "
@@ -123,9 +137,7 @@ def _commit_segment(
             "Use a new store, a distinct segment_prefix per ingest "
             "epoch, or compact() and re-ingest."
         )
-    store.write_segment(seg_id, batch_df)
-    if auto_compact_superseded is not None:
-        store.maybe_compact(auto_compact_superseded)
+    return "write"
 
 
 # the BASELINE input_hint pages shape (url, warc_ts, html[, text, lang]);
@@ -174,41 +186,62 @@ def start_crawl_ingest(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        ing = html_ops.crawl_ingest(batch_df)
-        if dead_letter_dir is not None:
-            (
-                ing.filter(F.col("has_markup"))
-                .select("doc_id", "url", "norm_url")
-                .write.mode("overwrite")
-                .parquet(f"{dead_letter_dir}/batch-{batch_id:06d}")
-            )
-        if docmap_dir is not None:
-            # id <-> url map for the query side (site: filter, URL
-            # resolution); per-batch overwrite = replay-idempotent.
-            # Readers take the LATEST row per doc_id (recrawled pages
-            # re-emit the same hashed id, possibly with a new raw url).
-            from ..operators import urls as url_ops
+        from pyspark import StorageLevel
 
-            (
-                url_ops.parse_urls(
-                    ing.filter(~F.col("has_markup")).select("url"),
-                    url_col="url",
-                )
-                .select(
-                    F.xxhash64(F.col("norm_url")).alias("doc_id"),
-                    "url", "norm_url", "host", "registered_domain",
-                )
-                .write.mode("overwrite")
-                .parquet(f"{docmap_dir}/batch-{batch_id:06d}")
-            )
-        docs = ing.filter(~F.col("has_markup")).select(
-            F.xxhash64(F.col("norm_url")).alias("doc_id"),
-            F.col("text_clean").alias("text"),
+        # ONE extraction per batch: every consumer below (collision
+        # digest, dead-letter write, docmap write, emptiness check,
+        # segment write) used to re-execute the full recrawl-collapse +
+        # HTML-extraction lineage — up to 5x per micro-batch (ADVICE r6)
+        ing = html_ops.crawl_ingest(batch_df).persist(
+            StorageLevel.MEMORY_AND_DISK
         )
-        if docs.isEmpty():
-            return
-        seg_id = f"{segment_prefix}-{batch_id:06d}"
-        _commit_segment(store, seg_id, docs, auto_compact_superseded)
+        try:
+            docs = ing.filter(~F.col("has_markup")).select(
+                F.xxhash64(F.col("norm_url")).alias("doc_id"),
+                F.col("text_clean").alias("text"),
+            )
+            seg_id = f"{segment_prefix}-{batch_id:06d}"
+            # collision check BEFORE the side-writes: a cross-checkpoint
+            # batch-id collision must raise with the committed batch's
+            # dead-letter/docmap dirs intact, not after overwriting them
+            # with the rejected batch's content
+            disposition = (
+                "skip"
+                if docs.isEmpty()
+                else _segment_disposition(store, seg_id, docs)
+            )
+            if dead_letter_dir is not None:
+                (
+                    ing.filter(F.col("has_markup"))
+                    .select("doc_id", "url", "norm_url")
+                    .write.mode("overwrite")
+                    .parquet(f"{dead_letter_dir}/batch-{batch_id:06d}")
+                )
+            if docmap_dir is not None:
+                # id <-> url map for the query side (site: filter, URL
+                # resolution); per-batch overwrite = replay-idempotent.
+                # Readers take the LATEST row per doc_id (recrawled pages
+                # re-emit the same hashed id, possibly with a new raw url).
+                from ..operators import urls as url_ops
+
+                (
+                    url_ops.parse_urls(
+                        ing.filter(~F.col("has_markup")).select("url"),
+                        url_col="url",
+                    )
+                    .select(
+                        F.xxhash64(F.col("norm_url")).alias("doc_id"),
+                        "url", "norm_url", "host", "registered_domain",
+                    )
+                    .write.mode("overwrite")
+                    .parquet(f"{docmap_dir}/batch-{batch_id:06d}")
+                )
+            if disposition == "write":
+                store.write_segment(seg_id, docs)
+                if auto_compact_superseded is not None:
+                    store.maybe_compact(auto_compact_superseded)
+        finally:
+            ing.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(sink)
