@@ -715,12 +715,21 @@ class QueryEngine:
         if not skip_root_join:
             # prune docs that cannot produce hits (root stream doc set):
             # row-local root-membership filter over the window-computed
-            # per-doc qword set, inside the kernel's own exchange
+            # per-doc qword set, inside the kernel's own exchange.  The
+            # explicit repartition keeps that exchange at the configured
+            # width: a bare Window exchange is AQE-coalescible, and this
+            # one's shuffle is small in BYTES while the Python kernel
+            # behind it scales with ROWS — coalescing it to 1-2
+            # partitions serialized the whole kernel (measured 2
+            # partitions at sf1.0); the window reuses the repartition's
+            # hash partitioning, so there is still exactly one exchange
             from pyspark.sql import Window
 
+            n_part = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
             w = Window.partitionBy("doc_id")
             occ = (
-                occ.withColumn("qws", F.collect_set("qword").over(w))
+                occ.repartition(n_part, F.col("doc_id"))
+                .withColumn("qws", F.collect_set("qword").over(w))
                 .filter(exprs[0])
                 .select("qword", "term", "proximity", "doc_id", "positions")
             )
