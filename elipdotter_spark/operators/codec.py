@@ -164,11 +164,12 @@ def build_compressed(
     from .bm25 import term_impacts
 
     imp = term_impacts(postings, docstats, terms, n, avgdl, k1, b)
+    n_part = int(postings.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     rows = (
         postings.select("term", "doc_id", "tf")
         .join(imp, ["term", "doc_id"])
         .withColumn("rng", range_expr(doc_span))
-        .repartition(F.col("term"))
+        .repartition(n_part, F.col("term"))
         .sortWithinPartitions("term", "doc_id")
     )
 
@@ -473,10 +474,11 @@ def build_doclen_blocks(docstats: DataFrame, doc_span: int = DEFAULT_DOC_SPAN) -
     a truncate-toward-zero cast here used to disagree with the posting
     side's floor for negative hashed doc ids, landing doc lengths in the
     wrong range)."""
+    n_part = int(docstats.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     rows = (
         docstats.select("doc_id", "doc_len")
         .withColumn("block", range_expr(doc_span))
-        .repartition(F.col("block"))
+        .repartition(n_part, F.col("block"))
         .sortWithinPartitions("block", "doc_id")
     )
 
@@ -744,6 +746,12 @@ def bm25_topk_wand(
             }
         )
 
+    # NO explicit width here, unlike the scoring kernel (compiler.hits):
+    # the local-theta prune NEEDS several ranges per partition (a
+    # partition's k-th best score only rises as it scans), so AQE
+    # coalescing this exchange concentrates ranges and IMPROVES skipping
+    # — pinning it to shuffle.partitions left ~1 range per partition and
+    # zero local pruning (test_one_job_partitioned_wand caught it)
     survivors = blk.repartition(F.col("block")).mapInPandas(scan, schema=WAND_SCHEMA)
     if with_stats:
         return survivors

@@ -883,8 +883,12 @@ class QueryEngine:
 
         if skip_root_join:
             # candidate-filtered rows come straight off the (possibly
-            # cached) occ scan: cluster+sort them for the kernel
-            occ = occ.repartition(F.col("doc_id")).sortWithinPartitions("doc_id")
+            # cached) occ scan: cluster+sort them for the kernel (explicit
+            # width — see the root-filter window note above)
+            n_part = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            occ = occ.repartition(n_part, F.col("doc_id")).sortWithinPartitions(
+                "doc_id"
+            )
         # else: the root-filter window already hash-partitioned AND sorted
         # the stream by doc_id — a repartition here would be a second
         # full shuffle of the positions arrays for nothing
@@ -1098,8 +1102,9 @@ class QueryEngine:
                 emit(cur_key[0], int(cur_key[1]), cur_rows, out)
             yield to_pdf(out)
 
+        n_part = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         occ_sorted = occ.repartition(
-            F.col("query_id"), F.col("doc_id")
+            n_part, F.col("query_id"), F.col("doc_id")
         ).sortWithinPartitions("query_id", "doc_id")
         return occ_sorted.mapInPandas(score_partition, schema=out_schema)
 
