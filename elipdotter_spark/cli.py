@@ -109,8 +109,13 @@ def cmd_build(args) -> int:
         text_col = "text_clean"
         if getattr(args, "anchors", False):
             # classic search-engine move: in-link anchor terms join the
-            # target page's indexable text (capped per source)
-            ing = html_ops.anchor_augment(ing, pages)
+            # target page's indexable text (capped per source).  Mined
+            # from the recrawl WINNERS, not the raw crawl records: a page
+            # recrawled R times would otherwise count as R distinct
+            # sources (inflating the per-source repeat cap R-fold) and
+            # superseded page versions would still donate anchors
+            # (ADVICE r6)
+            ing = html_ops.anchor_augment(ing, html_ops.recrawl_latest(pages))
             text_col = "text_indexed"
             extra["anchors"] = True
         docs = ing.filter(~F.col("has_markup")).select(
@@ -283,6 +288,33 @@ def _load(spark, index_dir):
     return store, snap, postings, terms, docstats, stale
 
 
+def _docmap_latest(dm):
+    """Resolve a docmap to ONE row per doc_id, latest-wins.
+
+    Streamed docmaps are per-batch dirs (``batch-%06d``), so a recrawled
+    page legitimately carries several rows for the same hashed doc_id and
+    readers must take the latest (the stream help text's contract).  The
+    zero-padded batch dir name orders lexicographically in the source
+    file path, so ``max_by`` over ``_metadata.file_path`` picks the
+    newest batch's row; a single-write docmap has one row per doc and
+    passes through unchanged.  Without this, the --resolve-urls map and
+    the --site restrict set kept an ARBITRARY collected row
+    (ADVICE r6)."""
+    from pyspark.sql import functions as F
+
+    cols = [c for c in dm.columns if c != "doc_id"]
+    return (
+        dm.withColumn("_src", F.col("_metadata.file_path"))
+        .groupBy("doc_id")
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in cols]), F.col("_src")
+            ).alias("w")
+        )
+        .select("doc_id", *[F.col(f"w.{c}").alias(c) for c in cols])
+    )
+
+
 def cmd_query(args) -> int:
     from elipdotter_spark.plans.compiler import QueryEngine
 
@@ -311,7 +343,7 @@ def cmd_query(args) -> int:
     restrict = None
     docmap = None
     if getattr(args, "docmap", None):
-        docmap = spark.read.parquet(args.docmap)
+        docmap = _docmap_latest(spark.read.parquet(args.docmap))
     if getattr(args, "site", None):
         if docmap is None:
             raise SystemExit("--site requires --docmap (built with "
@@ -1227,7 +1259,13 @@ def cmd_crawl(args) -> int:
     )
     out_df = h.crawl_ingest(pages, url_col=args.url_col, id_col=args.id_col)
     if getattr(args, "anchors", False):
-        out_df = h.anchor_augment(out_df, pages, id_col=args.id_col)
+        # anchors from the recrawl winners (see cmd_build: raw records
+        # would inflate n_src_docs by recrawl count)
+        out_df = h.anchor_augment(
+            out_df,
+            h.recrawl_latest(pages, url_col=args.url_col, id_col=args.id_col),
+            id_col=args.id_col,
+        )
     agg = out_df.agg(
         F.count("*").alias("n_pages"),
         F.sum("n_crawls").alias("n_crawls_in"),
@@ -1409,7 +1447,10 @@ def cmd_pipeline(args) -> int:
         text_col = "text_clean"
         if cfg.get("anchors"):
             # in-link anchor terms join the target page's indexable text
-            ing_src = html_ops.anchor_augment(ingested, pages)
+            # (mined from the recrawl winners — see cmd_build)
+            ing_src = html_ops.anchor_augment(
+                ingested, html_ops.recrawl_latest(pages)
+            )
             text_col = "text_indexed"
             stats["anchors"] = True
         if cfg.get("docmap"):

@@ -705,3 +705,27 @@ def test_cli_stream_pages(cli, spark, tmp_path, capsys):
     m = {r.doc_id: r.norm_url
          for r in spark.read.parquet(dm + "/batch-*").collect()}
     assert m[a_id] == "https://a.example/p"
+
+
+@pytest.mark.spark
+def test_docmap_latest_wins_resolution(cli, spark, tmp_path):
+    """_docmap_latest: streamed per-batch docmaps carry several rows per
+    hashed doc_id (recrawls) — readers must take the LATEST batch's row,
+    not an arbitrary one (ADVICE r6)."""
+    from pyspark.sql import functions as F
+
+    dm = str(tmp_path / "dm")
+    spark.createDataFrame(
+        [(1, "https://a.example/old", "https://a.example/p")],
+        "doc_id long, url string, norm_url string",
+    ).write.parquet(f"{dm}/batch-000000")
+    spark.createDataFrame(
+        [(1, "https://a.example/new", "https://a.example/p"),
+         (2, "https://b.example/q", "https://b.example/q")],
+        "doc_id long, url string, norm_url string",
+    ).write.parquet(f"{dm}/batch-000001")
+    out = {
+        r.doc_id: r.url
+        for r in cli._docmap_latest(spark.read.parquet(f"{dm}/batch-*")).collect()
+    }
+    assert out == {1: "https://a.example/new", 2: "https://b.example/q"}
