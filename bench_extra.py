@@ -152,6 +152,147 @@ def main():
                 reps=max(REPS, 5), results=results,
             )
 
+    if "pipeline" in probes:
+        from elipdotter_spark.operators import dedup, text_analysis
+
+        timed(
+            spark, "q_tfidf_topk",
+            lambda: text_analysis.tfidf_topk(docs, k=3)
+            .agg(F.count("*"), F.sum("tf")).collect(),
+            reps=5, results=results,
+        )
+        timed(
+            spark, "q_lm_score",
+            lambda: text_analysis.unigram_logprob(docs)
+            .agg(F.count("*"), F.sum("n_tokens")).collect(),
+            reps=5, results=results,
+        )
+        timed(
+            spark, "q_dup_spans",
+            lambda: dedup.dup_spans(docs, n=4, min_docs=2)
+            .agg(F.count("*"), F.sum("n_grams")).collect(),
+            results=results,
+        )
+        ev = docs.filter(F.pmod(F.col("doc_id"), F.lit(53)) == 0)
+        tr = docs.filter(F.pmod(F.col("doc_id"), F.lit(53)) != 0)
+        timed(
+            spark, "q_decontam",
+            lambda: dedup.decontaminate(tr, ev, n=5)
+            .agg(F.sum(F.col("contaminated").cast("long"))).collect(),
+            results=results,
+        )
+        timed(
+            spark, "q_pii_scrub",
+            lambda: text_analysis.pii_redact(docs)
+            .agg(F.sum("n_email"), F.sum("n_ipv4"), F.sum("n_phone")).collect(),
+            reps=5, results=results,
+        )
+        timed(
+            spark, "q_gopher_rules",
+            lambda: text_analysis.gopher_rules(
+                docs, min_tokens=40, stop_words=["a", "table", "data", "scan"]
+            ).agg(F.sum(F.col("passes").cast("long"))).collect(),
+            reps=5, results=results,
+        )
+
+    if "web" in probes:
+        from elipdotter_spark.operators import html as _html, urls as _urls
+
+        url_docs = _urls.synth_urls(docs.select("doc_id"))
+        timed(
+            spark, "q_url_dedup",
+            lambda: _urls.url_dedup(url_docs)
+            .agg(F.count("*"), F.sum("n_dups")).collect(),
+            reps=5, results=results,
+        )
+        crawl_pages = _html.synth_crawl_pages(docs.select("doc_id", "text"))
+        timed(
+            spark, "q_html_extract",
+            lambda: _html.crawl_ingest(crawl_pages)
+            .agg(F.count("*"), F.sum("n_crawls"), F.sum(F.length("text_clean")))
+            .collect(),
+            reps=5, results=results,
+        )
+        timed(
+            spark, "q_anchor_terms",
+            lambda: _html.anchor_terms(crawl_pages)
+            .agg(F.count("*"), F.sum("n_anchors")).collect(),
+            reps=5, results=results,
+        )
+
+    if "bm25q" in probes or "annq" in probes:
+        import tempfile as _tf2
+
+        from elipdotter_spark.operators import ann, bm25, index_build as _ib2
+
+        r2 = _tf2.mkdtemp(prefix="bex_idx2_")
+        _ib2.build_postings(docs).write.mode("overwrite").parquet(r2 + "/postings")
+        postings = spark.read.parquet(r2 + "/postings"); postings.count()
+        terms = _ib2.build_terms(postings).cache(); terms.count()
+        docstats = _ib2.docstats_from_postings(postings).cache(); docstats.count()
+        n, avgdl = bm25.corpus_stats(docstats)
+        batch8 = {
+            1: ["spark", "fast"], 2: ["table", "value"], 3: ["vector"],
+            4: ["stream", "data"], 5: ["fast", "table"], 6: ["spark", "vector"],
+            7: ["query", "join"], 8: ["data", "value", "fast"],
+        }
+        if "bm25q" in probes:
+            bm25.bm25_topk(postings, docstats, terms, ["spark"], 10, n=n, avgdl=avgdl).collect()
+            save_plan(
+                "q_bm25_top10",
+                bm25.bm25_topk(postings, docstats, terms, ["spark", "fast", "table"], 10, n=n, avgdl=avgdl),
+            )
+            timed(
+                spark, "q_bm25_top10",
+                lambda: bm25.bm25_topk(
+                    postings, docstats, terms, ["spark", "fast", "table"], 10,
+                    n=n, avgdl=avgdl,
+                ).collect(),
+                reps=5, results=results,
+            )
+            timed(
+                spark, "q_bm25_sequential8",
+                lambda: [
+                    bm25.bm25_topk(postings, docstats, terms, q, 10, n=n, avgdl=avgdl)
+                    .collect() for q in batch8.values()
+                ],
+                reps=5, results=results,
+            )
+            timed(
+                spark, "q_bm25_batch8",
+                lambda: bm25.bm25_topk_batch(
+                    postings, docstats, terms, batch8, 10, n=n, avgdl=avgdl
+                ).collect(),
+                reps=5, results=results,
+            )
+        if "annq" in probes:
+            emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").repartition(8)
+            emb.count()
+            qvec = emb.filter(F.col("vec_id") == 0).first().embedding
+            buckets = ann.lsh_buckets_tables(emb).cache(); buckets.count()
+            ann.topk_lsh_tables(emb, buckets, qvec, 10).collect()
+            timed(
+                spark, "q_ann_topk",
+                lambda: ann.topk_lsh_tables(emb, buckets, qvec, 10).collect(),
+                results=results,
+            )
+            qvecs = {
+                r["vec_id"]: r["embedding"]
+                for r in emb.filter(F.col("vec_id") < 8).collect()
+            }
+            timed(
+                spark, "q_ann_sequential8",
+                lambda: [
+                    ann.topk_bruteforce(emb, v, 10).collect() for v in qvecs.values()
+                ],
+                reps=5, results=results,
+            )
+            timed(
+                spark, "q_ann_batch8",
+                lambda: ann.cosine_topk_batch(emb, qvecs, 10).collect(),
+                reps=5, results=results,
+            )
+
     print(json.dumps({"sf": SF_DIR, "results": results}), flush=True)
     spark.stop()
 
