@@ -158,15 +158,17 @@ def test_topk(spark):
 @pytest.mark.spark
 @pytest.mark.parametrize("qstr", ["lorem", "volutpat -hac", "-hac volutpat"])
 def test_single_leaf_retrieval_short_circuits(spark, qstr):
-    """A bare-Word root (or AND-NOT of a Word, J6) must skip the qword-set
-    collect_set aggregate: retrieval is one term-pruned distinct (the
+    """A bare-Word root (or AND-NOT of a Word, J6) must skip the qword
+    membership aggregate: retrieval is one term-pruned distinct (the
     round-1 fast path the round-2 uniform algebra lost — 2.3x on the
-    AND-NOT bench).  Result must still equal the general-path doc set."""
+    AND-NOT bench).  Result must still equal the general-path doc set.
+    (Round 7: the general path's marker is the per-qword flags aggregate
+    ``__f0`` — doc_ids no longer collects string arrays.)"""
     engine = make_engine(spark, LOREM_CORPUS, 0.85, HAMMING, 2500)
     ast = parse(qstr)
     df = engine.doc_ids(ast)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "collect_set" not in plan, qstr
+    assert "collect_set" not in plan and "__f0" not in plan, qstr
 
     # general path (no short-circuit): same docs
     exp = engine.expansions(ast)
@@ -179,7 +181,8 @@ def test_single_leaf_retrieval_short_circuits(spark, qstr):
         r.doc_id for r in general.collect()
     )
 
-    # a genuinely multi-leaf root must NOT short-circuit
+    # a genuinely multi-leaf root must NOT short-circuit: it runs the
+    # per-qword flags membership aggregate
     multi = engine.doc_ids(parse("lorem feugiat"))
     mplan = multi._jdf.queryExecution().executedPlan().toString()
-    assert "collect_set" in mplan
+    assert "__f0" in mplan
